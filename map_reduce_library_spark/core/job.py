@@ -1,0 +1,155 @@
+"""Async job lifecycle: JobHandle + 4-stage JobState progress.
+
+Reference API being re-expressed (not ported):
+
+- ``startMapReduceJob`` returns an opaque handle immediately; work runs
+  on background threads (MapReduceFramework.cpp:313-351).
+- ``getJobState`` is callable concurrently and returns
+  ``{stage ∈ {UNDEFINED, MAP, SHUFFLE, REDUCE}, percentage}`` decoded
+  from a packed atomic (MapReduceFramework.cpp:372-380,
+  MapReduceFramework.h:8-15).
+- ``waitForJob`` blocks until completion (MapReduceFramework.cpp:357-364).
+- ``closeJobHandle`` waits first, then frees — closing a running job
+  blocks rather than cancelling (MapReduceFramework.cpp:386-421).
+  We additionally expose ``cancel()`` because Spark gives it for free
+  via job groups (the reference has no cancel API; extension noted in
+  SURVEY.md §3.3).
+
+Progress mapping (documented approximation, SURVEY.md §7.3): Spark
+executes a MapReduce-shaped query as stages separated by a shuffle.
+We map the FIRST stage's task completion to MAP, the gap where map
+stages are done but reduce stages haven't finished their first task to
+SHUFFLE (shuffle fetch), and the LAST stage's task completion to
+REDUCE. The stage enum and percentage shape match the reference
+exactly; granularity is per-task rather than per-pair.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+
+class Stage(IntEnum):
+    UNDEFINED = 0
+    MAP = 1
+    SHUFFLE = 2
+    REDUCE = 3
+
+
+@dataclass
+class JobState:
+    stage: Stage
+    percentage: float
+
+
+class JobHandle:
+    """Handle for an asynchronously running Spark action.
+
+    Created by :func:`start_map_reduce_job`; the action (e.g.
+    ``df.collect`` or ``df.write``) runs on a daemon thread tagged with
+    a unique job group so progress and cancellation target only this
+    job.
+    """
+
+    def __init__(self, spark: SparkSession, action: Callable[[], Any]):
+        self._spark = spark
+        self._sc = spark.sparkContext
+        self._group = f"mrjob-{uuid.uuid4().hex[:12]}"
+        self._result: Any = None
+        self._error: BaseException | None = None
+        self._done = threading.Event()
+        self._closed = False
+
+        def _run() -> None:
+            try:
+                self._sc.setJobGroup(self._group, "map_reduce_library_spark job", True)
+                self._result = action()
+            except BaseException as e:  # surfaced on wait_for_job
+                self._error = e
+            finally:
+                self._done.set()
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    # -- lifecycle ---------------------------------------------------
+    def wait_for_job(self, timeout: float | None = None) -> Any:
+        """Block until the job finishes; returns the action's result.
+
+        Parity: MapReduceFramework.cpp:357-364 (join all threads).
+        """
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError("job still running")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+    def close_job_handle(self) -> Any:
+        """Wait for completion, then release bookkeeping (close-before-
+        finish is safe and blocks, like MapReduceFramework.cpp:386-421)."""
+        result = self.wait_for_job()
+        self._closed = True
+        return result
+
+    def cancel(self) -> None:
+        """Spark-native extension: cancel every stage in this job group."""
+        self._sc.cancelJobGroup(self._group)
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    # -- progress ----------------------------------------------------
+    def get_job_state(self) -> JobState:
+        """Decode StatusTracker into the reference's JobState shape."""
+        if self._done.is_set():
+            return JobState(Stage.REDUCE, 100.0)
+        tracker = self._sc.statusTracker()
+        job_ids = tracker.getJobIdsForGroup(self._group)
+        if not job_ids:
+            return JobState(Stage.UNDEFINED, 0.0)
+
+        stages: list[Any] = []
+        for jid in job_ids:
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in jinfo.stageIds:
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is not None:
+                    stages.append(sinfo)
+        if not stages:
+            return JobState(Stage.UNDEFINED, 0.0)
+
+        stages.sort(key=lambda s: s.stageId)
+        first, last = stages[0], stages[-1]
+
+        def pct(s: Any) -> float:
+            return 100.0 * s.numCompletedTasks / s.numTasks if s.numTasks else 0.0
+
+        if len(stages) == 1:
+            # No shuffle planned yet (or single-stage job): map view.
+            return JobState(Stage.MAP, pct(first))
+        if pct(first) < 100.0:
+            return JobState(Stage.MAP, pct(first))
+        if last.numCompletedTasks == 0:
+            # Map stages finished, reduce hasn't completed a task:
+            # reducers are fetching shuffle blocks.
+            done = sum(1 for s in stages if pct(s) >= 100.0)
+            return JobState(Stage.SHUFFLE, 100.0 * done / len(stages))
+        return JobState(Stage.REDUCE, pct(last))
+
+
+def start_map_reduce_job(
+    spark: SparkSession, action: Callable[[], Any]
+) -> JobHandle:
+    """Start ``action`` asynchronously; returns immediately with a
+    handle (parity: MapReduceFramework.cpp:313-351)."""
+    return JobHandle(spark, action)

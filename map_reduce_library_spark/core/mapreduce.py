@@ -1,0 +1,151 @@
+"""Generic MapReduce with the reference's exact contract, on Spark.
+
+Reference contract (SURVEY.md §2A, cited to /root/reference):
+
+1. ``map`` may emit 0..n intermediate pairs per input — a flat-map,
+   not a map (MapReduceClient.h:69 "any number of times").
+2. ``reduce`` receives ALL values for a key in one call — holistic,
+   so non-associative reductions (median, mode) are legal
+   (MapReduceClient.h:77,83).
+3. ``reduce`` may emit 0..n output pairs (MapReduceClient.h:78).
+4. Keys are grouped by strict-weak-ordering equivalence
+   ``not (a<b) and not (b<a)`` — not hash identity
+   (MapReduceFramework.cpp:72-87; MapReduceClient.h:50-54).
+5. Output is an unordered bag (MapReduceFramework.cpp:296-303,
+   README.md:13); intermediate keys are globally sorted before reduce
+   (MapReduceClient.h:61) but that order is not observable in output.
+6. Value-list order within a group is nondeterministic
+   (MapReduceFramework.cpp:93-109) — reduce must be order-insensitive.
+
+Two execution paths:
+
+- ``run_map_reduce``: fully generic — arbitrary picklable Python K/V
+  objects, exactly the reference's type envelope (K needs ordering or
+  hashing only, V fully opaque). Runs on the RDD layer because that IS
+  the per-partition imperative case the DataFrame API can't express
+  for opaque user objects.
+- ``map_reduce_df``: the Spark-first path — Arrow-vectorized
+  ``mapInPandas`` flat-map + ``groupBy().applyInPandas`` holistic
+  reduce over typed columns. Use this one for anything with a schema;
+  it keeps data JVM/Arrow-side and scales to 1000 executors.
+
+Scale note: ``key_mode='hash'`` is one hash shuffle (same plan shape as
+any groupBy) and is the default. ``key_mode='sort'`` adds a range
+partitioner + in-partition sort (sortByKey), which is the faithful
+"ordering-only keys" path AND gives globally sorted key iteration; use
+it only when keys aren't hashable or sorted iteration matters — a range
+shuffle samples the input and balances skew by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.rdd import RDD
+from pyspark.sql import DataFrame, SparkSession
+
+MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
+ReduceFn = Callable[[Any, list[Any]], Iterable[tuple[Any, Any]]]
+
+
+def _group_sorted_runs(
+    part: Iterator[tuple[Any, Any]],
+) -> Iterator[tuple[Any, list[Any]]]:
+    """Group a key-sorted partition iterator into (key, values) runs
+    using ordering-equivalence (not hash equality): two keys belong to
+    the same group iff ``not (a<b) and not (b<a)``."""
+    cur_key: Any = None
+    cur_vals: list[Any] | None = None
+    for k, v in part:
+        if cur_vals is not None and not (cur_key < k) and not (k < cur_key):
+            cur_vals.append(v)
+        else:
+            if cur_vals is not None:
+                yield cur_key, cur_vals
+            cur_key, cur_vals = k, [v]
+    if cur_vals is not None:
+        yield cur_key, cur_vals
+
+
+def run_map_reduce(
+    data: DataFrame | RDD | list,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    *,
+    spark: SparkSession | None = None,
+    num_partitions: int | None = None,
+    key_mode: str = "hash",
+) -> RDD:
+    """Run one generic MapReduce job; returns the output-pair RDD.
+
+    ``data``: a DataFrame (each Row is the input "value", key=None — the
+    reference never reads the input key, MapReduceFramework.cpp:138-139,
+    and the example passes nullptr keys, FileWordCounter.cpp:221), an
+    RDD of (k1, v1) pairs, or a plain list of (k1, v1) pairs.
+
+    ``key_mode``:
+      'hash' — hash-partitioned groupByKey (K2 must be hashable).
+      'sort' — range-partition + sort by K2, then group
+               ordering-equal runs (K2 needs only ``<``, exactly the
+               reference's type contract); reduce additionally sees
+               keys in globally sorted order, matching the reference's
+               sorted IntermediateMap (MapReduceClient.h:61).
+    """
+    if isinstance(data, DataFrame):
+        rdd = data.rdd.map(lambda row: (None, row))
+    elif isinstance(data, RDD):
+        rdd = data
+    else:
+        if spark is None:
+            raise ValueError("spark= is required when passing a plain list")
+        rdd = spark.sparkContext.parallelize(data, num_partitions or None)
+
+    intermediate = rdd.flatMap(lambda kv: map_fn(kv[0], kv[1]))
+
+    if key_mode == "hash":
+        grouped = intermediate.groupByKey(numPartitions=num_partitions)
+        return grouped.flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
+    if key_mode == "sort":
+        # Range partitioner: equal keys land in one partition by
+        # ordering alone; then adjacent-equal runs are the groups.
+        swkp = intermediate.sortByKey(numPartitions=num_partitions)
+        return swkp.mapPartitions(
+            lambda part: (
+                out
+                for key, vals in _group_sorted_runs(part)
+                for out in reduce_fn(key, vals)
+            )
+        )
+    raise ValueError(f"key_mode must be 'hash' or 'sort', got {key_mode!r}")
+
+
+def map_reduce_df(
+    df: DataFrame,
+    map_batches: Callable,
+    reduce_group: Callable,
+    *,
+    intermediate_schema: Any,
+    output_schema: Any,
+    key_cols: list[str] | str,
+) -> DataFrame:
+    """Vectorized MapReduce over typed columns (the Spark-first path).
+
+    ``map_batches(iter_of_pandas) -> iter_of_pandas`` is the flat-map
+    (contract point 1: a batch in, any number of rows out), executed by
+    ``mapInPandas`` with Arrow transfer. ``reduce_group(pdf) -> pdf``
+    is the holistic reduce (contract point 2: the WHOLE group arrives
+    as one pandas DataFrame; contract point 3: return any number of
+    rows), executed by ``groupBy().applyInPandas``.
+
+    The groupBy is one hash shuffle with AQE skew handling; at 100 TB
+    the per-group pandas frame must fit in executor memory — the same
+    holistic-reduce memory contract the reference has (all values for a
+    key in RAM, MapReduceClient.h:83), made explicit.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    intermediate = df.mapInPandas(map_batches, schema=intermediate_schema)
+    return intermediate.groupBy(*key_cols).applyInPandas(
+        reduce_group, schema=output_schema
+    )

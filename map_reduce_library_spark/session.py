@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for both local testing and large clusters.
+
+The defaults here are chosen for the 100-TB design stance:
+
+- AQE on (runtime re-plan: coalesce small shuffle partitions, convert
+  sort-merge joins to broadcast when a side turns out small, split
+  skewed partitions).
+- Arrow on (every pandas-UDF / applyInPandas boundary is Arrow-batched,
+  never row-at-a-time pickling).
+- ``spark.sql.shuffle.partitions`` sized to the local core count for
+  tests; on a real cluster this is overridden by AQE's coalescing with
+  ``adaptive.coalescePartitions`` anyway, so a high initial value is
+  safe.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "map-reduce-library-spark"
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return int(cpus)
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_session(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster pass ``None`` and set the master through ``spark-submit``
+    (an existing session is reused as-is).
+    """
+    par = _default_parallelism()
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(par, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

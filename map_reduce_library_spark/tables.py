@@ -1,0 +1,58 @@
+"""Loaders for the driver-generated testdata tables.
+
+Tables (TESTDATA.md): TPC-H-ish star schema ``region nation customer
+supplier part orders lineitem`` plus ``events`` (timestamped stream
+table), ``documents`` (text corpus) and ``embeddings``
+(``array<float>`` vectors).
+
+Design stance: always go through ``spark.read.parquet`` so the
+vectorized Parquet reader, predicate pushdown, and column pruning are
+in play — the reference's only source is a POSIX directory scan with
+whole-file reads (FileWordCounter.cpp:189-226,139-147); Parquet +
+pushdown is the Spark-native upgrade of that capability.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: they
+# grow sub-linearly (region/nation are constant-size in TPC-H).
+BROADCASTABLE = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,190 @@
+"""Parity tests for the generic MapReduce layer — the five contract
+points of SURVEY.md §2A (MapReduceClient.h:69,77-78,83;
+MapReduceFramework.cpp:72-87,296-303)."""
+
+import pandas as pd
+import pytest
+
+from map_reduce_library_spark.core import (
+    JobState,
+    Stage,
+    map_reduce_df,
+    run_map_reduce,
+    start_map_reduce_job,
+)
+
+
+def words_map(_k, path_text):
+    # flat-map: 0..n emits per input (contract point 1)
+    for w in path_text.split(" "):
+        yield (w, 1)
+
+
+def sum_reduce(key, values):
+    # holistic: all values in one call; single emit (contract point 2)
+    yield (key, sum(values))
+
+
+INPUT = [(None, "a b a"), (None, "b c"), (None, "")]
+EXPECTED = {"a": 2, "b": 2, "c": 1, "": 1}
+
+
+@pytest.mark.parametrize("key_mode", ["hash", "sort"])
+def test_wordcount_both_key_modes(spark, key_mode):
+    out = run_map_reduce(
+        INPUT, words_map, sum_reduce, spark=spark, key_mode=key_mode
+    ).collect()
+    assert dict(out) == EXPECTED
+
+
+def test_map_can_emit_zero_pairs_filter(spark):
+    # contract point 1: emitting nothing == filter
+    def only_long(_k, v):
+        for w in v.split(" "):
+            if len(w) > 3:
+                yield (w, 1)
+
+    out = run_map_reduce(INPUT, only_long, sum_reduce, spark=spark).collect()
+    assert out == []
+
+
+def test_reduce_is_holistic_median(spark):
+    # contract point 2: non-associative reduce (median) is legal
+    data = [(None, ("k1", x)) for x in [5, 1, 9, 3, 7]] + [
+        (None, ("k2", x)) for x in [2, 4]
+    ]
+
+    def tag_map(_k, v):
+        yield v
+
+    def median_reduce(key, values):
+        vs = sorted(values)
+        yield (key, vs[len(vs) // 2])
+
+    out = dict(run_map_reduce(data, tag_map, median_reduce, spark=spark).collect())
+    assert out == {"k1": 5, "k2": 4}
+
+
+def test_reduce_multi_emit_and_zero_emit(spark):
+    # contract point 3: reduce may emit 0..n output pairs
+    def expand_reduce(key, values):
+        if key == "drop":
+            return
+        for i, _ in enumerate(values):
+            yield (f"{key}#{i}", len(values))
+
+    data = [(None, "x x drop y")]
+    out = run_map_reduce(data, words_map, expand_reduce, spark=spark).collect()
+    assert sorted(out) == [("x#0", 2), ("x#1", 2), ("y#0", 1)]
+
+
+class OrderOnlyKey:
+    """A key type with ONLY ordering (no __hash__ use) — the
+    reference's exact K2 contract (MapReduceClient.h:24-29)."""
+
+    __hash__ = None  # type: ignore[assignment]
+
+    def __init__(self, s):
+        self.s = s
+
+    def __lt__(self, other):
+        return self.s < other.s
+
+    def __reduce__(self):  # picklable for Spark
+        return (OrderOnlyKey, (self.s,))
+
+
+def test_sort_mode_groups_by_ordering_equivalence(spark):
+    # contract point 5: grouping by <-equivalence, not hash identity;
+    # distinct OrderOnlyKey instances with equal payloads must group.
+    def obj_map(_k, v):
+        yield (OrderOnlyKey(v), 1)
+
+    data = [(None, w) for w in ["b", "a", "b", "a", "a"]]
+    out = run_map_reduce(
+        data, obj_map, lambda k, vs: [(k.s, sum(vs))], spark=spark, key_mode="sort"
+    ).collect()
+    assert dict(out) == {"a": 3, "b": 2}
+
+
+def test_sort_mode_yields_globally_sorted_keys(spark):
+    # A4: reduce sees keys drawn from a sorted sequence — observable
+    # per-partition; with numPartitions=1 it is the global order
+    # (MapReduceClient.h:61).
+    seen = []
+
+    def recording_reduce(key, values):
+        yield (key, sum(values))
+
+    out = run_map_reduce(
+        [(None, "d c b a d")],
+        words_map,
+        recording_reduce,
+        spark=spark,
+        key_mode="sort",
+        num_partitions=1,
+    )
+    keys = [k for k, _ in out.collect()]
+    assert keys == sorted(keys)
+
+
+def test_dataframe_input_rows_as_values(spark):
+    # DataFrame input: each Row is the V1, K1 is None
+    # (reference passes nullptr input keys, FileWordCounter.cpp:221).
+    df = spark.createDataFrame([("x", 1), ("y", 2), ("x", 3)], ["k", "v"])
+
+    def row_map(_k, row):
+        yield (row.k, row.v)
+
+    out = dict(run_map_reduce(df, row_map, sum_reduce).collect())
+    assert out == {"x": 4, "y": 2}
+
+
+def test_map_reduce_df_vectorized(spark):
+    # Spark-first path: mapInPandas flat-map + applyInPandas holistic
+    df = spark.createDataFrame(
+        [("k1", 5.0), ("k1", 1.0), ("k2", 2.0), ("k1", 9.0)], ["k", "v"]
+    )
+
+    def map_batches(it):
+        for pdf in it:
+            out = pdf.copy()
+            out["v"] = out["v"] * 2
+            yield out
+
+    def median_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "med": [pdf["v"].median()]})
+
+    out = map_reduce_df(
+        df,
+        map_batches,
+        median_group,
+        intermediate_schema="k string, v double",
+        output_schema="k string, med double",
+        key_cols="k",
+    )
+    assert dict((r.k, r.med) for r in out.collect()) == {"k1": 10.0, "k2": 4.0}
+
+
+def test_async_job_handle_lifecycle(spark):
+    # B1/B5/B6: start returns immediately; wait joins; close waits.
+    df = spark.range(0, 100000).selectExpr("id % 97 AS k", "id AS v")
+    handle = start_map_reduce_job(
+        spark, lambda: df.groupBy("k").sum("v").collect()
+    )
+    state = handle.get_job_state()
+    assert isinstance(state, JobState)
+    assert state.stage in tuple(Stage)
+    rows = handle.wait_for_job()
+    assert len(rows) == 97
+    assert handle.get_job_state() == JobState(Stage.REDUCE, 100.0)
+    handle.close_job_handle()
+
+
+def test_job_handle_propagates_errors(spark):
+    def boom():
+        raise RuntimeError("kaput")
+
+    handle = start_map_reduce_job(spark, boom)
+    with pytest.raises(RuntimeError, match="kaput"):
+        handle.wait_for_job()

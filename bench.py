@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the full declared query corpus at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and
+print ONE JSON line with per-query wall seconds.
+
+Queries are materialized with the noop sink (full computation, no
+driver collect, no sink I/O) — the number is the engine, not the
+pipe. ``ngram_jaccard_pairs`` (the deliberately quadratic ground-truth
+variant) is excluded from the headline set; its scale path
+``minhash_lsh_pairs`` is benched instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from map_reduce_library_spark.queries import QUERIES  # noqa: E402
+from map_reduce_library_spark.session import get_session  # noqa: E402
+
+# Ground-truth-only variants, excluded from the headline benchmark.
+SKIP = {"ngram_jaccard_pairs"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0")
+    spark = get_session(app_name="mrls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM / parquet footers so q1 isn't charged for JIT.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dedup, SimHash fingerprinting, n-gram
+Jaccard similarity, and embedding-cosine near-dup — all pure
+DataFrame compositions (no Python UDFs in any hot path; every hash is
+the JVM-side ``md5`` builtin so the DuckDB oracle can reproduce it
+byte-for-byte).
+
+These extend the reference's map/group/reduce core (SURVEY.md §2D:
+dedup is ABSENT from the reference; each operator here is expressible
+as map → group-by-key → reduce, which is how it inherits the §2A
+semantics — e.g. MinHash = map(doc → (doc, shingle-hash)) then
+reduce(min)).
+
+Scale design (100 TB stance):
+- Shingling explodes ~L rows per doc but is immediately re-aggregated
+  by (doc, shingle) distinct + one groupBy(doc) — two narrow shuffles
+  proportional to corpus token count.
+- The K minhashes are K parallel ``min`` aggregates in ONE groupBy —
+  no per-seed data explosion.
+- LSH banding turns the O(n²) all-pairs problem into a self-join on
+  (band_id, band_signature): only docs sharing a bucket meet. Bucket
+  skew (a viral boilerplate string) is the known hazard → AQE skew
+  join handles moderate skew; pathological buckets should be capped
+  upstream (drop buckets with > N members as "template spam").
+- Exact n-gram Jaccard is O(candidate pairs); at scale feed it the
+  LSH candidates (``candidates=``), never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared constants — the oracle SQL generators in querydefs/dedup.py
+# use the same values so both engines compute identical candidates.
+SHINGLE_N = 3
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # MINHASH_K == LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 32
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by full-text equality: one representative (min id)
+    per distinct text plus the copy count. A single hash shuffle on
+    the text hash; at 100 TB group by md5(text) instead of the raw
+    text to shrink shuffle keys (same partitions, 32-byte keys)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+    shingle_expr = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks)-{n}), i -> "
+        f"concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))})) "
+        f"ELSE array() END"
+    )
+    return (
+        toks.select(id_col, F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingle_df: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """K-permutation MinHash: h_i(doc) = min over shingles of
+    md5('i|' || shingle). Lexicographic min over fixed-width hex is
+    order-isomorphic to numeric min, so the hex string itself is the
+    signature component. One groupBy computes all K mins."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Reshape the K-wide signature into (id, band_id, band_sig) rows:
+    band b's signature is the concatenation of its `rows` minhashes."""
+    stack_args = []
+    for b in range(bands):
+        cols = "||".join(f"h{b * rows + r}" for r in range(rows))
+        stack_args.append(f"{b}, {cols}")
+    expr = f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
+    return sig_df.selectExpr(id_col, expr)
+
+
+def lsh_candidate_pairs(
+    band_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join on (band_id, band_sig): docs agreeing on any band are
+    near-dup candidates. Returns distinct (doc_a, doc_b), a < b."""
+    a = band_df.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_sig"
+    )
+    b = band_df.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_sig"
+    )
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate candidate pairs."""
+    return lsh_candidate_pairs(
+        lsh_bands(minhash_signature(shingles(df, text_col, id_col), id_col), id_col),
+        id_col,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with
+    |A∩B| / |A∪B| >= threshold. Without ``candidates`` this meets every
+    pair sharing >= 1 shingle (fine at test SFs, O(n²)-ish at scale);
+    pass the LSH candidate pairs to bound the work at 100 TB."""
+    ds = shingles(df, text_col, id_col)
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint: for bit j, each token votes ±1 by the
+    parity of hex digit j of md5(token); the bit is 1 iff the weighted
+    sum is positive. Emitted as a `bits`-char '0'/'1' string (portable
+    across engines — no 64-bit unsigned headaches). Token multiplicity
+    is the weight (tokens are NOT deduped first)."""
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tok = tok.withColumn("h", F.md5("tok"))
+    aggs = [
+        F.sum(
+            (F.ascii(F.substring("h", j + 1, 1)) % 2) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    summed = tok.groupBy(id_col).agg(*aggs)
+    bit_cols = [
+        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return summed.select(id_col, F.concat(*bit_cols).alias("simhash"))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+    Brute-force all-pairs (exact ground truth; fine to ~10⁴ vectors).
+    The 100-TB path is LSH bucketing first (similarity.ann_lsh_topk)
+    and this exact check only within buckets."""
+    v = emb.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"),
+        F.expr(
+            f"sqrt(aggregate(transform({vec_col}, x -> cast(x AS double)), "
+            f"cast(0.0 AS double), (acc, x) -> acc + x * x))"
+        ).alias("nrm"),
+    )
+    a = v.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+        "cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the media as an opaque
+``binary`` column (or a reference to object storage) next to typed
+metadata columns; run decode / feature-extraction / resize /
+frame-sampling as Arrow-batched ``mapInPandas`` stages so each task
+processes a columnar batch of payloads without ever materializing
+them on the driver.
+
+The decode step itself is STUBBED in this environment (no
+image/audio libraries in the container — see ``decode_image``), but
+everything Spark-side is real and tested: the binary schema, the
+Arrow batch shapes, the UDF signatures, the partitioning, and a
+deterministic fake feature extractor whose output an SQL oracle can
+reproduce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int, last_byte int"
+FEATURE_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach an opaque binary payload column (UTF-8 bytes of the text
+    here; in production the image/audio bytes) plus typed metadata —
+    the canonical multimodal row layout."""
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_binary_meta(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    Each ``mapInPandas`` batch arrives as a pandas DataFrame whose
+    payload cells are Python ``bytes`` — the real decode pipeline
+    shape. Output is plain typed columns."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "last_byte": payloads.map(
+                        lambda b: b[-1] if len(b) else -1
+                    ).astype("int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=META_SCHEMA)
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode requires PIL/libvips, absent in this
+    container. The Spark-side contract (bytes in, array out) is
+    exercised by ``extract_features``' deterministic fake instead."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; wire PIL.Image.open(io.BytesIO(payload)) here"
+    )
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Deterministic fake 'feature extraction' over binary payloads —
+    stands in for an image-embedding model while exercising the real
+    pipeline shape (binary in, array<double> out, Arrow both ways)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(
+                lambda b: [
+                    float(len(b)),
+                    float(b[0]) if len(b) else -1.0,
+                    float(b[-1]) if len(b) else -1.0,
+                    float(len(b) % 256),
+                ]
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame, every: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Video frame sampling' over an opaque payload: emit one row per
+    sampled offset (frame), exercising the 1→N mapInPandas fan-out
+    every video pipeline needs. Frame bytes are single-byte slices
+    here; a real decoder would emit JPEG frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every)):
+                    if i >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[off : off + 1])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return binary_df.mapInPandas(
+        batches, schema="doc_id bigint, frame_idx int, frame binary"
+    )

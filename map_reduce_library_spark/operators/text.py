@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is builtin-function expressions (whole-stage codegen, no
+Python in the row path) so the same logic is expressible in the DuckDB
+oracle and runs at parquet-scan speed at 100 TB — these are the
+operators you run over every document in a crawl, so the constant
+factor matters more than anywhere else.
+
+The reference's only string operator is the space tokenizer
+(FileWordCounter.cpp:149-177); these extend that envelope per
+SURVEY.md §2D (text analysis ABSENT in reference → north-star
+extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word stopword lists per language. The lang-ID
+# heuristic scores languages by function-word hit ratio — the same
+# n-gram/function-word approach as classic langid tools, shrunk to a
+# deterministic, SQL-expressible core.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que"),
+}
+
+# BPE-ish pretokenizer: letter runs, digit runs, or single other
+# non-space chars — a portable approximation of GPT-style pretoken
+# splits, identical in Java regex (Spark) and RE2-ish (DuckDB).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _hit_ratio(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(filter({toks}, t -> t IN ({lst}))) / "
+        f"cast(greatest(size({toks}), 1) AS double)"
+    )
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality statistics: token/char counts, mean token
+    length, type-token ratio, stopword ratio, and a composite
+    quality score in [0,1] (heuristics in the Gopher/C4 style:
+    reasonable length, lexical diversity, function-word presence)."""
+    en = STOPWORDS["en"]
+    return (
+        df.select(id_col, F.col(text_col).alias("t"))
+        .withColumn("toks", _toks("t"))
+        .withColumn("n_chars_calc", F.length("t").cast("bigint"))
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn("n_distinct", F.size(F.array_distinct("toks")).cast("bigint"))
+        .withColumn(
+            "mean_tok_len",
+            (F.col("n_chars_calc") - (F.col("n_tokens") - 1))
+            / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "ttr", F.col("n_distinct") / F.col("n_tokens").cast("double")
+        )
+        .withColumn("stop_ratio", F.expr(_hit_ratio("toks", en)))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+                + F.least(F.col("ttr") * 2, F.lit(1.0)) * 0.4
+                + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.2,
+                6,
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            "mean_tok_len",
+            "ttr",
+            "stop_ratio",
+            "quality_score",
+        )
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: argmax of function-word hit ratio, or
+    'und' (undetermined) when no language scores above 2%. Ties break
+    by language code order via the score structs' lexicographic max."""
+    toks_df = df.select(id_col, _toks(text_col).alias("toks"))
+    scored = toks_df.select(
+        id_col,
+        *[
+            F.expr(_hit_ratio("toks", ws)).alias(f"score_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    # argmax via greatest over (score, lang) structs — deterministic.
+    struct_list = ", ".join(
+        f"struct(score_{lang} AS s, '{lang}' AS l)" for lang in STOPWORDS
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.expr(
+            f"CASE WHEN greatest({', '.join(f'score_{l}' for l in STOPWORDS)}) < 0.02 "
+            f"THEN 'und' ELSE array_max(array({struct_list})).l END"
+        ),
+    ).select(id_col, *[f"score_{lang}" for lang in STOPWORDS], "pred_lang")
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token accounting: whitespace tokens, BPE-ish pretokens, chars —
+    the unit economics of an LLM data pipeline."""
+    return df.select(
+        id_col,
+        F.size(_toks(text_col)).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Two content fingerprints: exact (md5 of raw text) and bag
+    (md5 of the sorted distinct token set — invariant to word order,
+    catching shuffled near-copies that exact hashing misses)."""
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("fp_exact"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_toks(text_col))), " ")
+        ).alias("fp_bag"),
+    )

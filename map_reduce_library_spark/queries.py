@@ -41,3 +41,5 @@ from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import similarity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import text  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import mapreduce_parity  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import multimodal  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import streaming  # noqa: E402,F401

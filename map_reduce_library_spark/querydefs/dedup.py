@@ -1,1 +1,152 @@
-"""dedup queries (filled in incrementally)."""
+"""Dedup query corpus: exact, MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine. Oracle SQL is generated from the same constants the
+Spark operators use (same seeds, same md5 inputs), so both engines
+compute identical candidates — the strongest possible differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_library_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+COSINE_DUP_THRESHOLD = 0.4
+
+# ---- shared SQL fragments (DuckDB dialect) --------------------------------
+
+_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([{'||'.join(f"toks[i+{j}]" + ("||' '" if j < SHINGLE_N - 1 else "") for j in range(SHINGLE_N))}
+                 FOR i IN generate_series(1, greatest(len(toks)-{SHINGLE_N - 1}, 0))]) AS shingle
+  FROM tok
+)"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_K)
+)
+
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
+        b=b, cols="||".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+    )
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text dedup with deterministic representative."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({k})+LSH({b}x{r}) near-duplicate candidate pairs over
+    word {n}-gram shingles.""".format(
+        k=MINHASH_K, b=LSH_BANDS, r=LSH_ROWS, n=SHINGLE_N
+    )
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold (ground truth for LSH)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+_SIMHASH_AGGS = ", ".join(
+    f"sum((ascii(substr(md5(tok), {j + 1}, 1)) % 2) * 2 - 1) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BITSTR = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sums AS (SELECT doc_id, {_SIMHASH_AGGS} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_BITSTR} AS simhash FROM sums
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{b}-bit SimHash document fingerprint (token-frequency weighted,
+    md5-hex-parity bit votes).""".format(b=SIMHASH_BITS)
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_cosine_dups",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine (brute force)."""
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )

@@ -1,0 +1,63 @@
+"""Multimodal plumbing queries. The corpus is pure ASCII (verified),
+so byte-level oracles can use ascii()/octet_length() on the text the
+payload was encoded from."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_library_spark.operators.multimodal import (
+    extract_binary_meta,
+    extract_features,
+    sample_frames,
+    with_binary_payload,
+)
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_binary_payload(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ascii(substr(text, length(text), 1)) END AS INT) AS last_byte
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched metadata extraction over a binary payload column
+    (mapInPandas; bytes in, typed columns out)."""
+    return extract_binary_meta(_payloads(spark, sf_dir))
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           [CAST(octet_length(encode(text)) AS DOUBLE),
+            CAST(CASE WHEN length(text) = 0 THEN -1
+                      ELSE ascii(substr(text, 1, 1)) END AS DOUBLE),
+            CAST(CASE WHEN length(text) = 0 THEN -1
+                      ELSE ascii(substr(text, length(text), 1)) END AS DOUBLE),
+            CAST(octet_length(encode(text)) % 256 AS DOUBLE)] AS features
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake feature extraction (stub for an embedding
+    model) through the real binary→array<double> Arrow pipeline."""
+    return extract_features(_payloads(spark, sf_dir))
+
+
+@register("multimodal_frames")  # no oracle: binary output, rows-only check
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frame sampling' 1→N fan-out over binary payloads."""
+    return sample_frames(_payloads(spark, sf_dir))

@@ -1,1 +1,99 @@
-"""similarity queries (filled in incrementally)."""
+"""Similarity-search query corpus with generated DuckDB oracles
+(identical hyperplanes inlined into both engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.similarity import (
+    ANN_PLANES,
+    ann_lsh_topk,
+    cosine_topk,
+    hyperplane_weights,
+)
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+EMB_DIM = 64
+TOPK = 5
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for the first {n} vectors as
+    queries — the ANN correctness baseline.""".format(n=N_QUERIES)
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+    )
+
+
+def _oracle_sig_sql(vec: str) -> str:
+    ws = hyperplane_weights(ANN_PLANES, EMB_DIM)
+    bits = []
+    for p in range(ANN_PLANES):
+        lit = "[" + ", ".join(str(w) for w in ws[p]) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    sigd AS (
+      SELECT vec_id, v, nrm, {_oracle_sig_sql('v')} AS sig FROM e
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM sigd q JOIN sigd c ON q.sig = c.sig
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k ({p} planes → {b} buckets);
+    exact cosine within bucket.""".format(p=ANN_PLANES, b=2**ANN_PLANES)
+    return ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        dim=EMB_DIM,
+    )

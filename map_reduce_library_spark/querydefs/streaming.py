@@ -1,0 +1,92 @@
+"""Streaming + sessionization queries.
+
+``streaming_hourly_window`` runs a REAL Structured Streaming query
+(availableNow over the events file) and is oracle-checked against the
+batch SQL equivalent — the strongest streaming correctness check
+available: the bounded stream must converge to the batch answer.
+
+``sessionize_events`` is the batch sessionization (30-min inactivity
+gap) via window functions, fully oracle-checked. The stateful
+streaming twin lives in streaming/events.py and is covered by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.streaming.events import streaming_hourly_stats
+from map_reduce_library_spark.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "streaming_hourly_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregate; bounded run
+    must equal the batch answer."""
+    return streaming_hourly_stats(spark, sf_dir)
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-min inactivity gap: lag + running sum of
+    boundary flags, then per-session aggregates. Shuffles once on
+    user_id; the window sort and the groupBy reuse that partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

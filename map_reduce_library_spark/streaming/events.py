@@ -1,0 +1,145 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is strictly batch (input fully materialized before the
+job starts, MapReduceFramework.h:43-46); streaming is a north-star
+extension (SURVEY.md §2D). Design:
+
+- ``read_events_stream``: file-source ``readStream`` with an explicit
+  schema (required for streaming reads). The events parquet stores
+  TIMESTAMP(NANOS) → read as int64 and convert, same as the batch
+  loader.
+- ``streaming_hourly_stats``: watermarked tumbling-window aggregate.
+  With ``availableNow`` the whole history is processed as a bounded
+  stream — the result must equal the equivalent batch/SQL aggregate,
+  which is exactly what the DuckDB oracle checks. At 100 TB this same
+  topology runs unbounded with kafka sources; the watermark bounds
+  state, and the window+key groupBy is the only shuffle.
+- ``sessionize_stateful``: custom stateful operator via
+  ``applyInPandasWithState`` (per-user event counting with explicit
+  GroupState) — the generic "reduce with state across micro-batches"
+  capability.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Physical schema of events.parquet with nanosAsLong in effect.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) as int64
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory; select just events.parquet
+    # out of the sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_stats(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums over the event stream,
+    processed with availableNow and returned as a finished DataFrame
+    (complete output mode → every window present)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = f"hourly_stats_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count via applyInPandasWithState — the
+    generic custom-stateful-operator capability (state persists across
+    micro-batches; here availableNow bounds the run)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def count_events(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = read_events_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Last update per user wins (a single availableNow pass may split
+    # into several micro-batches).
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

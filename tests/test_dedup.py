@@ -1,0 +1,55 @@
+"""Dedup suite: oracle-differential + semantic sanity checks."""
+
+import pytest
+from conftest import SF_CORRECTNESS, assert_oracle_match
+
+DEDUP_QUERIES = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_cosine_dups",
+]
+
+
+@pytest.mark.parametrize("name", DEDUP_QUERIES)
+def test_dedup_oracle(spark, name):
+    assert_oracle_match(spark, name)
+
+
+def test_lsh_recall_of_high_jaccard_pairs(spark):
+    """LSH candidates must contain (essentially) every true near-dup:
+    with 4 bands of 3 rows, P(miss | jaccard=0.9) ≈ (1-0.9³)⁴ ≈ 0.5%.
+    The planted near-dups in the corpus are jaccard ≥ 0.9."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["minhash_lsh_pairs"](spark, SF_CORRECTNESS).collect()
+    }
+    true_dups = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["ngram_jaccard_pairs"](spark, SF_CORRECTNESS).collect()
+        if r.jaccard >= 0.9
+    }
+    assert true_dups, "corpus should contain planted near-dups"
+    missed = true_dups - lsh
+    assert len(missed) <= max(1, len(true_dups) // 10), (
+        f"LSH missed too many true near-dups: {missed}"
+    )
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark):
+    """Near-identical docs should differ in few SimHash bits."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    sh = {
+        r.doc_id: r.simhash
+        for r in QUERIES["simhash_fingerprint"](spark, SF_CORRECTNESS).collect()
+    }
+    dups = QUERIES["ngram_jaccard_pairs"](spark, SF_CORRECTNESS).collect()
+    high = [(r.doc_a, r.doc_b) for r in dups if r.jaccard >= 0.95]
+    assert high
+    for a, b in high:
+        ham = sum(x != y for x, y in zip(sh[a], sh[b]))
+        assert ham <= 6, f"docs {a},{b} jaccard>=0.95 but hamming {ham}"

@@ -1,0 +1,57 @@
+"""Similarity search: oracle-differential + recall sanity."""
+
+import pytest
+from conftest import SF_CORRECTNESS, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", ["cosine_topk", "ann_lsh_topk"])
+def test_similarity_oracle(spark, name):
+    assert_oracle_match(spark, name)
+
+
+def test_ann_results_are_subset_of_corpus_and_self_free(spark):
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["ann_lsh_topk"](spark, SF_CORRECTNESS).collect()
+    assert rows, "ANN should return some neighbors"
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert 1 <= r.rnk <= 5
+        assert -1.0001 <= r.cosine <= 1.0001
+
+
+def test_ann_recall_against_exact(spark):
+    """Bucketed ANN top-1 should agree with exact top-1 for a
+    reasonable fraction of queries (same-bucket probability for the
+    nearest neighbor is high when cosine is high)."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in QUERIES["cosine_topk"](spark, SF_CORRECTNESS).collect()
+        if r.rnk == 1
+    }
+    ann = {
+        r.query_id: r.neighbor_id
+        for r in QUERIES["ann_lsh_topk"](spark, SF_CORRECTNESS).collect()
+        if r.rnk == 1
+    }
+    hits = sum(1 for q, n in ann.items() if exact.get(q) == n)
+    # This corpus's max cosine is ~0.5 (θ≈60°), so the hyperplane
+    # collision probability for the true NN is only (1-θ/π)^4 ≈ 0.2 —
+    # expect a handful of agreements, not high recall.
+    assert hits >= 1, f"ANN top-1 never matched exact: {hits}/{len(exact)}"
+
+    # Invariant: ANN scores can never exceed the exact best.
+    exact_best = {
+        r.query_id: r.cosine
+        for r in QUERIES["cosine_topk"](spark, SF_CORRECTNESS).collect()
+        if r.rnk == 1
+    }
+    ann_best = {
+        r.query_id: r.cosine
+        for r in QUERIES["ann_lsh_topk"](spark, SF_CORRECTNESS).collect()
+        if r.rnk == 1
+    }
+    for q, c in ann_best.items():
+        assert c <= exact_best[q] + 1e-12

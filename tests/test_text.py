@@ -1,0 +1,33 @@
+"""Text analysis: oracle-differential + semantic checks."""
+
+import pytest
+from conftest import SF_CORRECTNESS, assert_oracle_match
+
+TEXT_QUERIES = ["text_stats", "lang_id", "token_counts", "doc_fingerprints"]
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_text_oracle(spark, name):
+    assert_oracle_match(spark, name)
+
+
+def test_quality_score_in_unit_interval(spark):
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["text_stats"](spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_distinct <= r.n_tokens
+
+
+def test_bag_fingerprint_order_invariant(spark):
+    from map_reduce_library_spark.operators.text import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c"), (3, "a b d")], ["doc_id", "text"]
+    )
+    fps = {r.doc_id: (r.fp_exact, r.fp_bag) for r in doc_fingerprints(df).collect()}
+    assert fps[1][0] != fps[2][0]  # exact differs
+    assert fps[1][1] == fps[2][1]  # bag identical
+    assert fps[1][1] != fps[3][1]  # different content differs

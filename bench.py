@@ -35,8 +35,12 @@ def main() -> None:
     spark = get_session(app_name="mrls-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM / parquet footers so q1 isn't charged for JIT.
+    # Warm up the JVM / parquet footers / Python-UDF workers so the
+    # first query isn't charged for one-time initialization.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     t_all = time.time()

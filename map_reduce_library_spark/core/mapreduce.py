@@ -49,23 +49,29 @@ MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
 ReduceFn = Callable[[Any, list[Any]], Iterable[tuple[Any, Any]]]
 
 
-def _group_sorted_runs(
-    part: Iterator[tuple[Any, Any]],
-) -> Iterator[tuple[Any, list[Any]]]:
-    """Group a key-sorted partition iterator into (key, values) runs
-    using ordering-equivalence (not hash equality): two keys belong to
-    the same group iff ``not (a<b) and not (b<a)``."""
-    cur_key: Any = None
-    cur_vals: list[Any] | None = None
-    for k, v in part:
-        if cur_vals is not None and not (cur_key < k) and not (k < cur_key):
-            cur_vals.append(v)
-        else:
-            if cur_vals is not None:
-                yield cur_key, cur_vals
-            cur_key, cur_vals = k, [v]
-    if cur_vals is not None:
-        yield cur_key, cur_vals
+def _make_sorted_run_reducer(reduce_fn: ReduceFn):
+    """Build the per-partition reducer for sort mode. Defined nested so
+    cloudpickle ships it BY VALUE — executors never need this package
+    on their PYTHONPATH (the driver may be the only place it's
+    installed)."""
+
+    def reduce_partition(part: Iterator[tuple[Any, Any]]):
+        # Group the key-sorted partition into (key, values) runs using
+        # ordering-equivalence (not hash equality): same group iff
+        # not (a<b) and not (b<a).
+        cur_key: Any = None
+        cur_vals: list[Any] | None = None
+        for k, v in part:
+            if cur_vals is not None and not (cur_key < k) and not (k < cur_key):
+                cur_vals.append(v)
+            else:
+                if cur_vals is not None:
+                    yield from reduce_fn(cur_key, cur_vals)
+                cur_key, cur_vals = k, [v]
+        if cur_vals is not None:
+            yield from reduce_fn(cur_key, cur_vals)
+
+    return reduce_partition
 
 
 def run_map_reduce(
@@ -110,13 +116,7 @@ def run_map_reduce(
         # Range partitioner: equal keys land in one partition by
         # ordering alone; then adjacent-equal runs are the groups.
         swkp = intermediate.sortByKey(numPartitions=num_partitions)
-        return swkp.mapPartitions(
-            lambda part: (
-                out
-                for key, vals in _group_sorted_runs(part)
-                for out in reduce_fn(key, vals)
-            )
-        )
+        return swkp.mapPartitions(_make_sorted_run_reducer(reduce_fn))
     raise ValueError(f"key_mode must be 'hash' or 'sort', got {key_mode!r}")
 
 

@@ -140,13 +140,14 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by exact cosine (brute force)."""
+    """Embedding near-dup pairs by exact cosine (blocked numpy
+    matmul; 9-decimal rounding for cross-engine reproducibility)."""
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
     )

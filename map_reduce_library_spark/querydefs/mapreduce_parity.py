@@ -1,1 +1,142 @@
-"""mapreduce_parity queries (filled in incrementally)."""
+"""Queries that drive the GENERIC MapReduce layer (core.mapreduce)
+through the driver contract — proving the reference's API surface
+(flat-map, holistic reduce, multi-emit, zero-emit) produces
+oracle-correct answers, not just passing unit tests.
+
+All map/reduce callbacks are defined INSIDE the query functions so
+cloudpickle ships them by value — executors don't need this package on
+their PYTHONPATH.
+
+Reference parity targets: map multiplicity (MapReduceClient.h:69),
+holistic reduce (MapReduceClient.h:77,83), reduce multiplicity
+(MapReduceClient.h:78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_library_spark.core.mapreduce import map_reduce_df, run_map_reduce
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+
+@register(
+    "mr_generic_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def mr_generic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship run through the GENERIC RDD path
+    (arbitrary Python K/V objects): map = tokenize flat-map, reduce =
+    holistic sum. Same oracle as the DataFrame-native `wordcount`."""
+
+    def tokenize_map(_k, row):
+        for w in row.text.split(" "):
+            yield (w, 1)
+
+    def sum_reduce(key, values):
+        yield (key, sum(values))
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = run_map_reduce(docs, tokenize_map, sum_reduce)
+    return spark.createDataFrame(out, schema="word string, cnt bigint")
+
+
+@register(
+    "mr_holistic_median",
+    oracle="""
+    SELECT user_id, round(median(value), 9) AS median_value,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def mr_holistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic (non-associative) reduce — the capability that makes
+    the reference's reduce strictly more general than pairwise
+    combiners (MapReduceClient.h:77,83): per-user MEDIAN via the
+    vectorized applyInPandas path."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def ident_batches(it):
+        yield from it
+
+    def median_group(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [round(pdf["value"].median(), 9)],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return map_reduce_df(
+        ev,
+        ident_batches,
+        median_group,
+        intermediate_schema="user_id bigint, value double",
+        output_schema="user_id bigint, median_value double, n bigint",
+        key_cols="user_id",
+    )
+
+
+@register(
+    "mr_multi_emit_extremes",
+    oracle="""
+    SELECT event_type, 'min' AS stat, min(value) AS value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'max' AS stat, max(value) AS value
+    FROM events GROUP BY event_type
+    """,
+)
+def mr_multi_emit_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce emitting MULTIPLE output rows per group (emit3 called
+    more than once — MapReduceClient.h:78): one min row + one max row
+    per event type, via the generic RDD path."""
+
+    def type_map(_k, row):
+        yield (row.event_type, row.value)
+
+    def extremes_reduce(key, values):
+        yield (key, "min", min(values))
+        yield (key, "max", max(values))
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = run_map_reduce(ev, type_map, extremes_reduce)
+    return spark.createDataFrame(
+        out, schema="event_type string, stat string, value double"
+    )
+
+
+@register(
+    "mr_zero_emit_filter",
+    oracle="""
+    SELECT user_id, count(*) AS n_big_errors
+    FROM events
+    WHERE event_type = 'error' AND value > 150
+    GROUP BY user_id
+    """,
+)
+def mr_zero_emit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map emitting ZERO pairs for most inputs (filter semantics —
+    MapReduceClient.h:69 'any number of times', including none)."""
+
+    def filter_map(_k, row):
+        if row.event_type == "error" and row.value > 150:
+            yield (row.user_id, 1)
+
+    def count_reduce(key, values):
+        yield (key, sum(values))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    out = run_map_reduce(ev, filter_map, count_reduce)
+    return spark.createDataFrame(out, schema="user_id bigint, n_big_errors bigint")

@@ -63,6 +63,22 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split small files across all cores: minPartitionNum is a
+        # floor, so it raises local parallelism on MB-scale test files
+        # without touching the 128 MB maxPartitionBytes that governs
+        # real 100-TB scans.
+        .config("spark.sql.files.minPartitionNum", str(par))
+    )
+    if master.startswith("local"):
+        # The 4 MB default openCostInBytes models remote-FS open
+        # latency and caps MB-scale local files at ~3 splits; local
+        # SSD opens are ~free, so lower it to actually reach the
+        # minPartitionNum floor. Cluster deployments keep the default.
+        builder = builder.config(
+            "spark.sql.files.openCostInBytes", str(128 * 1024)
+        )
+    builder = (
+        builder
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

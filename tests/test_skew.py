@@ -1,0 +1,59 @@
+"""Skew utilities must preserve exact semantics vs unsalted plans."""
+
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.skew import salted_join, two_phase_agg
+
+
+def _skewed_df(spark):
+    # 90% of rows on one key — the pathological shape.
+    return spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 50) END AS k",
+        "cast(id AS double) AS v",
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = _skewed_df(spark)
+    right = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("k7", 3)], ["k", "tag"]
+    )
+    want = sorted(
+        tuple(r) for r in left.join(right, "k").select("k", "v", "tag").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(left, right, "k", salt=8)
+        .select("k", "v", "tag")
+        .collect()
+    )
+    assert got == want
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = _skewed_df(spark)
+    right = spark.createDataFrame([("hot", 1)], ["k", "tag"])
+    plain = left.join(right, "k", "left").select("k", "v", "tag")
+    salted = salted_join(left, right, "k", salt=8, how="left").select(
+        "k", "v", "tag"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_two_phase_agg_equals_direct(spark):
+    df = _skewed_df(spark)
+    want = {
+        (r.k, r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    got = {
+        (r.k, r.sum_v, r.cnt) for r in two_phase_agg(df, "k", "v", salt=8).collect()
+    }
+    assert got == want

@@ -153,3 +153,33 @@ def start_map_reduce_job(
     """Start ``action`` asynchronously; returns immediately with a
     handle (parity: MapReduceFramework.cpp:313-351)."""
     return JobHandle(spark, action)
+
+
+def wait_with_progress(
+    handle: JobHandle,
+    poll_interval: float = 0.05,
+    on_change: Callable[[JobState], None] | None = None,
+) -> tuple[Any, list[JobState]]:
+    """The reference driver's polling loop (FileWordCounter.cpp:
+    253-263): poll ``get_job_state`` until done, recording each state
+    CHANGE (the example prints on transitions only). Sleeps between
+    polls instead of busy-waiting — the reference's 100%-CPU monitor
+    loop is an artifact, not a contract (SURVEY.md §4). Returns
+    (result, state transition log ending in REDUCE/100%)."""
+    import time
+
+    log: list[JobState] = []
+    while not handle.done:
+        st = handle.get_job_state()
+        if not log or st != log[-1]:
+            log.append(st)
+            if on_change:
+                on_change(st)
+        time.sleep(poll_interval)
+    result = handle.wait_for_job()
+    final = handle.get_job_state()
+    if not log or final != log[-1]:
+        log.append(final)
+        if on_change:
+            on_change(final)
+    return result, log

@@ -1,0 +1,48 @@
+"""Bucketed (pre-partitioned) tables for shuffle-free joins.
+
+At 100 TB the dominant cost of fact⋈fact joins is the shuffle of both
+sides. Bucketing pays that shuffle ONCE at write time: both tables are
+hash-partitioned into the same number of buckets on the join key and
+sorted within buckets, so every later join (and groupBy on the key)
+runs bucket-to-bucket with zero exchange — the Spark equivalent of
+co-located storage layouts.
+
+This module owns the write-side convention (bucket count, sort) and a
+checker that proves a join plan is exchange-free on the bucketed
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+) -> None:
+    """Persist ``df`` hash-bucketed + sorted on ``key``. Bucket count
+    is a layout contract: join partners must use the SAME count (or an
+    integer multiple) for the exchange-free plan to kick in."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def exchanges_in_plan(df: DataFrame) -> int:
+    """Count shuffle exchanges in the executed plan (AQE-resolved)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")

@@ -54,3 +54,19 @@ def word_counts(
     if sort:
         out = out.orderBy("word")
     return out
+
+
+def format_word_counts(wc: DataFrame) -> DataFrame:
+    """Reference C8 output formatting ("The word X appeared N
+    time(s)", FileWordCounter.cpp:271-277) as a distributed column —
+    the sink-side presentation stays on executors until the caller
+    collects or writes."""
+    return wc.select(
+        F.concat(
+            F.lit("The word "),
+            F.col("word"),
+            F.lit(" appeared "),
+            F.col("cnt").cast("string"),
+            F.lit(" time(s)"),
+        ).alias("line")
+    )

@@ -80,6 +80,10 @@ def get_session(
     builder = (
         builder
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mrls-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

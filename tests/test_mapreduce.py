@@ -188,3 +188,31 @@ def test_job_handle_propagates_errors(spark):
     handle = start_map_reduce_job(spark, boom)
     with pytest.raises(RuntimeError, match="kaput"):
         handle.wait_for_job()
+
+
+def test_wait_with_progress_transitions(spark):
+    # C7 parity: polling loop records monotonic stage transitions
+    # ending at REDUCE/100 (FileWordCounter.cpp:253-263).
+    from map_reduce_library_spark.core.job import wait_with_progress
+
+    df = spark.range(0, 2_000_000).selectExpr("id % 1009 AS k", "id AS v")
+    handle = start_map_reduce_job(spark, lambda: df.groupBy("k").count().collect())
+    result, log = wait_with_progress(handle, poll_interval=0.01)
+    assert len(result) == 1009
+    assert log[-1] == JobState(Stage.REDUCE, 100.0)
+    stages = [s.stage for s in log]
+    assert stages == sorted(stages)  # never regresses
+
+
+def test_format_word_counts(spark):
+    from map_reduce_library_spark.operators.wordcount import (
+        format_word_counts,
+        word_counts,
+    )
+
+    df = spark.createDataFrame([("a b a",)], ["text"])
+    lines = sorted(r.line for r in format_word_counts(word_counts(df)).collect())
+    assert lines == [
+        "The word a appeared 2 time(s)",
+        "The word b appeared 1 time(s)",
+    ]

@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None):
 from map_reduce_library_spark.querydefs import wordcount  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational2  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import relational3  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import similarity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import text  # noqa: E402,F401
@@ -45,3 +46,4 @@ from map_reduce_library_spark.querydefs import mapreduce_parity  # noqa: E402,F4
 from map_reduce_library_spark.querydefs import multimodal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import streaming  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import approx  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import temporal  # noqa: E402,F401

@@ -1,0 +1,63 @@
+"""As-of and range joins: oracle-differential + edge semantics."""
+
+import pytest
+from conftest import assert_oracle_match
+
+from map_reduce_library_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["asof_last_purchase_before_error", "range_join_purchase_after_error"],
+)
+def test_temporal_oracle(spark, name):
+    assert_oracle_match(spark, name)
+
+
+def test_asof_join_edges(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0), "u1"),
+         (2, dt(2024, 1, 1, 9, 0), "u1"),
+         (3, dt(2024, 1, 1, 10, 0), "u2")],  # u2 has no right rows
+        "id long, ts timestamp, user string",
+    )
+    right = spark.createDataFrame(
+        [(dt(2024, 1, 1, 9, 30), "u1", 100.0),
+         (dt(2024, 1, 1, 10, 0), "u1", 200.0)],  # exact tie with left id=1
+        "ts timestamp, user string, price double",
+    )
+    out = {
+        r.id: r.price_asof
+        for r in asof_join(
+            left, right, ts="ts", by="user", right_cols=["price"]
+        ).collect()
+    }
+    assert out[1] == 200.0  # at-or-before: exact tie matches
+    assert out[2] is None  # nothing before 9:00
+    assert out[3] is None  # no right rows for u2
+
+
+def test_range_join_bucket_boundaries(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 30, 0), "u")],
+        "id long, ts timestamp, user string",
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 10, 0, 0), "u"),    # exactly tolerance away
+         (11, dt(2024, 1, 1, 9, 59, 59), "u"),   # 1s beyond tolerance
+         (12, dt(2024, 1, 1, 10, 30, 0), "u"),   # same instant
+         (13, dt(2024, 1, 1, 10, 31, 0), "u")],  # after left (excluded)
+        "id long, ts timestamp, user string",
+    )
+    out = sorted(
+        r.r_id
+        for r in range_join(
+            left, right, ts="ts", by="user", tolerance_seconds=1800,
+            left_alias="l", right_alias="r",
+        ).collect()
+    )
+    assert out == [10, 12]

@@ -216,3 +216,32 @@ def test_format_word_counts(spark):
         "The word a appeared 2 time(s)",
         "The word b appeared 1 time(s)",
     ]
+
+
+def test_cancel_running_job(spark):
+    # Spark-native extension beyond the reference (which cannot
+    # cancel, MapReduceFramework.cpp:386-421): cancel() aborts the
+    # job group and wait_for_job surfaces the cancellation.
+    import time
+
+    def slow_batches(it):
+        import time as t
+
+        for pdf in it:
+            t.sleep(30)
+            yield pdf
+
+    df = spark.range(0, 320).repartition(32)
+    big = df.mapInPandas(slow_batches, "id long")
+    handle = start_map_reduce_job(spark, lambda: big.collect())
+    time.sleep(2)  # let tasks start
+    t0 = time.time()
+    handle.cancel()
+    try:
+        handle.wait_for_job(timeout=60)
+        raise AssertionError("cancelled job returned a result")
+    except TimeoutError:
+        raise AssertionError("cancel did not interrupt the job")
+    except Exception:
+        pass  # cancellation surfaced as a Spark job failure: expected
+    assert time.time() - t0 < 25, "cancel should not wait out the sleep"

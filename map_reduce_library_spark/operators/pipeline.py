@@ -1,0 +1,88 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, and sequence packing.
+
+All randomness is hash-derived (md5 of the stable id), never
+``rand()``: a 100-TB pipeline re-run after a failure must assign every
+document to the same split/sample, and an added document must not
+reshuffle existing assignments. md5 is used (not xxhash64) so the
+DuckDB oracle reproduces assignments exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(col: str | Column, buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, buckets): top 60 bits of
+    md5(id) mod buckets. Identical in DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT % buckets``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """Stable train/val/test assignment (train/val/100-train-val)."""
+    b = hash_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls under the stratum's percentage. No shuffle at all —
+    a pure filter, the only sane sampling at 100 TB."""
+    b = hash_bucket(id_col)
+    pct = F.lit(default_pct)
+    expr = None
+    for value, p in rates.items():
+        cond = F.col(strata_col) == value
+        expr = F.when(cond, p) if expr is None else expr.when(cond, p)
+    pct = expr.otherwise(default_pct) if expr is not None else pct
+    return df.where(b < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    training sequences: documents are laid out in ``order_col`` order
+    (within ``group_col`` if given) and a document belongs to the bin
+    where its span STARTS (bin = floor(preceding-tokens / budget)) —
+    the contiguous-stream packing used for LLM pretraining shards.
+
+    One window cumsum = one shuffle on the group key; bins never span
+    groups, so shards can be written partitioned by (group, bin)."""
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(order_col)
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn(
+        "seq_bin",
+        F.floor((cum - F.col(tokens_col)) / budget).cast("bigint"),
+    )

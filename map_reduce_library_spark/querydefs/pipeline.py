@@ -1,0 +1,93 @@
+"""Pipeline data-prep queries with md5-deterministic oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.pipeline import (
+    deterministic_split,
+    pack_sequences,
+    stratified_sample,
+)
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+SAMPLE_RATES = {"en": 50, "de": 20, "es": 10}
+PACK_BUDGET = 2048
+
+
+@register(
+    "deterministic_split_counts",
+    oracle=f"""
+    SELECT split, count(*) AS n FROM (
+      SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 split (hash-derived, re-run-safe); counts per
+    split checked against the oracle's identical md5 arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                                    WHEN 'es' THEN 10 ELSE 0 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (50%/20%/10%, drop rest) —
+    a pure filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES, "lang").select("doc_id", "lang")
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into {b}-token training
+    sequences per language; reports docs/tokens per bin.""".format(
+        b=PACK_BUDGET
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", PACK_BUDGET, order_col="doc_id", group_col="lang"
+    )
+    return packed.groupBy("lang", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )

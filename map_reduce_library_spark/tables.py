@@ -48,7 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects outright; read the nanos as int64 and floor-divide to
-        # micros — the same ns→µs truncation DuckDB applies.
+        # micros — the same ns→µs truncation DuckDB applies. Pin the
+        # session to UTC so the resulting TIMESTAMP_LTZ behaves like
+        # the oracle's timezone-naive micros under date_trunc/window
+        # even if the hosting session didn't set a timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F

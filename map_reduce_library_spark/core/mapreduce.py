@@ -82,6 +82,7 @@ def run_map_reduce(
     spark: SparkSession | None = None,
     num_partitions: int | None = None,
     key_mode: str = "hash",
+    combiner_fn: Callable[[Any, Any], Any] | None = None,
 ) -> RDD:
     """Run one generic MapReduce job; returns the output-pair RDD.
 
@@ -97,6 +98,15 @@ def run_map_reduce(
                reference's type contract); reduce additionally sees
                keys in globally sorted order, matching the reference's
                sorted IntermediateMap (MapReduceClient.h:61).
+
+    ``combiner_fn(v2, v2) -> v2`` (optional, hash mode only): map-side
+    pre-reduction within each partition before the shuffle — the
+    reference client's own optimization (its word counter aggregates
+    per-file counts locally before emitting, FileWordCounter.cpp:
+    87-118). Only legal when the reduce is insensitive to values being
+    pre-combined (commutative/associative fold); the holistic
+    ``reduce_fn`` then receives the combined partials. Cuts shuffle
+    volume from one pair per emit to one pair per (partition, key).
     """
     if isinstance(data, DataFrame):
         rdd = data.rdd.map(lambda row: (None, row))
@@ -110,8 +120,18 @@ def run_map_reduce(
     intermediate = rdd.flatMap(lambda kv: map_fn(kv[0], kv[1]))
 
     if key_mode == "hash":
+        if combiner_fn is not None:
+            def _combine_partition(part):
+                acc: dict = {}
+                for k, v in part:
+                    acc[k] = combiner_fn(acc[k], v) if k in acc else v
+                return iter(acc.items())
+
+            intermediate = intermediate.mapPartitions(_combine_partition)
         grouped = intermediate.groupByKey(numPartitions=num_partitions)
         return grouped.flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
+    if combiner_fn is not None:
+        raise ValueError("combiner_fn requires key_mode='hash' (hashable keys)")
     if key_mode == "sort":
         # Range partitioner: equal keys land in one partition by
         # ordering alone; then adjacent-equal runs are the groups.

@@ -245,3 +245,51 @@ def test_cancel_running_job(spark):
     except Exception:
         pass  # cancellation surfaced as a Spark job failure: expected
     assert time.time() - t0 < 25, "cancel should not wait out the sleep"
+
+
+def test_combiner_matches_uncombined(spark):
+    # C4 parity: map-side pre-reduction must not change results, only
+    # shuffle volume (FileWordCounter.cpp:87-118).
+    import operator
+
+    data = [(None, "a b a b c"), (None, "a a a")] * 50
+    plain = dict(
+        run_map_reduce(data, words_map, sum_reduce, spark=spark).collect()
+    )
+    combined = dict(
+        run_map_reduce(
+            data, words_map, sum_reduce, spark=spark, combiner_fn=operator.add
+        ).collect()
+    )
+    assert combined == plain == {"a": 250, "b": 100, "c": 50}
+
+
+def test_combiner_rejected_in_sort_mode(spark):
+    import operator
+    import pytest as pt
+
+    with pt.raises(ValueError, match="key_mode='hash'"):
+        run_map_reduce(
+            INPUT, words_map, sum_reduce, spark=spark,
+            key_mode="sort", combiner_fn=operator.add,
+        )
+
+
+def test_sort_mode_global_order_across_partitions(spark):
+    # A4: range partitioner keeps global key order across partition
+    # INDEXES, not just within partitions.
+    data = [(None, f"k{i:03d}") for i in range(100)]
+
+    def m(_k, v):
+        yield (v, 1)
+
+    out = run_map_reduce(
+        data, m, lambda k, vs: [(k, sum(vs))], spark=spark,
+        key_mode="sort", num_partitions=4,
+    )
+    per_part = out.mapPartitionsWithIndex(
+        lambda idx, it: [(idx, [k for k, _ in it])]
+    ).collect()
+    per_part.sort()
+    flat = [k for _, keys in per_part for k in keys]
+    assert flat == sorted(flat) and len(flat) == 100

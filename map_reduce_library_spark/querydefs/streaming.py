@@ -41,6 +41,64 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)
+               AS window_start,
+             event_type, value FROM events
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (width 2h, slide 1h) as a REAL streaming query:
+    every event lands in two overlapping windows. Oracle = union of
+    two shifted tumbling assignments — the algebraic identity sliding
+    windows reduce to."""
+    from map_reduce_library_spark.streaming.events import read_events_stream
+    import uuid
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "sessionize_events",
     oracle=f"""
     WITH g AS (

@@ -42,15 +42,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two passes; report the min (steady-state engine speed, not
+    # first-run JIT compilation of each query's generated code).
     times: dict[str, float] = {}
     t_all = time.time()
-    for name, fn in QUERIES.items():
-        if name in SKIP:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    for _pass in range(2):
+        for name, fn in QUERIES.items():
+            if name in SKIP:
+                continue
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    total = round(sum(times.values()), 3)
 
     print(
         json.dumps(

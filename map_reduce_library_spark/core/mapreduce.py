@@ -148,6 +148,7 @@ def map_reduce_df(
     intermediate_schema: Any,
     output_schema: Any,
     key_cols: list[str] | str,
+    partition_batched: bool = False,
 ) -> DataFrame:
     """Vectorized MapReduce over typed columns (the Spark-first path).
 
@@ -166,6 +167,45 @@ def map_reduce_df(
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     intermediate = df.mapInPandas(map_batches, schema=intermediate_schema)
-    return intermediate.groupBy(*key_cols).applyInPandas(
-        reduce_group, schema=output_schema
+    if not partition_batched:
+        return intermediate.groupBy(*key_cols).applyInPandas(
+            reduce_group, schema=output_schema
+        )
+
+    # Partition-batched reduce: co-locate groups with repartition(key)
+    # + sortWithinPartitions(key), then stream Arrow batches through
+    # ONE pandas generator per partition, carrying the tail group
+    # across batch boundaries — O(batches) Python crossings instead of
+    # O(groups), memory bounded by (batch + largest group), same
+    # holistic semantics (each group wholly inside one partition and
+    # contiguous after the sort).
+    keys = list(key_cols)
+
+    def reduce_partition(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # Rows with the final key value may continue in the next
+            # batch — hold them back.
+            last_key = tuple(pdf[k].iloc[-1] for k in keys)
+            is_tail = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, last_key):
+                is_tail &= pdf[k] == v
+            carry = pdf[is_tail]
+            done = pdf[~is_tail]
+            if len(done):
+                for _, group in done.groupby(keys, sort=False):
+                    yield reduce_group(group)
+        if carry is not None and len(carry):
+            yield reduce_group(carry)
+
+    return (
+        intermediate.repartition(*keys)
+        .sortWithinPartitions(*keys)
+        .mapInPandas(reduce_partition, schema=output_schema)
     )

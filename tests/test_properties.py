@@ -64,3 +64,27 @@ def test_generic_mr_partition_invariance(spark, data, nparts):
         want[k] = want.get(k, 0) + v
     assert dict(out) == want
     assert len(out) == len(want)  # no duplicate keys emitted
+
+
+def test_corpus_results_invariant_to_shuffle_partitions(spark):
+    """Key queries must return identical results under different
+    shuffle widths — catches accidental order/partition dependence."""
+    from conftest import SF_SMOKE, rows_multiset
+
+    from map_reduce_library_spark.queries import QUERIES
+
+    names = ["pricing_summary", "minhash_lsh_pairs", "sessionize_events",
+             "window_user_running"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = QUERIES[n](spark, SF_SMOKE)
+                ms = rows_multiset(df.columns, [tuple(r) for r in df.collect()])
+                results.setdefault(n, []).append(ms)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} changed under different shuffle partitioning"

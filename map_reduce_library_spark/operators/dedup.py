@@ -290,3 +290,58 @@ def embedding_dup_pairs(
     return block_pairs.mapInPandas(
         score, schema="vec_a bigint, vec_b bigint, cosine double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters:
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — duplicates of a
+    common source — so this is typically 2-4 rounds). Each round is
+    one join + one groupBy; results are cached per round to truncate
+    lineage. This is the iterative-algorithm case the oracle covers
+    with a recursive CTE.
+    """
+    und = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    und = und.distinct().cache()
+
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_labels = und.join(
+            labels, und.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

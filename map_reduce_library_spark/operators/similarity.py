@@ -156,3 +156,77 @@ def ann_lsh_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def ivf_assign_cells(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine (deterministic seed centroids = the first
+    ``n_centroids`` vectors by id — at scale these come from a k-means
+    fit; the assignment plumbing is identical). Centroids broadcast;
+    one pass over the corpus; ties break toward the lower centroid id.
+    Returns (id, v, nrm, cell)."""
+    from pyspark.sql.window import Window
+
+    base = _prep(emb, id_col, vec_col)
+    cents = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos_c").desc(), F.col("cell")
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c", F.expr(_dot("v", "vc")) / (F.col("nrm") * F.col("nc"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "v", "nrm", "cell")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k restricted to the query's cell
+    (single-probe). Complements the hyperplane-LSH variant; recall is
+    the probability the true neighbor shares the query's nearest
+    centroid, tunable via n_centroids and multi-probe."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign_cells(emb, n_centroids, id_col, vec_col)
+    q = assigned.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("nrm").alias("nq"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+        "cell",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_dot("vq", "vc")) / (F.col("nq") * F.col("nc")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )

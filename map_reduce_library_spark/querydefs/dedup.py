@@ -151,3 +151,77 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
     )
+
+
+_LSH_PAIRS_CTES = f"""
+    {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "ngram_jaccard_lsh",
+    oracle=f"""
+    WITH {_LSH_PAIRS_CTES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter i
+      JOIN pairs p ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup composition: exact Jaccard verification
+    restricted to LSH candidate pairs — O(candidates), not O(n²).
+    This is the query to run at 100 TB; `ngram_jaccard_pairs` is its
+    ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, JACCARD_THRESHOLD, candidates=minhash_lsh_pairs(docs)
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT src AS node, src AS label FROM und
+      UNION
+      SELECT u.dst AS node, cc.label
+      FROM cc JOIN und u ON cc.node = u.src
+      WHERE cc.label < u.dst
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM cc GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    graph (iterative min-label propagation; the oracle is a recursive
+    CTE computing the same min-reachable-label). cluster_id = min
+    doc_id in the component — the canonical 'keep one representative
+    per cluster' dedup output."""
+    from map_reduce_library_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs))

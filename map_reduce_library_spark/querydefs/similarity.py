@@ -97,3 +97,52 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         dim=EMB_DIM,
     )
+
+
+N_CENTROIDS = 16
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS vc, nrm AS nc FROM e
+              WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT e.vec_id, e.v, e.nrm, cents.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cents.vc) / (e.nrm * cents.nc)
+                          DESC, cents.cell) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM assigned q JOIN assigned c ON q.cell = c.cell
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (single-probe, deterministic seed centroids):
+    the second scale path next to hyperplane LSH."""
+    from map_reduce_library_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        n_centroids=N_CENTROIDS,
+    )

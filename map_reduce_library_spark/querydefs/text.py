@@ -111,3 +111,57 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + order-invariant bag fingerprints."""
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(n.n_docs / dfreq.df) AS score
+      FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok AS top_term, round(score, 9) AS tfidf
+    FROM ranked WHERE rn = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency x inverse document frequency, reporting
+    each document's most distinctive term. df comes from one extra
+    groupBy; idf joins back via broadcast (vocabulary ≪ corpus)."""
+    from pyspark.sql.window import Window
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()  # scalar; drives the idf constant only
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .withColumn("score", F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.round("score", 9).alias("tfidf"),
+        )
+    )

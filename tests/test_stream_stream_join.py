@@ -1,0 +1,79 @@
+"""Stream-stream join with watermarks: purchases joined to errors by
+the same user within 30 minutes BEFORE the purchase — both sides are
+real streams; watermarks bound each side's join state. A bounded
+(availableNow) run must equal the batch range join."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from map_reduce_library_spark.streaming.events import read_events_stream
+from map_reduce_library_spark.tables import load_table
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+
+    pur = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    err = (
+        stream.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = pur.join(
+        err,
+        F.expr(
+            """
+            p_user = e_user AND
+            e_ts <= p_ts AND
+            e_ts >= p_ts - INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("p_id", "e_id")
+
+    import uuid
+
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.p_id, r.e_id) for r in spark.table(sink).collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    purb = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    errb = ev.where("event_type = 'error'").selectExpr(
+        "event_id AS e_id", "user_id AS e_user", "ts AS e_ts"
+    )
+    want = {
+        (r.p_id, r.e_id)
+        for r in purb.join(
+            errb,
+            F.expr(
+                "p_user = e_user AND e_ts <= p_ts "
+                "AND e_ts >= p_ts - INTERVAL 30 MINUTES"
+            ),
+        )
+        .select("p_id", "e_id")
+        .collect()
+    }
+    assert want, "batch join should find matches"
+    assert got == want

@@ -59,3 +59,17 @@ def test_format_round_trips(spark, tmp_path):
         back = fn(df, str(tmp_path / name))
         assert sorted(tuple(r) for r in back.collect()) == want, name
         assert back.schema == df.schema, name
+
+
+def test_register_views_sql_surface(spark):
+    from map_reduce_library_spark.tables import register_views
+
+    register_views(spark, SF_SMOKE)
+    row = spark.sql(
+        """
+        SELECT r_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name LIMIT 1
+        """
+    ).first()
+    assert row.n > 0

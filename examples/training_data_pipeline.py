@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline: the composition this engine is
+built for, over the synthetic corpus.
+
+    raw documents
+      → quality gate        (text_stats: length/diversity/stopwords)
+      → exact dedup         (md5 full-text, min-id representative)
+      → near-dedup          (MinHash-LSH candidates → connected
+                             components → keep cluster representative)
+      → token accounting    (whitespace + BPE-ish counts)
+      → deterministic split (train/val/test, hash-stable)
+      → packed shards       (sequence packing into token budgets,
+                             written partitioned by split)
+
+Usage: python examples/training_data_pipeline.py OUT_DIR [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from map_reduce_library_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
+    deterministic_split,
+    pack_sequences,
+)
+from map_reduce_library_spark.operators.text import (  # noqa: E402
+    text_stats,
+    token_counts,
+)
+from map_reduce_library_spark.session import get_session  # noqa: E402
+from map_reduce_library_spark.tables import load_table  # noqa: E402
+
+QUALITY_MIN = 0.5
+PACK_BUDGET = 2048
+
+
+def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate
+    stats = text_stats(docs)
+    good = docs.join(
+        stats.where(F.col("quality_score") >= QUALITY_MIN).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n_good = good.count()
+
+    # 2. exact dedup (keep min-id representative)
+    reps = exact_dedup(good).select(F.col("doc_id"))
+    good = good.join(reps, "doc_id", "left_semi")
+    n_exact = good.count()
+
+    # 3. near-dedup: LSH pairs → clusters → drop non-representatives
+    clusters = connected_components(minhash_lsh_pairs(good))
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    good = good.join(drop, "doc_id", "left_anti")
+    n_near = good.count()
+
+    # 4. token accounting + 5. split + 6. packing
+    toks = token_counts(good).select("doc_id", "ws_tokens")
+    ready = (
+        good.join(toks, "doc_id")
+        .transform(deterministic_split)
+    )
+    packed = pack_sequences(
+        ready, "ws_tokens", PACK_BUDGET, order_col="doc_id", group_col="split"
+    )
+
+    # write shards partitioned by split (partition pruning on read)
+    packed.select("doc_id", "text", "lang", "split", "seq_bin").write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(out_dir)
+
+    shard_stats = {
+        (r.split, r.seq_bin): r.n
+        for r in packed.groupBy("split", "seq_bin").count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    return {
+        "raw": n_raw,
+        "after_quality": n_good,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "n_shards": len(shard_stats),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(2)
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    counts = run_pipeline(spark, sf_dir, out_dir)
+    for k, v in counts.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Capstone integration: the full training-data pipeline example."""
+
+import sys
+from pathlib import Path
+
+from conftest import SF_CORRECTNESS
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+
+def test_training_data_pipeline(spark, tmp_path):
+    from training_data_pipeline import run_pipeline
+
+    out = str(tmp_path / "shards")
+    counts = run_pipeline(spark, SF_CORRECTNESS, out)
+
+    assert counts["raw"] == 500
+    # quality gate drops something but not most
+    assert 400 <= counts["after_quality"] <= counts["raw"]
+    # exact dedup: corpus has no full-text dups
+    assert counts["after_exact_dedup"] == counts["after_quality"]
+    # near-dedup must collapse the planted clusters (25 pairs → >= 20
+    # removed non-representatives)
+    removed = counts["after_exact_dedup"] - counts["after_near_dedup"]
+    assert removed >= 20, counts
+    assert counts["n_shards"] >= 3
+
+    # output is partition-pruned readable and covers all splits
+    back = spark.read.parquet(out)
+    splits = {r.split for r in back.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    assert back.count() == counts["after_near_dedup"]
+    # every kept doc is its own cluster representative: no two kept
+    # docs should be near-dup pairs of each other
+    from map_reduce_library_spark.operators.dedup import minhash_lsh_pairs
+
+    kept_pairs = minhash_lsh_pairs(back.select("doc_id", "text")).count()
+    assert kept_pairs == 0, "near-dup pairs survived dedup"

@@ -320,16 +320,23 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
-    for _ in range(max_iters):
+    def propagate(lbls: DataFrame) -> DataFrame:
         neighbor_labels = und.join(
-            labels, und.dst == labels.node
+            lbls, und.dst == lbls.node
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        return (
+            lbls.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
         )
+
+    for _ in range(max_iters):
+        # One hop per convergence check. (Measured: a two-hop variant
+        # — propagate(propagate(l)) per action — was SLOWER at sf0.1,
+        # 6.6s vs 4.4s: near-dup graphs converge in 1-2 hops, so the
+        # deeper per-action plan costs more than the saved round-trip.
+        # On deep-diameter graphs, flip to multi-hop.)
+        new_labels = propagate(labels).cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

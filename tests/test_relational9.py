@@ -1,0 +1,18 @@
+"""Oracle-differential tests for relational corpus part 9."""
+
+import pytest
+from conftest import assert_oracle_match
+
+QUERIES9 = [
+    "volume_shipping",
+    "market_share",
+    "product_type_profit",
+    "important_part_value",
+    "small_quantity_revenue",
+    "promo_part_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES9)
+def test_relational9_oracle(spark, name):
+    assert_oracle_match(spark, name)

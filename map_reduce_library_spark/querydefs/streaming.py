@@ -99,6 +99,27 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: the event stream is doubled
+    (self-union) then deduplicated by dropDuplicatesWithinWatermark;
+    per-type counts of the survivors must equal the original table —
+    i.e. the stream dedup removed exactly the injected duplicates."""
+    from map_reduce_library_spark.streaming.events import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle=f"""
     WITH g AS (

@@ -99,6 +99,58 @@ def streaming_hourly_stats(
     return spark.table(sink)
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each event_id's key in
+    state only until the watermark passes it, so state size is
+    O(events per watermark horizon), not O(all history) — the only
+    dedup that survives an unbounded 100-TB stream.
+
+    To make the dedup observable on duplicate-free testdata, the
+    stream is unioned with a second read of itself (every row arrives
+    exactly twice); the surviving rows must equal the original table.
+    Append mode: first occurrence is emitted immediately, later
+    duplicates are dropped against state."""
+    doubled = read_events_stream(spark, sf_dir).unionAll(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def stream_events_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: per-micro-batch batch-DataFrame callback —
+    the escape hatch for sinks Structured Streaming lacks natively
+    (JDBC upserts, multi-table writes...). Here each micro-batch is
+    appended to a parquet directory; the checkpoint makes the whole
+    pipeline restartable (exactly-once per batch id)."""
+    stream = read_events_stream(spark, sf_dir)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count via applyInPandasWithState — the
     generic custom-stateful-operator capability (state persists across

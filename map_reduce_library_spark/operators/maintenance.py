@@ -1,0 +1,80 @@
+"""Table-maintenance operators for a file-based lakehouse layout:
+small-file compaction and snapshot upsert (merge).
+
+The reference has no persistent storage at all (everything lives in
+RAM for one job — SURVEY.md §1.1), so these are pure extensions, but
+they are load-bearing for the 100-TB story: streaming ingest and
+per-batch writes produce many small files, and parquet has no MERGE —
+both problems every production pipeline must solve.
+
+Scale stance:
+- Compaction sizes the output by *bytes*, not file count, so the same
+  call works at any sf; the rewrite is one wide scan + round-robin
+  repartition (no shuffle key, no skew) + columnar write.
+- Upsert is one shuffle-free-on-the-small-side anti join: the delta is
+  usually tiny relative to the base, so Spark broadcasts the delta's
+  keys; the base is scanned once and never shuffled.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_dir_bytes(path: str) -> int:
+    p = urlparse(path)
+    root = p.path if p.scheme in ("", "file") else None
+    if root is None or not os.path.isdir(root):
+        return 0
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Rewrite a parquet directory into ~target_file_bytes files.
+
+    File count is derived from the *source bytes on disk* (compressed
+    columnar size — the right estimator for the compacted output,
+    unlike row counts). On non-local filesystems where the cheap local
+    stat is unavailable, falls back to a single output file per
+    shuffle partition via AQE coalescing.
+    """
+    df = spark.read.parquet(src_dir)
+    total = _local_dir_bytes(src_dir)
+    if total > 0:
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir)
+
+
+def snapshot_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE semantics on plain DataFrames: rows of ``updates`` replace
+    base rows sharing the same key; unmatched update rows are inserts.
+
+    Plan: anti-join the base against the update keys (delta keys are
+    small → broadcast; the base is never shuffled), then union the
+    updates back in. Equivalent to
+    ``MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for
+    whole-row updates."""
+    survivors = base.join(
+        updates.select(*key_cols).dropDuplicates(key_cols),
+        key_cols,
+        "left_anti",
+    )
+    return survivors.unionByName(updates)

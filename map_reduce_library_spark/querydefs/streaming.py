@@ -120,6 +120,46 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join_counts",
+    oracle="""
+    SELECT c_mktsegment, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer), then aggregated — the standard streaming
+    enrichment topology. The static side needs no watermark and is
+    broadcast into every micro-batch, so the join adds no shuffle and
+    no state; only the downstream groupBy keeps state."""
+    import uuid
+
+    from map_reduce_library_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = f"streamstatic_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "sessionize_events",
     oracle=f"""
     WITH g AS (

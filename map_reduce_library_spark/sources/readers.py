@@ -65,3 +65,10 @@ def write_read_json(df: DataFrame, path: str) -> DataFrame:
 def write_read_parquet(df: DataFrame, path: str) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_read_orc(df: DataFrame, path: str) -> DataFrame:
+    """ORC round-trip — the other columnar format Spark ships a
+    vectorized reader for; schema travels with the file like parquet."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

@@ -21,6 +21,10 @@ def test_streaming_dedup_survivors_equal_original(spark):
     assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
 
 
+def test_stream_static_join_counts_oracle(spark):
+    assert_oracle_match(spark, "stream_static_join_counts")
+
+
 def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")

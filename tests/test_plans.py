@@ -43,3 +43,33 @@ def test_no_cartesian_products_in_relational_corpus(spark):
         "min_cost_per_part",
     ]:
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_q7_volume_shipping_broadcasts_all_dims(spark):
+    p = _plan(spark, "volume_shipping")
+    # nation/supplier/customer chains broadcast; the only shuffle join
+    # is lineitem⋈orders.
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q8_market_share_no_cartesian_all_dims_broadcast(spark):
+    p = _plan(spark, "market_share")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q17_joinback_shuffles_on_partkey(spark):
+    p = _plan(spark, "small_quantity_revenue")
+    assert "hashpartitioning(l_partkey" in p
+
+
+def test_q20_supplier_semi_join_is_broadcast(spark):
+    p = _plan(spark, "promo_part_suppliers")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_q11_single_row_total_is_broadcast_not_shuffled(spark):
+    p = _plan(spark, "important_part_value")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

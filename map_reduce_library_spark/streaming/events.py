@@ -151,6 +151,80 @@ def stream_events_to_parquet(
     q.awaitTermination()
 
 
+def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful-processing API): ValueState holding
+    (count, value_sum) per user, updated across micro-batches. The
+    successor to ``applyInPandasWithState`` — typed state handles,
+    timers, and TTL — exercised here with the same per-key running
+    aggregation so both APIs are covered by one batch-equivalence
+    check.
+
+    State is O(distinct users); the value sum is accumulated in
+    integer micro-units (value × 1e6 rounded) so cross-batch float
+    accumulation order cannot change the result.
+
+    Runtime dependency: the transformWithState runner speaks protobuf
+    to the JVM state server — environments without ``protobuf``
+    installed crash at runner init (the test importorskips on it;
+    ``applyInPandasWithState``/``sessionize_stateful`` is the
+    dependency-free fallback covering the same capability)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, value_micros bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._state.get()
+            n, micros = (0, 0) if st is None else st
+            for pdf in rows:
+                n += len(pdf)
+                micros += int((pdf["value"] * 1_000_000).round().sum())
+            self._state.update((n, micros))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_micros": [micros],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = read_events_stream(spark, sf_dir)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, value_micros bigint",
+        outputMode="update",
+        timeMode="none",
+    )
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Last update per user wins across micro-batches.
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_micros").alias("value_micros"),
+        )
+    )
+
+
 def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count via applyInPandasWithState — the
     generic custom-stateful-operator capability (state persists across

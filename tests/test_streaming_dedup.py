@@ -33,3 +33,33 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
     want = load_table(spark, SF_SMOKE, "events")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_transform_with_state_matches_batch(spark):
+    # transformWithStateInPandas runs a protobuf-speaking Python
+    # driver worker; without protobuf the runner crashes at init.
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from map_reduce_library_spark.streaming.events import (
+        running_user_totals_tws,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.user_id: (r.n_events, r.value_micros)
+        for r in running_user_totals_tws(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.user_id: (r.n_events, r.value_micros)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "value_micros"
+            ),
+        )
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Streaming ingest pipeline: continuous arrival → deduplicated,
+enriched, compacted storage — the online half of the training-data
+story (the batch half is training_data_pipeline.py).
+
+    event stream (file source here; kafka in production)
+      → dedup          (dropDuplicatesWithinWatermark — state bounded
+                        by the watermark horizon)
+      → enrich         (stream-static broadcast join against the
+                        customer dimension)
+      → foreachBatch   (append each micro-batch to parquet, partitioned
+                        by event_type; checkpointed = restartable)
+      → compact        (periodic small-file compaction of the landing
+                        zone — the maintenance job every streaming
+                        sink needs)
+
+Usage: python examples/streaming_ingest_pipeline.py OUT_DIR [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from map_reduce_library_spark.operators.maintenance import (  # noqa: E402
+    compact_parquet,
+)
+from map_reduce_library_spark.streaming.events import (  # noqa: E402
+    read_events_stream,
+)
+from map_reduce_library_spark.tables import load_table  # noqa: E402
+
+
+def run(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    landing = f"{out_dir}/landing"
+    ckpt = f"{out_dir}/ckpt"
+    compacted = f"{out_dir}/compacted"
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark(
+        "ts", "2 hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = deduped.join(
+        F.broadcast(dim), deduped.user_id == dim.c_custkey
+    ).drop("c_custkey")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").partitionBy("event_type").parquet(landing)
+
+    q = (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return compact_parquet(spark, landing, compacted)
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/streaming_ingest_out"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    from map_reduce_library_spark.session import get_session
+
+    spark = get_session(app_name="streaming-ingest-example")
+    result = run(spark, sf_dir, out_dir)
+    print(f"rows landed+compacted: {result.count()}")
+    result.groupBy("event_type").count().show()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,3 +34,62 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
+
+
+@register("hll_sketch_rollup_daily")  # rows-only: sketch bytes are engine-specific
+def hll_sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch hypertable rollup: hourly Datasketches-HLL
+    sketches of distinct users, merged (NOT recomputed) into daily
+    estimates via hll_union_agg. This is the scale path the exact
+    variant (``hypertable_rollup_daily``, set-union of values) cannot
+    take at 100 TB: sketch state is ~KB per bucket regardless of
+    cardinality, and merging is associative — the defining property a
+    continuous-aggregate / multi-resolution store needs.
+
+    tests/test_approx.py bounds the estimates against exact distinct
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(False))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(F.col("day").cast("timestamp").alias("day"), "approx_users", "n_hours")
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS cnt
+    FROM tok, tot
+    GROUP BY token, n
+    HAVING COUNT(*) * 50 > n
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (support > 1/50 of all tokens) via the
+    two-level count/threshold plan — the ground truth that the
+    sketch-based ``freq_items`` path (test-checked superset guarantee)
+    approximates at scale with constant memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 50 > F.col("n"))
+        .select("token", "cnt")
+    )

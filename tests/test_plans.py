@@ -73,3 +73,48 @@ def test_q11_single_row_total_is_broadcast_not_shuffled(spark):
     p = _plan(spark, "important_part_value")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When a selective filter sits on one side of a shuffle join,
+    Spark injects a runtime bloom filter (bloom_filter_agg /
+    might_contain) on the other side's scan — row-level semi-join
+    pushdown without bucketing. Broadcast joins don't need it (the
+    filter rides the broadcast), so broadcast is disabled to pin the
+    shuffle-join path the 100-TB fact⋈fact case hits."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.tables import load_table
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_CORRECTNESS, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,5 +1,10 @@
 """Relational corpus, part 7: TPC-H Q4/Q12/Q14 shapes — EXISTS
-aggregation, CASE-sum over a join, ratio-of-sums."""
+aggregation, CASE-sum over a join, ratio-of-sums.
+
+Reference capability anchor: joins/subqueries are ABSENT from the
+reference's single-input API (/root/reference/MapReduceFramework.h:43-46);
+this module is part of the declarative extension corpus (SURVEY.md §2D).
+"""
 
 from __future__ import annotations
 

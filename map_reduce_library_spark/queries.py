@@ -55,3 +55,4 @@ from map_reduce_library_spark.querydefs import streaming  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import approx  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import temporal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import pipeline  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import relational10  # noqa: E402,F401

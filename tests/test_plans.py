@@ -118,3 +118,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_edit_distance_join_is_blocked_not_cartesian(spark):
+    # the pairwise comparison must ride the blocking key as an
+    # equi-join; a cartesian/BNLJ here would be quadratic at scale
+    p = _plan(spark, "edit_distance_near_dups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gap_fill_broadcasts_bounded_daily_aggregate(spark):
+    # the per-day aggregate is calendar-bounded -> must broadcast
+    p = _plan(spark, "gap_fill_daily_revenue")
+    assert "BroadcastHashJoin" in p
+
+
+def test_null_safe_join_stays_broadcast(spark):
+    # eqNullSafe must not fall back to a nested-loop plan
+    p = _plan(spark, "null_safe_join_counts")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p

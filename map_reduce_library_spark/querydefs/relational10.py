@@ -122,6 +122,79 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_window_7d",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(v) OVER w AS DOUBLE) AS trail_value_7d,
+           COUNT(*) OVER w AS n_events_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-7-day value sum and
+    event count, ordered by event time.  The frame is defined in epoch
+    microseconds so RANGE arithmetic is engine-portable; values sum as
+    exact decimals (order-independent) and only the final result drops
+    to double.  Partitioned by user — one shuffle, then a single
+    in-partition sort serves both window functions."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).cast("double").alias("trail_value_7d"),
+        F.count(F.lit(1)).over(w).alias("n_events_7d"),
+    )
+
+
+@register(
+    "correlated_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + self-join): orders priced >1.5x their own customer's
+    average.  The inner average is an exact decimal sum divided as
+    IEEE double, so the threshold compare is bit-identical across
+    engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
     "null_safe_join_counts",
     oracle="""
     WITH n AS (SELECT n_name, nullif(n_nationkey, 0) AS nk FROM nation),

@@ -139,3 +139,20 @@ def test_null_safe_join_stays_broadcast(spark):
     p = _plan(spark, "null_safe_join_counts")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_trailing_window_single_shuffle_one_sort(spark):
+    # both window functions share one (partitionBy user, orderBy us)
+    # spec -> exactly one exchange feeding one Window operator
+    p = _plan(spark, "trailing_window_7d")
+    assert p.count("Window") >= 1
+    assert p.count("Exchange") == 1
+
+
+def test_correlated_subquery_decorrelates_to_join(spark):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + equi-join, never a per-row nested-loop re-execution
+    p = _plan(spark, "correlated_above_customer_avg")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p

@@ -8,6 +8,8 @@ QUERIES = [
     "edit_distance_near_dups",
     "gap_fill_daily_revenue",
     "null_safe_join_counts",
+    "trailing_window_7d",
+    "correlated_above_customer_avg",
 ]
 
 
@@ -52,3 +54,21 @@ def test_edit_distance_pairs_are_ordered_and_thresholded(spark):
     assert rows, "sf0.01 documents contain near-dup pairs under the block"
     assert all(r["doc_id_a"] < r["doc_id_b"] for r in rows)
     assert all(0 <= r["lev_dist"] <= 40 for r in rows)
+
+
+def test_trailing_window_monotone_count_within_burst(spark):
+    """n_events_7d counts every event in the trailing week including
+    the current row, so it is >= 1 everywhere and equals the full
+    per-user prefix count whenever the user's history fits in 7 days."""
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    rows = Q["trailing_window_7d"](spark, SF_CORRECTNESS).collect()
+    assert all(r["n_events_7d"] >= 1 for r in rows)
+
+
+def test_correlated_threshold_filters_strictly(spark):
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    df = Q["correlated_above_customer_avg"](spark, SF_CORRECTNESS)
+    total = df.count()
+    assert 0 < total  # some orders beat 1.5x their customer average

@@ -56,3 +56,4 @@ from map_reduce_library_spark.querydefs import approx  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import temporal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import pipeline  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational10  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import cogroup  # noqa: E402,F401

@@ -55,16 +55,31 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.size(F.split("text", " ", -1)) / _BAND_TOKENS).alias("band"),
     )
     a, c = b.alias("a"), b.alias("c")
+    # The <=threshold filter is computed with the *banded* O(k.n)
+    # levenshtein (threshold arg): it aborts as soon as the running
+    # minimum exceeds k, which is 5-10x cheaper than the full DP on the
+    # mostly-dissimilar in-block pairs.  Catalyst pushes this predicate
+    # into the join condition, where it runs interpreted (non-codegen),
+    # so the cheap |len diff| pre-filter matters too.  Result set is
+    # identical to full levenshtein <= k: the banded variant returns
+    # the exact distance when <= k and -1 otherwise.
     return (
         a.join(
             c,
             (F.col("a.lang") == F.col("c.lang"))
             & (F.col("a.tok0") == F.col("c.tok0"))
             & (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+            & (F.col("a.doc_id") < F.col("c.doc_id"))
+            & (
+                F.abs(F.length("a.text") - F.length("c.text"))
+                <= _LEV_THRESHOLD
+            ),
         )
-        .withColumn("lev_dist", F.levenshtein(F.col("a.text"), F.col("c.text")))
-        .where(F.col("lev_dist") <= _LEV_THRESHOLD)
+        .withColumn(
+            "lev_dist",
+            F.levenshtein(F.col("a.text"), F.col("c.text"), _LEV_THRESHOLD),
+        )
+        .where(F.col("lev_dist") >= 0)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("c.doc_id").alias("doc_id_b"),

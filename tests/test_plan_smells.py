@@ -1,0 +1,93 @@
+"""Corpus-wide plan-smell audit: every declared query's physical plan
+must be free of the patterns that do not survive a 100x scale-up.
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: quadratic row
+  pairing.  Only the deliberately-quadratic ground-truth variant
+  (``ngram_jaccard_pairs``, excluded from the bench headline for the
+  same reason) may contain one.
+- ``BatchEvalPython``: row-at-a-time (pickle-per-row) Python UDF
+  execution.  All Python on the hot path must go through Arrow
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``),
+  a 10-100x serialization difference.
+"""
+
+from conftest import SF_CORRECTNESS
+
+from map_reduce_library_spark.queries import QUERIES
+
+# Ground-truth-only variant: exact all-pairs Jaccard, kept as the
+# oracle for the LSH scale path; quadratic by construction.
+ALLOWED_QUADRATIC = {"ngram_jaccard_pairs"}
+
+# Queries that attach a GLOBAL scalar (grand total, corpus size) to
+# every row: Spark plans that as a BroadcastNestedLoopJoin whose build
+# side is a single-row ungrouped aggregate — constant-size broadcast,
+# linear work, the right plan at any scale.
+ALLOWED_SCALAR_ATTACH = {
+    "global_sales_opportunity",
+    "important_part_value",
+    "heavy_hitter_tokens",
+}
+
+# Brute-force similarity baselines: a BOUNDED query-vector set (pushed
+# `vec_id < k` filter) broadcast against the candidate corpus — work is
+# (constant k) x candidates, i.e. linear in the big side.  The LSH/IVF
+# variants are the unbounded-query scale path.
+ALLOWED_BOUNDED_BROADCAST = {
+    "cosine_topk",
+    "ivf_ann_topk",
+}
+
+# Deliberate all-pairs cosine (SCALE.md §3): inherently quadratic in
+# the corpus, blocked into B=1024-vector tiles so the nested loop runs
+# over n/B block rows feeding O(B²d) BLAS kernels — the join must pair
+# block AGGREGATES, never raw vectors.
+ALLOWED_BLOCK_PAIR = {"embedding_cosine_dups"}
+
+
+def _build_is_scalar(plan: str) -> bool:
+    return "keys=[]" in plan or "LocalTableScan" in plan
+
+
+def _build_is_bounded_broadcast(plan: str) -> bool:
+    # broadcast build (never a shuffled nested loop) over a
+    # filter-bounded scan of the query vectors
+    return "IdentityBroadcastMode" in plan and "LessThan(vec_id" in plan
+
+
+def test_corpus_wide_no_plan_smells(spark):
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, SF_CORRECTNESS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        smells = []
+        if name not in ALLOWED_QUADRATIC:
+            if "CartesianProduct" in plan:
+                smells.append("CartesianProduct")
+            if "BroadcastNestedLoopJoin" in plan:
+                ok = (
+                    (
+                        name in ALLOWED_SCALAR_ATTACH
+                        and _build_is_scalar(plan)
+                    )
+                    or (
+                        name in ALLOWED_BOUNDED_BROADCAST
+                        and _build_is_bounded_broadcast(plan)
+                    )
+                    or (
+                        name in ALLOWED_BLOCK_PAIR
+                        and "collect_list" in plan
+                        and "MapInPandas" in plan
+                    )
+                )
+                if not ok:
+                    smells.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            smells.append("BatchEvalPython(row-at-a-time)")
+        if smells:
+            offenders[name] = smells
+    assert not offenders, f"plan smells: {offenders}"

@@ -86,3 +86,42 @@ def pack_sequences(
         "seq_bin",
         F.floor((cum - F.col(tokens_col)) / budget).cast("bigint"),
     )
+
+
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach named aggregate metrics to a plan via ``df.observe`` —
+    they are computed DURING the next action as accumulator updates,
+    costing zero extra passes over the data.  This is how a 100-TB
+    pipeline stage reports row counts / null rates / quality averages
+    without re-scanning its input: ``obs.get`` blocks until the first
+    action finishes, then returns the metric dict.
+
+    The reference's progress facility exposes work completed per phase
+    (`/root/reference/MapReduceFramework.cpp:372-380`); ``observe`` is
+    the Spark-native generalization to arbitrary per-stage aggregates.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs
+
+
+def quality_gate_metrics(df: DataFrame, text_col: str = "text"):
+    """Standard observed metrics for a document-cleaning stage: input
+    rows, null/empty texts, and mean document length."""
+    return observe_metrics(
+        df,
+        "quality_gate",
+        {
+            "rows": F.count(F.lit(1)),
+            "null_or_empty": F.sum(
+                (
+                    F.col(text_col).isNull()
+                    | (F.length(text_col) == 0)
+                ).cast("long")
+            ),
+            "mean_chars": F.avg(F.length(text_col)),
+        },
+    )

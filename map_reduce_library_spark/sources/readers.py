@@ -72,3 +72,15 @@ def write_read_orc(df: DataFrame, path: str) -> DataFrame:
     vectorized reader for; schema travels with the file like parquet."""
     df.write.mode("overwrite").orc(path)
     return df.sparkSession.read.orc(path)
+
+
+def write_read_xml(df: DataFrame, path: str, row_tag: str = "row") -> DataFrame:
+    """XML round-trip (Spark 4 built-in source). Schemaless on disk
+    like CSV/JSON, so reading back re-applies the writer's schema."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .load(path)
+    )

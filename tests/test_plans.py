@@ -156,3 +156,21 @@ def test_correlated_subquery_decorrelates_to_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Per-join physical-strategy control: hints force SMJ /
+    shuffled-hash / broadcast regardless of size estimates — the
+    escape hatch when stats mislead the planner at scale."""
+    o = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet")
+    c = spark.read.parquet(f"{SF_CORRECTNESS}/customer.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    j = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan(j)
+    j = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan(j)
+    j = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan(j)

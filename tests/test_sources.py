@@ -12,6 +12,7 @@ from map_reduce_library_spark.sources.readers import (
     write_read_csv,
     write_read_json,
     write_read_parquet,
+    write_read_xml,
 )
 
 
@@ -55,6 +56,7 @@ def test_format_round_trips(spark, tmp_path):
         ("csv", write_read_csv),
         ("json", write_read_json),
         ("parquet", write_read_parquet),
+        ("xml", write_read_xml),
     ]:
         back = fn(df, str(tmp_path / name))
         assert sorted(tuple(r) for r in back.collect()) == want, name

@@ -33,6 +33,7 @@ from map_reduce_library_spark.operators.dedup import (  # noqa: E402
 )
 from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
     deterministic_split,
+    observe_metrics,
     pack_sequences,
 )
 from map_reduce_library_spark.operators.text import (  # noqa: E402
@@ -48,16 +49,28 @@ PACK_BUDGET = 2048
 
 def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
 
-    # 1. quality gate
-    stats = text_stats(docs)
+    # 1. quality gate — input size, pass count, and mean quality are
+    # observed DURING the gate's own action (no extra scans)
+    stats, gate_obs = observe_metrics(
+        text_stats(docs),
+        "quality_gate",
+        {
+            "rows": F.count(F.lit(1)),
+            "passed": F.sum(
+                (F.col("quality_score") >= QUALITY_MIN).cast("long")
+            ),
+            "mean_quality": F.avg("quality_score"),
+        },
+    )
     good = docs.join(
         stats.where(F.col("quality_score") >= QUALITY_MIN).select("doc_id"),
         "doc_id",
         "left_semi",
     )
     n_good = good.count()
+    gate = gate_obs.get  # filled by the count() action above
+    n_raw = int(gate["rows"])
 
     # 2. exact dedup (keep min-id representative)
     reps = exact_dedup(good).select(F.col("doc_id"))
@@ -95,6 +108,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     }
     return {
         "raw": n_raw,
+        "mean_quality": round(float(gate["mean_quality"]), 4),
         "after_quality": n_good,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,

@@ -46,9 +46,9 @@ from map_reduce_library_spark.querydefs import relational7  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational8  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational9  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import extensibility  # noqa: E402,F401
-from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401
-from map_reduce_library_spark.querydefs import similarity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import text  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401  (needs text's oracle)
+from map_reduce_library_spark.querydefs import similarity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import mapreduce_parity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import multimodal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import streaming  # noqa: E402,F401

@@ -225,3 +225,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return connected_components(minhash_lsh_pairs(docs))
+
+
+def _keep_best_oracle() -> str:
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT src AS node, src AS label FROM und
+      UNION
+      SELECT u.dst AS node, cc.label
+      FROM cc JOIN und u ON cc.node = u.src
+      WHERE cc.label < u.dst
+    ),
+    clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM cc GROUP BY node),
+    q AS (SELECT doc_id, quality_score FROM ({ORACLES["text_stats"]})),
+    j AS (SELECT c.cluster_id, c.doc_id, q.quality_score
+          FROM clusters c JOIN q USING (doc_id)),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality_score DESC, doc_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+    SELECT cluster_id, doc_id AS best_doc_id,
+           quality_score AS best_quality, n_members
+    FROM r WHERE rn = 1
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup step: within each near-dup cluster, keep the
+    highest-quality document (quality ties broken by lowest doc_id).
+    Composition of three corpus operators — LSH candidate pairs →
+    connected components → quality argmax — so the oracle composes the
+    same pieces: the recursive-CTE clusters joined to the text_stats
+    quality subquery.  One extra shuffle (cluster_id window) on a
+    relation already reduced to clustered docs only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from map_reduce_library_spark.operators.dedup import (
+        connected_components,
+    )
+    from map_reduce_library_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = connected_components(minhash_lsh_pairs(docs))
+    quality = text_stats(docs).select("doc_id", "quality_score")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("quality_score").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -238,3 +238,47 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("ck").isNull()).alias("key_was_null"),
         )
     )
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+             'orders' AS src
+      FROM orders
+      UNION ALL BY NAME
+      SELECT event_id AS id, event_type AS etype, 'events' AS src
+      FROM events
+    )
+    SELECT src, count(*) AS n_rows, count(amount) AS n_amount,
+           count(etype) AS n_etype
+    FROM u GROUP BY src
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two relations with partially-overlapping
+    columns combined by NAME (missing columns null-filled) — Spark
+    ``unionByName(allowMissingColumns=True)`` == DuckDB ``UNION ALL BY
+    NAME``.  The per-source non-null counts prove the fill pattern.
+    This is the append path when a 100-TB table gains columns over
+    time: no rewrite of old shards, readers reconcile by name."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+        F.lit("orders").alias("src"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("etype"),
+        F.lit("events").alias("src"),
+    )
+    return (
+        o.unionByName(e, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("amount").alias("n_amount"),
+            F.count("etype").alias("n_etype"),
+        )
+    )

@@ -209,3 +209,58 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE dynamic session windows (``F.session_window``)
+    in batch mode: one groupBy does the gap-merge and the aggregate —
+    no window-function pass, no island bookkeeping.  Boundary
+    semantics: an event exactly ``gap`` after its predecessor starts a
+    NEW session (window ends are exclusive), hence the ``>=`` in the
+    lag-based oracle — one tick stricter than ``sessionize_events``'s
+    ``>``.  session_end = last event + gap (union of half-open
+    per-event windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

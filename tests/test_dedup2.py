@@ -27,3 +27,28 @@ def test_clusters_are_consistent_with_pairs(spark):
         assert clusters[a] == clusters[b], (a, b)
     for node, label in clusters.items():
         assert label <= node  # min-id representative
+
+
+def test_dedup_keep_best_oracle(spark):
+    assert_oracle_match(spark, "dedup_keep_best")
+
+
+def test_dedup_keep_best_picks_top_quality(spark):
+    """The chosen representative has the max quality score among its
+    cluster's members (doc_id breaks ties)."""
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    best = {
+        r["cluster_id"]: r
+        for r in Q["dedup_keep_best"](spark, SF_CORRECTNESS).collect()
+    }
+    assert best, "sf0.01 corpus has near-dup clusters"
+    members = Q["dedup_clusters"](spark, SF_CORRECTNESS).collect()
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for m in members:
+        by_cluster[m["cluster_id"]].append(m["doc_id"])
+    for cid, r in best.items():
+        assert r["best_doc_id"] in by_cluster[cid]
+        assert r["n_members"] == len(by_cluster[cid])

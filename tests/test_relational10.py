@@ -10,6 +10,7 @@ QUERIES = [
     "null_safe_join_counts",
     "trailing_window_7d",
     "correlated_above_customer_avg",
+    "union_by_name_evolution",
 ]
 
 

@@ -16,6 +16,32 @@ def test_sessionize_events_oracle(spark):
     assert_oracle_match(spark, "sessionize_events")
 
 
+def test_session_window_native_oracle(spark):
+    assert_oracle_match(spark, "session_window_native")
+
+
+def test_session_window_matches_island_sessionization_counts(spark):
+    """Native session_window and the lag+cumsum sessionization agree on
+    the number of sessions per user up to the gap-boundary semantics
+    (>= vs >); with no exact-gap ties in the corpus they are equal."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.queries import QUERIES as Q
+    from conftest import SF_CORRECTNESS
+
+    native = (
+        Q["session_window_native"](spark, SF_CORRECTNESS)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    island = (
+        Q["sessionize_events"](spark, SF_CORRECTNESS)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = native.alias("a").join(island.alias("b"), "user_id")
+    # sessions can only split (never merge) under the stricter boundary
+    assert joined.where(F.col("a.n") < F.col("b.n")).count() == 0
+
+
 def test_stateful_counts_match_batch(spark):
     got = {
         r.user_id: r.n_events

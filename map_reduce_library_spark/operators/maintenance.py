@@ -22,7 +22,8 @@ import math
 import os
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _local_dir_bytes(path: str) -> int:
@@ -78,3 +79,51 @@ def snapshot_upsert(
         "left_anti",
     )
     return survivors.unionByName(updates)
+
+
+def _morton_spread(c: Column) -> Column:
+    """Spread a 31-bit int's bits to even positions (0,2,...,60) via
+    the standard 2-D mask-shift cascade — pure JVM bit ops,
+    codegen-able."""
+    c = c.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_key(x: Column | str, y: Column | str) -> Column:
+    """64-bit Morton (Z-order) key interleaving two non-negative
+    31-bit dimensions: bit i of x lands at position 2i, bit i of y at
+    2i+1.  Rows close in BOTH dimensions get nearby keys, so sorting
+    by the key clusters 2-D neighborhoods into the same files — parquet
+    min/max stats then skip most files for a 2-D box predicate, which
+    a 1-D sort can only do for its leading column."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return _morton_spread(cx.cast("bigint")).bitwiseOR(
+        F.shiftleft(_morton_spread(cy.cast("bigint")), 1)
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame, x: str, y: str, path: str, files: int = 16
+) -> None:
+    """Rewrite ``df`` Z-order-clustered on (x, y): range-partition by
+    the Morton key (balanced output files), sort within partitions,
+    write parquet.  A maintenance pass, like ``compact_parquet`` —
+    at 100 TB it runs per-partition and only one shuffle (the range
+    exchange) regardless of file count."""
+    keyed = df.withColumn("_zk", zorder_key(x, y))
+    (
+        keyed.repartitionByRange(files, "_zk")
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -282,3 +282,34 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("etype").alias("n_etype"),
         )
     )
+
+
+@register(
+    "try_cast_gauntlet",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(split_part(text, ' ', 1) AS BIGINT) AS word_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS chars_roundtrip,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+           TRY_CAST(NULL AS BIGINT) AS null_passthrough
+    FROM documents
+    """,
+)
+def try_cast_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casts over messy strings: Spark 4 runs ANSI mode by
+    default, where a plain CAST of malformed input FAILS THE JOB — on
+    a 100-TB corpus with inevitable dirty rows, ``try_cast`` (NULL on
+    malformed, identical to DuckDB ``TRY_CAST``) is the ingestion
+    contract.  Words cast to NULL, numeric round-trips survive."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("bigint")
+        .alias("word_as_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias(
+            "chars_roundtrip"
+        ),
+        F.col("lang").try_cast("double").alias("lang_as_double"),
+        F.lit(None).try_cast("bigint").alias("null_passthrough"),
+    )

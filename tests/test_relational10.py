@@ -11,6 +11,7 @@ QUERIES = [
     "trailing_window_7d",
     "correlated_above_customer_avg",
     "union_by_name_evolution",
+    "try_cast_gauntlet",
 ]
 
 

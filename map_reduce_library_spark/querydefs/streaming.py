@@ -264,3 +264,39 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE (state-store
+    merged across micro-batches, availableNow-bounded) — same oracle as
+    the batch ``session_window_native``; parity proves the stateful
+    merge is exact."""
+    from map_reduce_library_spark.streaming.events import (
+        streaming_session_windows,
+    )
+
+    return streaming_session_windows(spark, sf_dir)

@@ -269,3 +269,49 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native ``session_window`` aggregation in STREAMING mode: the
+    state store carries open sessions between micro-batches and merges
+    windows as events arrive; gap-expired sessions stop growing.
+    Complete output mode + availableNow bounds the run and emits every
+    session, so the result equals the batch ``session_window_native``
+    query exactly — the strongest possible batch/stream parity check.
+
+    At scale the state is bounded by OPEN sessions only (append mode +
+    watermark evicts closed ones); with the RocksDB state store
+    provider the per-executor state spills off-heap instead of living
+    on the JVM heap.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

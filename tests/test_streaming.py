@@ -56,3 +56,35 @@ def test_stateful_counts_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_oracle(spark):
+    assert_oracle_match(spark, "streaming_session_window")
+
+
+def test_streaming_session_window_rocksdb_state_store(spark):
+    """Same streaming session aggregation under the RocksDB state
+    store provider (off-heap state — the bounded-memory configuration
+    for unbounded streams) must produce identical sessions."""
+    from conftest import SF_CORRECTNESS, rows_multiset
+
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = Q["streaming_session_window"](spark, SF_CORRECTNESS)
+    want = rows_multiset(default.columns, [tuple(r) for r in default.collect()])
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = Q["streaming_session_window"](spark, SF_CORRECTNESS)
+        got = rows_multiset(rocks.columns, [tuple(r) for r in rocks.collect()])
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == want

@@ -313,3 +313,42 @@ def try_cast_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").try_cast("double").alias("lang_as_double"),
         F.lit(None).try_cast("bigint").alias("null_passthrough"),
     )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk FROM customer),
+    s AS (SELECT s_nationkey AS nk FROM supplier),
+    ia AS (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s),
+    ea AS (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s),
+    i AS (SELECT nk, count(*) AS n FROM ia GROUP BY nk),
+    e AS (SELECT nk, count(*) AS n FROM ea GROUP BY nk)
+    SELECT coalesce(i.nk, e.nk) AS nationkey,
+           coalesce(i.n, 0) AS n_intersect_all,
+           coalesce(e.n, 0) AS n_except_all
+    FROM i FULL JOIN e ON i.nk = e.nk
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: INTERSECT ALL keeps min(multiplicity)
+    per value, EXCEPT ALL the multiplicity difference — the multiset
+    laws a distinct-based rewrite gets wrong.  Per-nation counts of
+    both prove multiplicities, not just membership."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    i = c.intersectAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("ni"))
+    e = c.exceptAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        i.withColumnRenamed("nk", "ink")
+        .join(e, F.col("ink") == F.col("nk"), "full_outer")
+        .select(
+            F.coalesce("ink", "nk").alias("nationkey"),
+            F.coalesce("ni", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("ne", F.lit(0)).alias("n_except_all"),
+        )
+    )

@@ -74,7 +74,9 @@ def test_corpus_results_invariant_to_shuffle_partitions(spark):
     from map_reduce_library_spark.queries import QUERIES
 
     names = ["pricing_summary", "minhash_lsh_pairs", "sessionize_events",
-             "window_user_running"]
+             "window_user_running", "session_window_native",
+             "trailing_window_7d", "edit_distance_near_dups",
+             "set_ops_bag_semantics"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:

@@ -12,6 +12,7 @@ QUERIES = [
     "correlated_above_customer_avg",
     "union_by_name_evolution",
     "try_cast_gauntlet",
+    "set_ops_bag_semantics",
 ]
 
 

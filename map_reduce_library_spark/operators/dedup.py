@@ -330,13 +330,44 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
 
-    for _ in range(max_iters):
-        # One hop per convergence check. (Measured: a two-hop variant
-        # — propagate(propagate(l)) per action — was SLOWER at sf0.1,
-        # 6.6s vs 4.4s: near-dup graphs converge in 1-2 hops, so the
-        # deeper per-action plan costs more than the saved round-trip.
-        # On deep-diameter graphs, flip to multi-hop.)
-        new_labels = propagate(labels).cache()
+    def compress(lbls: DataFrame) -> DataFrame:
+        # Pointer jumping: each node also adopts its LABEL's label,
+        # doubling the hop distance covered per round — O(log diameter)
+        # convergence on deep graphs.
+        via = lbls.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        return (
+            lbls.join(via, lbls.label == via.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", "label")
+                ).alias("label"),
+            )
+        )
+
+    # Rounds 0-2 are plain one-hop propagation: near-dup graphs are
+    # shallow (duplicates of a common source) and converge here, and
+    # the extra compression join measurably loses on them (the earlier
+    # two-hop experiment: 6.6s vs 4.4s at sf0.1).  From round 3 on,
+    # compression kicks in so a diameter-D component needs only
+    # ~3 + log2(D) rounds instead of D — max_iters=25 then covers any
+    # graph that fits in storage, and exhaustion is a hard error, not
+    # a silent wrong answer.
+    compress_after = 3
+    converged = False
+    for i in range(max_iters):
+        new_labels = propagate(labels)
+        if i >= compress_after:
+            new_labels = compress(new_labels)
+        # localCheckpoint (not cache): compression references the
+        # previous round TWICE, so the logical plan would double every
+        # round — lineage must be CUT, not just the computation
+        # memoized, or plan analysis itself OOMs after ~10 rounds.  On
+        # a fault-tolerant cluster run, swap for reliable checkpoint()
+        # with a checkpoint dir (localCheckpoint dies with an executor).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -347,8 +378,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -52,3 +52,36 @@ def test_dedup_keep_best_picks_top_quality(spark):
     for cid, r in best.items():
         assert r["best_doc_id"] in by_cluster[cid]
         assert r["n_members"] == len(by_cluster[cid])
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A path graph of diameter 79 converges via pointer jumping in
+    ~3 + log2(79) rounds — one-hop-only propagation would need 79 and
+    silently mislabel under max_iters=25."""
+    from map_reduce_library_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 80
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_when_exhausted(spark):
+    import pytest
+
+    from map_reduce_library_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)

@@ -122,3 +122,58 @@ def test_zorder_bounds_worst_case_across_query_dimensions(spark, tmp_path):
     assert touched(zpath, (F.col("x") < 16) & (F.col("y") < 16)) <= 2
     # correctness: clustering is a pure re-layout
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """partitionOverwriteMode=dynamic: an overwrite write replaces ONLY
+    the partitions present in the incoming frame — the idempotent
+    backfill primitive for a partitioned 100-TB table (static mode
+    would wipe every other partition)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, part string"
+    )
+    base.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        spark.createDataFrame(
+            [(99, "b")], "id long, part string"
+        ).write.partitionBy("part").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(key, prev if prev is not None else "static")
+
+    got = {
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"), (99, "b"), (3, "c")}
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Reading one subfield of a struct column must prune the scan to
+    that subfield (ReadSchema shows only meta.lang) — nested column
+    pruning is what keeps wide-metadata multimodal tables cheap to
+    filter."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nested")
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.struct(
+            F.lit("en").alias("lang"),
+            F.lit("x" * 100).alias("blob"),
+            (F.col("id") * 2).alias("weight"),
+        ).alias("meta"),
+    )
+    docs.write.parquet(path)
+    back = spark.read.parquet(path).select(F.col("meta.lang").alias("lang"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "lang" in schema
+    assert "blob" not in schema and "weight" not in schema

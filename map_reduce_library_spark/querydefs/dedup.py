@@ -7,6 +7,7 @@ compute identical candidates — the strongest possible differential.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.dedup import (
     LSH_BANDS,
@@ -298,4 +299,135 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_score").alias("best_quality"),
             "n_members",
         )
+    )
+
+
+@register(
+    "triangle_count_near_dup_graph",
+    oracle=f"""
+    WITH {_LSH_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE doc_a < doc_b)
+    SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration — the classic MapReduce graph workload
+    (two-round edge join), expressed as a three-way self-equi-join on
+    the ordered near-dup edge list: (a<b)⋈(b<c) closed by (a,c).
+    Ordering every edge a<b counts each triangle exactly once.  All
+    joins are shuffle equi-joins on vertex ids; fan-out is bounded by
+    vertex degree (LSH near-dup graphs are low-degree by construction
+    — see the hot-bucket cap in SCALE.md §3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        minhash_lsh_pairs(docs)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("v1"),
+            F.col("e1.b").alias("v2"),
+            F.col("e2.b").alias("v3"),
+        )
+    )
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as pure SQL: r0 is uniform
+    1/N; each r_{k+1}(v) = (1-d)/N + d * SUM(r_k(u)/deg(u)) over
+    in-neighbors u.  The undirected near-dup graph contributes each
+    edge in both directions."""
+    # MATERIALIZED: DuckDB inlines single-reference CTEs, so without it
+    # the whole LSH candidate pipeline would be recomputed inside every
+    # unrolled round (measured 17.8s -> 0.1s at sf0.01).
+    ctes = [
+        "und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED "
+        "(SELECT src AS node, count(*) AS d FROM und GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT n.node, (1 - {_PR_DAMPING}) / nn.n + "
+            f"{_PR_DAMPING} * coalesce(SUM(r.rank / deg.d), 0.0) AS rank "
+            f"FROM nodes n CROSS JOIN nn "
+            f"LEFT JOIN und u ON u.dst = n.node "
+            f"LEFT JOIN r{k} r ON r.node = u.src "
+            f"LEFT JOIN deg ON deg.node = u.src "
+            f"GROUP BY n.node, nn.n)"
+        )
+    return (
+        f"WITH {_LSH_PAIRS_CTES}, " + ", ".join(ctes) +
+        f" SELECT node AS doc_id, round(rank, 9) AS pagerank FROM r{_PR_ITERS}"
+    )
+
+
+@register("pagerank_near_dup_graph", oracle=_pagerank_oracle())
+def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 fixed iterations) over the
+    undirected LSH near-dup graph — the second classic iterative
+    MapReduce workload after connected components.  Each round is one
+    join (ranks onto edges) + one groupBy (sum contributions per
+    destination); ranks are re-broadcast implicitly by the join.  The
+    oracle is the SAME recurrence unrolled into 10 SQL CTEs, rounded
+    to 9 decimals on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct().cache()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(_PR_ITERS):
+        contribs = (
+            und.join(ranks, und.src == ranks.node)
+            .join(deg, und.src == deg.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("d")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # Each round references `ranks` exactly once, so the plan grows
+        # LINEARLY (vs connected components' double reference), and the
+        # lineage cut is a cost knob, not a correctness requirement.
+        # Measured at sf0.1: checkpoint every round 8.9s (action
+        # overhead), never 10.0s (analyzing a 50-join plan), every 3
+        # rounds is the sweet spot.
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - _PR_DAMPING) / n)
+                + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if it % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     )

@@ -85,3 +85,39 @@ def test_connected_components_raises_when_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+
+
+def test_triangle_count_oracle(spark):
+    assert_oracle_match(spark, "triangle_count_near_dup_graph")
+
+
+def test_triangle_vertices_are_ordered_and_connected(spark):
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    tris = Q["triangle_count_near_dup_graph"](spark, SF_CORRECTNESS).collect()
+    assert tris, "sf0.01 near-dup graph contains at least one triangle"
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in Q["minhash_lsh_pairs"](spark, SF_CORRECTNESS).collect()
+    }
+    for t in tris:
+        v1, v2, v3 = t["v1"], t["v2"], t["v3"]
+        assert v1 < v2 < v3
+        for e in [(v1, v2), (v2, v3), (v1, v3)]:
+            assert e in pairs or (e[1], e[0]) in pairs
+
+
+def test_pagerank_oracle(spark):
+    assert_oracle_match(spark, "pagerank_near_dup_graph")
+
+
+def test_pagerank_is_a_distribution_with_teleport_floor(spark):
+    from map_reduce_library_spark.queries import QUERIES as Q
+
+    rows = Q["pagerank_near_dup_graph"](spark, SF_CORRECTNESS).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pagerank"] for r in rows)
+    # symmetric graph, every node has out-links -> mass is conserved
+    assert abs(total - 1.0) < 1e-6
+    assert all(r["pagerank"] >= (1 - 0.85) / n - 1e-12 for r in rows)

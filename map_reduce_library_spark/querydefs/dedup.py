@@ -396,16 +396,19 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).distinct().cache()
-    nodes = und.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    # Every edge endpoint is a node, so the degree table IS the node
+    # set; carrying (node, d) inside the ranks relation computes
+    # rank/deg in-row and removes one join per round.
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    n = deg.count()
+    ranks = deg.withColumn("rank", F.lit(1.0 / n))
     for it in range(_PR_ITERS):
         contribs = (
             und.join(ranks, und.src == ranks.node)
-            .join(deg, und.src == deg.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("d")).alias("c"),
@@ -419,8 +422,9 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Measured at sf0.1: checkpoint every round 8.9s (action
         # overhead), never 10.0s (analyzing a 50-join plan), every 3
         # rounds is the sweet spot.
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = deg.join(contribs, "node", "left").select(
             "node",
+            "d",
             (
                 F.lit((1 - _PR_DAMPING) / n)
                 + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))

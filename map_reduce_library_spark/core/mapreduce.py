@@ -191,15 +191,23 @@ def map_reduce_df(
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             # Rows with the final key value may continue in the next
-            # batch — hold them back.
+            # batch — hold them back. NULL keys form a real group after
+            # the sort, and `== NaN` is always False, so match them
+            # null-safely or a null-key group spanning a batch boundary
+            # would be reduced twice (once per fragment).
             last_key = tuple(pdf[k].iloc[-1] for k in keys)
             is_tail = pd.Series(True, index=pdf.index)
             for k, v in zip(keys, last_key):
-                is_tail &= pdf[k] == v
+                if pd.isna(v):
+                    is_tail &= pdf[k].isna()
+                else:
+                    is_tail &= pdf[k] == v
             carry = pdf[is_tail]
             done = pdf[~is_tail]
             if len(done):
-                for _, group in done.groupby(keys, sort=False):
+                # dropna=False: a NULL key is a real group (Spark's
+                # groupBy keeps it); pandas' default would drop it.
+                for _, group in done.groupby(keys, sort=False, dropna=False):
                     yield reduce_group(group)
         if carry is not None and len(carry):
             yield reduce_group(carry)

@@ -7,7 +7,8 @@ percentage of rows (null keys, bot user_ids, empty-string documents) —
 where deterministic salting beats runtime re-planning.
 
 Both operators are pure DataFrame compositions and preserve exact
-semantics: results equal the unsalted equivalents row-for-row.
+semantics for the join types they accept: results equal the unsalted
+equivalents row-for-row.
 """
 
 from __future__ import annotations
@@ -31,7 +32,17 @@ def salted_join(
     side, which is exactly the trade you want when right ≪ left.
 
     Left-row salt derives from xxhash64 of ALL left columns (not a
-    random() — deterministic retries matter at scale)."""
+    random() — deterministic retries matter at scale).
+
+    Only ``how`` in {'inner', 'left', 'left_semi'} is legal: the right
+    side is replicated ``salt`` times, so right/full outer joins would
+    emit each unmatched right row ``salt`` times."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "the replicated right side would duplicate unmatched right "
+            "rows under right/full outer semantics"
+        )
     left_salted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )
@@ -53,9 +64,17 @@ def two_phase_agg(
     phase 2 merges the partials per key. Spark's own partial
     aggregation already does this per-task; explicit salting adds the
     cross-task split for keys hot enough to overwhelm single reducers.
-    Decimal accumulation keeps the result bit-equal to a direct sum."""
+    Decimal accumulation keeps the result bit-equal to a direct sum.
+
+    The salt hashes ALL columns (row content), never
+    monotonically_increasing_id(): a nondeterministic expression
+    upstream of a shuffle re-salts rows differently when a stage
+    retries after a fetch failure, silently double-counting or
+    dropping rows (SPARK-23207). Content-hashing keeps every retry
+    bit-identical; rows identical in all columns land in the same
+    (key, salt) partial, which is harmless for sum/count."""
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(key)) + F.monotonically_increasing_id(), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
     )
     partial = salted.groupBy(key, "__salt").agg(
         F.sum(F.col(value).cast("decimal(28,2)")).alias("__psum"),

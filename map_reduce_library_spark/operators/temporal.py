@@ -38,18 +38,29 @@ def asof_join(
     (NULL when no prior right row exists). Ties on ``ts`` resolve to
     the right row (right sorts before left at equal ts), matching
     at-or-before semantics.
+
+    The attached columns are carried as ONE struct filled with a
+    single last(ignorenulls) — filling each column independently
+    would, when the latest prior right row has a NULL in one column,
+    backfill that column from an OLDER right row, stitching together
+    columns from different rows (DuckDB/pandas ASOF attach the whole
+    row or nothing).
     """
-    lt = left.withColumn("__side", F.lit(1))
-    rt_proj = [F.col(ts), F.col(by), F.lit(0).alias("__side")] + [
-        F.col(c).alias(f"{c}{suffix}") for c in right_cols
-    ]
-    rt = right.select(*rt_proj)
+    rdt = dict(right.dtypes)
+    struct_type = "struct<" + ",".join(f"{c}:{rdt[c]}" for c in right_cols) + ">"
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "__asof", F.lit(None).cast(struct_type)
+    )
+    rt = right.select(
+        F.col(ts),
+        F.col(by),
+        F.lit(0).alias("__side"),
+        F.struct(*right_cols).alias("__asof"),
+    )
     # Align schemas for the union.
     for c in left.columns:
         if c not in (ts, by):
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    for c in right_cols:
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
 
     unioned = lt.unionByName(rt.select(*lt.columns))
     w = (
@@ -57,15 +68,16 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *[c for c in left.columns],
-        "__side",
+    filled = unioned.withColumn(
+        "__asof", F.last("__asof", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
         *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.col(f"__asof.{c}").alias(f"{c}{suffix}")
             for c in right_cols
         ],
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
 
 
 def range_join(

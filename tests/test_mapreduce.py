@@ -325,3 +325,40 @@ def test_partition_batched_reduce_matches_grouped(spark):
         for r in map_reduce_df(df, ident, med, partition_batched=True, **kw).collect()
     }
     assert fast == slow and len(fast) == 997
+
+
+def test_partition_batched_null_key_group_single_reduce(spark):
+    # NULL keys form a real group; the batched reducer must (a) keep
+    # them (pandas groupby defaults to dropna) and (b) carry them
+    # across Arrow batch boundaries null-safely (`== NaN` is False),
+    # or a null group spanning batches is reduced once per fragment.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        df = spark.range(0, 1000).selectExpr(
+            "CASE WHEN id < 300 THEN NULL ELSE id % 7 END AS k",
+            "cast(id AS double) AS v",
+        ).repartition(1)
+
+        def ident(it):
+            yield from it
+
+        def agg(pdf):
+            return pd.DataFrame(
+                {"k": [pdf["k"].iloc[0]], "n": [len(pdf)]}
+            )
+
+        out = map_reduce_df(
+            df, ident, agg,
+            intermediate_schema="k long, v double",
+            output_schema="k long, n long",
+            key_cols="k",
+            partition_batched=True,
+        ).collect()
+        rows = {(r.k, r.n) for r in out}
+        # exactly one output row for the NULL group, with the full count
+        null_rows = [r for r in out if r.k is None]
+        assert len(null_rows) == 1 and null_rows[0].n == 300
+        assert len(out) == 8  # NULL + 7 modulo groups
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

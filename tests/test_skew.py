@@ -57,3 +57,31 @@ def test_two_phase_agg_equals_direct(spark):
         (r.k, r.sum_v, r.cnt) for r in two_phase_agg(df, "k", "v", salt=8).collect()
     }
     assert got == want
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    # The replicated right side would emit each unmatched right row
+    # `salt` times under right/full outer semantics.
+    import pytest
+
+    left = _skewed_df(spark)
+    right = spark.createDataFrame([("hot", 1)], ["k", "tag"])
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", salt=8, how=how)
+
+
+def test_two_phase_agg_salt_is_deterministic(spark):
+    # The salt must be a pure function of row content (never
+    # monotonically_increasing_id): on a stage retry every row must
+    # land in the same (key, salt) partial or partials double-count.
+    df = _skewed_df(spark)
+    from map_reduce_library_spark.operators.skew import F as _F  # noqa: F401
+    from pyspark.sql import functions as SF
+
+    salted = df.withColumn(
+        "__salt", SF.pmod(SF.xxhash64(*df.columns), SF.lit(8))
+    )
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b

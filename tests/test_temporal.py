@@ -61,3 +61,28 @@ def test_range_join_bucket_boundaries(spark):
         ).collect()
     )
     assert out == [10, 12]
+
+
+def test_asof_join_attaches_whole_row_not_mixed_columns(spark):
+    # When the latest prior right row has NULL in one attached column,
+    # that NULL must be attached as-is — never backfilled from an
+    # OLDER right row (per-column fills would stitch together columns
+    # from different rows; DuckDB ASOF attaches the whole row).
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 12, 0), "u1")],
+        "id long, ts timestamp, user string",
+    )
+    right = spark.createDataFrame(
+        [
+            (dt(2024, 1, 1, 9, 0), "u1", 100.0, "old"),
+            (dt(2024, 1, 1, 11, 0), "u1", None, "new"),  # latest: NULL price
+        ],
+        "ts timestamp, user string, price double, tag string",
+    )
+    row = asof_join(
+        left, right, ts="ts", by="user", right_cols=["price", "tag"]
+    ).collect()[0]
+    assert row.tag_asof == "new"
+    assert row.price_asof is None  # NOT 100.0 from the older row

@@ -153,19 +153,36 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join: pairs with
     |A∩B| / |A∪B| >= threshold. Without ``candidates`` this meets every
     pair sharing >= 1 shingle (fine at test SFs, O(n²)-ish at scale);
-    pass the LSH candidate pairs to bound the work at 100 TB."""
+    pass the LSH candidate pairs to bound the work at 100 TB.
+
+    With candidates the plan is CANDIDATE-FIRST: expand each candidate
+    pair with doc_a's shingles, then equi-join doc_b's shingles on
+    (doc_b, shingle) — O(|candidates| x shingles-per-doc) work. The
+    alternative (score every co-shingle pair, then semi-join the
+    candidates) re-opens the quadratic hot-shingle blowup LSH exists
+    to avoid: one boilerplate trigram shared by 1e5 docs yields 1e10
+    join rows before the filter ever runs."""
     ds = shingles(df, text_col, id_col)
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b")
+        a_sh = ds.select(F.col(id_col).alias("doc_a"), "shingle")
+        b_sh = ds.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            cand.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = ds.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = ds.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

@@ -158,6 +158,56 @@ def ann_lsh_topk(
     )
 
 
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = ANN_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the PRODUCTION scale
+    path: exact cosine scoring restricted to vectors sharing the
+    P-bit hyperplane signature. The self-join on ``sig`` is a hash
+    equi-join whose fan-out is rows-per-bucket, so total work is
+    Σ_b |bucket_b|² — linear-ish in the corpus for balanced buckets
+    and tunable by ``planes`` — versus the all-pairs
+    ``dedup.embedding_dup_pairs`` which is quadratic however well
+    blocked (that variant is ground-truth-only, like
+    ``ngram_jaccard_pairs``).
+
+    Recall is P(same bucket | cosine ≥ t) = Π_p (1 - θ/π); raise it
+    with band-OR over multiple signature groups exactly like MinHash
+    banding. Cosine is rounded to 9 decimals to be reproducible
+    against the DuckDB oracle (same hyperplanes inlined both sides).
+    """
+    sig = lsh_signature_expr("v", planes, dim)
+    base = _prep(emb, id_col, vec_col).withColumn("sig", F.expr(sig))
+    a = base.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "sig",
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "sig",
+    )
+    return (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_raw", F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round("cos_raw", 9).alias("cosine")
+        )
+    )
+
+
 def ivf_assign_cells(
     emb: DataFrame,
     n_centroids: int,

@@ -65,6 +65,13 @@ def get_session(
         # tests/test_plan_smells.py.
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the reader
+        # rejects unless read as int64 (tables.load_table then truncates
+        # ns→µs, matching DuckDB). Set here so readers never have to
+        # mutate a session we built; externally-built sessions (the
+        # correctness driver's) get the same flag idempotently from
+        # tables._ensure_nanos_conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split small files across all cores: minPartitionNum is a

@@ -52,7 +52,9 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from map_reduce_library_spark.tables import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
     # The file source wants a directory; select just events.parquet
     # out of the sf_dir with a glob filter.
     raw = (

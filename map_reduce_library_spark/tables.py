@@ -42,18 +42,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make ``spark`` able to read TIMESTAMP(NANOS) parquet.
+
+    Sessions from our ``session.get_session`` already carry both flags
+    (set at build time — side-effect-free). For externally-created
+    sessions (the correctness driver's), set them only when missing:
+    an idempotent compatibility shim, not a per-read mutation.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        # UTC so the TIMESTAMP_LTZ behaves like the oracle's
+        # timezone-naive micros under date_trunc/window.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects outright; read the nanos as int64 and floor-divide to
-        # micros — the same ns→µs truncation DuckDB applies. Pin the
-        # session to UTC so the resulting TIMESTAMP_LTZ behaves like
-        # the oracle's timezone-naive micros under date_trunc/window
-        # even if the hosting session didn't set a timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # micros — the same ns→µs truncation DuckDB applies.
+        _ensure_nanos_conf(spark)
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType

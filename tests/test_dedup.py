@@ -53,3 +53,32 @@ def test_simhash_near_dups_have_close_fingerprints(spark):
     for a, b in high:
         ham = sum(x != y for x, y in zip(sh[a], sh[b]))
         assert ham <= 6, f"docs {a},{b} jaccard>=0.95 but hamming {ham}"
+
+
+def test_embedding_lsh_oracle(spark):
+    assert_oracle_match(spark, "embedding_cosine_dups_lsh")
+
+
+def test_embedding_lsh_subset_of_ground_truth(spark):
+    """The bucketed production variant must return a SUBSET of the
+    all-pairs ground truth with identical cosines on shared pairs —
+    LSH only prunes candidates, never invents or perturbs them."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["embedding_cosine_dups"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["embedding_cosine_dups_lsh"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    assert set(lsh) <= set(truth)
+    for pair, cos in lsh.items():
+        assert abs(cos - truth[pair]) < 1e-9
+    # and the buckets must actually find a nontrivial share of dups
+    assert len(lsh) >= len(truth) // 100

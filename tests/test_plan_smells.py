@@ -15,9 +15,11 @@ from conftest import SF_CORRECTNESS
 
 from map_reduce_library_spark.queries import QUERIES
 
-# Ground-truth-only variant: exact all-pairs Jaccard, kept as the
-# oracle for the LSH scale path; quadratic by construction.
-ALLOWED_QUADRATIC = {"ngram_jaccard_pairs"}
+# Ground-truth-only variants, quadratic by construction and excluded
+# from the bench headline: exact all-pairs Jaccard (oracle for
+# ngram_jaccard_lsh) and blocked all-pairs cosine (oracle for
+# embedding_cosine_dups_lsh, the bucketed production path).
+ALLOWED_QUADRATIC = {"ngram_jaccard_pairs", "embedding_cosine_dups"}
 
 # Queries that attach a GLOBAL scalar (grand total, corpus size) to
 # every row: Spark plans that as a BroadcastNestedLoopJoin whose build
@@ -38,11 +40,6 @@ ALLOWED_BOUNDED_BROADCAST = {
     "ivf_ann_topk",
 }
 
-# Deliberate all-pairs cosine (SCALE.md §3): inherently quadratic in
-# the corpus, blocked into B=1024-vector tiles so the nested loop runs
-# over n/B block rows feeding O(B²d) BLAS kernels — the join must pair
-# block AGGREGATES, never raw vectors.
-ALLOWED_BLOCK_PAIR = {"embedding_cosine_dups"}
 
 
 def _build_is_scalar(plan: str) -> bool:
@@ -77,11 +74,6 @@ def test_corpus_wide_no_plan_smells(spark):
                     or (
                         name in ALLOWED_BOUNDED_BROADCAST
                         and _build_is_bounded_broadcast(plan)
-                    )
-                    or (
-                        name in ALLOWED_BLOCK_PAIR
-                        and "collect_list" in plan
-                        and "MapInPandas" in plan
                     )
                 )
                 if not ok:

@@ -200,17 +200,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = SIMHASH_BITS,
+def _simhash_sums(
+    df: DataFrame, text_col: str, id_col: str, bits: int
 ) -> DataFrame:
-    """SimHash fingerprint: for bit j, each token votes ±1 by the
-    parity of hex digit j of md5(token); the bit is 1 iff the weighted
-    sum is positive. Emitted as a `bits`-char '0'/'1' string (portable
-    across engines — no 64-bit unsigned headaches). Token multiplicity
-    is the weight (tokens are NOT deduped first)."""
+    """(id, s0..s{bits-1}) signed bit votes — the shared prefix of the
+    string and integer SimHash forms."""
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
@@ -226,12 +220,100 @@ def simhash(
         ).alias(f"s{j}")
         for j in range(bits)
     ]
-    summed = counted.groupBy(id_col).agg(*aggs)
+    return counted.groupBy(id_col).agg(*aggs)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint: for bit j, each token votes ±1 by the
+    parity of hex digit j of md5(token); the bit is 1 iff the weighted
+    sum is positive. Emitted as a `bits`-char '0'/'1' string (portable
+    across engines — no 64-bit unsigned headaches). Token multiplicity
+    is the weight (tokens are NOT deduped first)."""
+    summed = _simhash_sums(df, text_col, id_col, bits)
     bit_cols = [
         F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(bits)
     ]
     return summed.select(id_col, F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_int(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash as a bigint (bit j of the string form is worth
+    2^(bits-1-j)), so hamming distance is ``bit_count(a ^ b)`` —
+    the arithmetic is identical in Spark and DuckDB."""
+    summed = _simhash_sums(df, text_col, id_col, bits)
+    val = sum(
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            * F.lit(2 ** (bits - 1 - j)).cast("bigint")
+        )
+        for j in range(bits)
+    )
+    return summed.select(id_col, val.alias("sh"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """ALL pairs with SimHash hamming distance <= ``max_hamming``,
+    found scalably by band bucketing: split the ``bits``-bit
+    fingerprint into ``bands`` equal slices and equi-join docs sharing
+    ANY slice; by pigeonhole a pair differing in <= bands-1 bits must
+    agree on at least one whole slice, so for max_hamming <= bands-1
+    the banded retrieval is EXACT, not approximate — the self-join on
+    (band_id, band_val) replaces the all-pairs hamming scan the same
+    way MinHash banding replaces the all-pairs Jaccard scan.
+
+    Requires max_hamming < bands (else retrieval would miss pairs).
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded retrieval is only exact for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    width = bits // bands
+    sig = simhash_int(df, text_col, id_col, bits)
+    stack_args = ", ".join(
+        f"{b}, (sh div {2 ** (width * b)}) % {2 ** width}"
+        for b in range(bands)
+    )
+    band_df = sig.selectExpr(
+        id_col, f"stack({bands}, {stack_args}) AS (band_id, band_val)"
+    )
+    a = band_df.select(F.col(id_col).alias("doc_a"), "band_id", "band_val")
+    b = band_df.select(F.col(id_col).alias("doc_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def embedding_dup_pairs(

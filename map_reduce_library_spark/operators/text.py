@@ -133,6 +133,100 @@ def token_counts(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics, entirely as per-row
+    higher-order-function expressions — ZERO shuffles, the whole
+    operator is a projection inside the parquet scan (the ideal shape
+    for something you run on every crawl document at 100 TB):
+
+    - dup_token_ratio: 1 - distinct/total tokens
+    - top_token_ratio: most frequent token's share (mode dominance)
+    - dup_3gram_ratio: 1 - distinct/total 3-gram shingles (0 when the
+      doc has fewer than 3 tokens)
+    """
+    g3 = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(0, size(toks)-3), i -> "
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(id_col, _toks(text_col).alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .withColumn("g3", F.expr(g3))
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                1
+                - F.size(F.array_distinct("toks"))
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_token_ratio"),
+            F.expr(
+                "array_max(transform(array_distinct(toks), "
+                "d -> size(filter(toks, t -> t = d)))) "
+                "/ cast(size(toks) AS double)"
+            ).alias("top_token_ratio"),
+            F.expr(
+                "CASE WHEN size(g3) = 0 THEN 0.0 ELSE "
+                "1 - size(array_distinct(g3)) / cast(size(g3) AS double) END"
+            ).alias("dup_3gram_ratio"),
+        )
+    )
+
+
+# C4/Gopher-flavored keep thresholds, shared with the SQL oracle.
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 1000
+QF_MIN_MEAN_TOK_LEN = 2.0
+QF_MAX_MEAN_TOK_LEN = 12.0
+QF_MIN_STOP_RATIO = 0.01
+QF_MIN_TTR = 0.2
+QF_LANG = "en"
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The canonical pretraining-corpus filter pass: join the
+    per-document quality stats and language ID, emit a ``keep``
+    verdict plus a comma-joined ``fail_reasons`` audit column (empty
+    when kept). One equi-join of two scan-shaped relations — at
+    100 TB both sides are projections of the same scan, and Catalyst
+    dedups the scan via exchange reuse."""
+    stats = text_stats(df, text_col, id_col)
+    langs = lang_id(df, text_col, id_col).select(id_col, "pred_lang")
+    j = stats.join(langs, id_col)
+    reasons = [
+        (
+            ~F.col("n_tokens").between(QF_MIN_TOKENS, QF_MAX_TOKENS),
+            "len",
+        ),
+        (
+            ~F.col("mean_tok_len").between(
+                QF_MIN_MEAN_TOK_LEN, QF_MAX_MEAN_TOK_LEN
+            ),
+            "tok_len",
+        ),
+        (F.col("stop_ratio") < QF_MIN_STOP_RATIO, "stop"),
+        (F.col("ttr") < QF_MIN_TTR, "ttr"),
+        (F.col("pred_lang") != QF_LANG, "lang"),
+    ]
+    fail = F.concat_ws(
+        ",", *[F.when(cond, F.lit(tag)) for cond, tag in reasons]
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        "quality_score",
+        "pred_lang",
+        fail.alias("fail_reasons"),
+        (fail == "").alias("keep"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -7,9 +7,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_library_spark.operators.text import (
     BPE_ISH_PATTERN,
+    QF_LANG,
+    QF_MAX_MEAN_TOK_LEN,
+    QF_MAX_TOKENS,
+    QF_MIN_MEAN_TOK_LEN,
+    QF_MIN_STOP_RATIO,
+    QF_MIN_TOKENS,
+    QF_MIN_TTR,
     STOPWORDS,
     doc_fingerprints,
     lang_id,
+    quality_filter,
+    repetition_stats,
     text_stats,
     token_counts,
 )
@@ -111,6 +120,73 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + order-invariant bag fingerprints."""
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              FOR i IN generate_series(1, greatest(len(toks)-2, 0))] AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+             AS dup_token_ratio,
+           list_max(list_transform(list_distinct(toks),
+                                   d -> len(list_filter(toks, t -> t = d))))
+             / CAST(len(toks) AS DOUBLE) AS top_token_ratio,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END
+             AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup tokens / mode dominance /
+    dup 3-grams) as a zero-shuffle scan projection."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_filter_oracle() -> str:
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH ts AS ({ORACLES["text_stats"]}),
+    li AS ({ORACLES["lang_id"]}),
+    flagged AS (
+      SELECT ts.doc_id, ts.n_tokens, ts.quality_score, li.pred_lang,
+             concat_ws(',',
+               CASE WHEN NOT (ts.n_tokens
+                              BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
+                    THEN 'len' END,
+               CASE WHEN NOT (ts.mean_tok_len
+                              BETWEEN {QF_MIN_MEAN_TOK_LEN}
+                                  AND {QF_MAX_MEAN_TOK_LEN})
+                    THEN 'tok_len' END,
+               CASE WHEN ts.stop_ratio < {QF_MIN_STOP_RATIO} THEN 'stop' END,
+               CASE WHEN ts.ttr < {QF_MIN_TTR} THEN 'ttr' END,
+               CASE WHEN li.pred_lang != '{QF_LANG}' THEN 'lang' END)
+               AS fail_reasons
+      FROM ts JOIN li ON ts.doc_id = li.doc_id
+    )
+    SELECT doc_id, n_tokens, quality_score, pred_lang, fail_reasons,
+           (fail_reasons = '') AS keep
+    FROM flagged
+    """
+
+
+@register("quality_filter_docs", oracle=_quality_filter_oracle())
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus filter verdicts: per-doc keep/drop with
+    a fail-reason audit trail — the composition every pretraining
+    pipeline runs after per-doc stats. Oracle composes the text_stats
+    and lang_id oracles the same way the Spark plan composes the
+    operators."""
+    return quality_filter(load_table(spark, sf_dir, "documents"))
 
 
 @register(

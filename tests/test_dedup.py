@@ -82,3 +82,33 @@ def test_embedding_lsh_subset_of_ground_truth(spark):
         assert abs(cos - truth[pair]) < 1e-9
     # and the buckets must actually find a nontrivial share of dups
     assert len(lsh) >= len(truth) // 100
+
+
+def test_simhash_hamming_oracle(spark):
+    assert_oracle_match(spark, "simhash_hamming_dups")
+
+
+def test_simhash_hamming_banded_retrieval_is_exact(spark):
+    """Pigeonhole guarantee: banding must find EVERY pair within
+    hamming <= bands-1, not a recall-limited subset — compare against
+    brute force over the string fingerprints."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    sh = {
+        r.doc_id: r.simhash
+        for r in QUERIES["simhash_fingerprint"](spark, SF_CORRECTNESS).collect()
+    }
+    ids = sorted(sh)
+    brute = sorted(
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        for h in [sum(x != y for x, y in zip(sh[a], sh[b]))]
+        if h <= 3
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["simhash_hamming_dups"](spark, SF_CORRECTNESS).collect()
+    )
+    assert brute, "corpus should contain simhash near-dups"
+    assert got == brute

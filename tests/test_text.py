@@ -31,3 +31,37 @@ def test_bag_fingerprint_order_invariant(spark):
     assert fps[1][0] != fps[2][0]  # exact differs
     assert fps[1][1] == fps[2][1]  # bag identical
     assert fps[1][1] != fps[3][1]  # different content differs
+
+
+def test_repetition_stats_oracle(spark):
+    assert_oracle_match(spark, "repetition_stats")
+
+
+def test_repetition_stats_semantics(spark):
+    rows = {
+        r.doc_id: r
+        for r in __import__("map_reduce_library_spark.queries", fromlist=["QUERIES"])
+        .QUERIES["repetition_stats"](spark, SF_CORRECTNESS)
+        .collect()
+    }
+    for r in rows.values():
+        assert 0.0 <= r.dup_token_ratio <= 1.0
+        assert 0.0 < r.top_token_ratio <= 1.0
+        assert 0.0 <= r.dup_3gram_ratio <= 1.0
+        # mode dominance can never be below uniform share
+        assert r.top_token_ratio >= 1.0 / r.n_tokens - 1e-12
+
+
+def test_quality_filter_oracle(spark):
+    assert_oracle_match(spark, "quality_filter_docs")
+
+
+def test_quality_filter_keep_iff_no_reasons(spark):
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["quality_filter_docs"](spark, SF_CORRECTNESS).collect()
+    assert rows
+    kept = [r for r in rows if r.keep]
+    assert kept, "some sf0.01 documents should pass the filter"
+    for r in rows:
+        assert r.keep == (r.fail_reasons == "")

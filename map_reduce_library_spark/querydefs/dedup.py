@@ -170,54 +170,66 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAM_MAX = 3
-SIMHASH_BANDS = 4
-
-_SIMHASH_INT = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {2 ** (SIMHASH_BITS - 1 - j)}"
-    for j in range(SIMHASH_BITS)
-)
-_SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
-_SIMHASH_BAND_SELECTS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, "
-    f"(sh // {2 ** (_SIMHASH_WIDTH * b)}) % {2 ** _SIMHASH_WIDTH} AS band_val "
-    "FROM ints"
-    for b in range(SIMHASH_BANDS)
-)
 
 
-@register(
-    "simhash_hamming_dups",
-    oracle=f"""
+def _ham_oracle() -> str:
+    from map_reduce_library_spark.operators.dedup import (
+        SIMHASH_HAM_BANDS,
+        SIMHASH_HAM_BITS,
+        _hex_digit_expr,
+    )
+
+    def dig(i: int) -> str:
+        # DuckDB dialect: same ascii arithmetic, // for int division.
+        return _hex_digit_expr(i).replace(" div ", " // ")
+
+    n_digits = (SIMHASH_HAM_BITS + 3) // 4
+    dig_cols = ", ".join(f"{dig(i + 1)} AS d{i}" for i in range(n_digits))
+    aggs = []
+    for j in range(SIMHASH_HAM_BITS):
+        i, k = j // 4, j % 4
+        aggs.append(
+            f"sum(((d{i} // {2 ** k}) % 2) * 2 - 1) AS s{j}"
+        )
+    int_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * "
+        f"{2 ** (SIMHASH_HAM_BITS - 1 - j)}"
+        for j in range(SIMHASH_HAM_BITS)
+    )
+    width = SIMHASH_HAM_BITS // SIMHASH_HAM_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_id, "
+        f"(sh // {2 ** (width * b)}) % {2 ** width} AS band_val FROM ints"
+        for b in range(SIMHASH_HAM_BANDS)
+    )
+    return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
-    sums AS (SELECT doc_id, {_SIMHASH_AGGS} FROM tok GROUP BY doc_id),
-    ints AS (SELECT doc_id, {_SIMHASH_INT} AS sh FROM sums),
-    bands AS ({_SIMHASH_BAND_SELECTS}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_val = b.band_val
-      WHERE a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b, bit_count(xor(a.sh, b.sh)) AS hamming
-    FROM cand c
-      JOIN ints a ON c.doc_a = a.doc_id
-      JOIN ints b ON c.doc_b = b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_HAM_MAX}
-    """,
-)
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    digs AS (SELECT doc_id, {dig_cols} FROM h),
+    sums AS (SELECT doc_id, {", ".join(aggs)} FROM digs GROUP BY doc_id),
+    ints AS (SELECT doc_id, {int_expr} AS sh FROM sums),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sh, b.sh)) <= {SIMHASH_HAM_MAX}
+    """
+
+
+@register("simhash_hamming_dups", oracle=_ham_oracle())
 def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: ALL pairs within hamming distance
-    {h} of the {bits}-bit fingerprint, retrieved EXACTLY (not
-    approximately) by {bands}-band bucketing — pigeonhole: <= {h}
-    differing bits over {bands} slices leaves at least one slice
-    identical, so the band self-join misses nothing. The third
-    dedup family next to MinHash-Jaccard and embedding-cosine:
-    shuffles are linear in the corpus plus Σ|bucket|² verification
-    work on 8-bit band buckets.""".format(
-        h=SIMHASH_HAM_MAX, bits=SIMHASH_BITS, bands=SIMHASH_BANDS
-    )
+    """SimHash near-dup pairs: ALL pairs within hamming distance 3 of
+    a 60-bit fingerprint, retrieved EXACTLY (not approximately) by
+    4-band bucketing — pigeonhole: <= 3 differing bits over 4 slices
+    leaves at least one slice identical, so the band self-join misses
+    nothing. 15-bit bands keep buckets fine-grained (32768 values) so
+    verification work stays near-linear on topically-clustered
+    corpora. The third dedup family next to MinHash-Jaccard and
+    embedding-cosine."""
     from map_reduce_library_spark.operators.dedup import (
         simhash_hamming_pairs,
     )
@@ -225,7 +237,6 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         load_table(spark, sf_dir, "documents"),
         max_hamming=SIMHASH_HAM_MAX,
-        bands=SIMHASH_BANDS,
     )
 
 

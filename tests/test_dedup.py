@@ -91,19 +91,23 @@ def test_simhash_hamming_oracle(spark):
 def test_simhash_hamming_banded_retrieval_is_exact(spark):
     """Pigeonhole guarantee: banding must find EVERY pair within
     hamming <= bands-1, not a recall-limited subset — compare against
-    brute force over the string fingerprints."""
+    brute force over the wide integer fingerprints."""
+    from map_reduce_library_spark.operators.dedup import simhash_wide
     from map_reduce_library_spark.queries import QUERIES
+    from map_reduce_library_spark.tables import load_table
 
     sh = {
-        r.doc_id: r.simhash
-        for r in QUERIES["simhash_fingerprint"](spark, SF_CORRECTNESS).collect()
+        r.doc_id: r.sh
+        for r in simhash_wide(
+            load_table(spark, SF_CORRECTNESS, "documents")
+        ).collect()
     }
     ids = sorted(sh)
     brute = sorted(
         (a, b, h)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        for h in [sum(x != y for x, y in zip(sh[a], sh[b]))]
+        for h in [bin(sh[a] ^ sh[b]).count("1")]
         if h <= 3
     )
     got = sorted(

@@ -48,6 +48,7 @@ from map_reduce_library_spark.querydefs import pipeline  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import multimodal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import extensibility  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import cogroup  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import skewq  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational10  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational9  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import approx  # noqa: E402,F401

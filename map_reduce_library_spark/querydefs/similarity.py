@@ -99,6 +99,59 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_oracle() -> str:
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH exact_k AS ({ORACLES["cosine_topk"]}),
+    ann_k AS ({ORACLES["ann_lsh_topk"]}),
+    hits AS (
+      SELECT e.query_id,
+             count(a.neighbor_id) AS n_hits
+      FROM exact_k e
+      LEFT JOIN ann_k a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
+    FROM hits
+    """
+
+
+@register("ann_recall_at_k", oracle=_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k of the hyperplane-LSH
+    ANN against the exact brute-force top-k, per query vector — the
+    metric every ANN deployment tracks before trading exactness for
+    throughput. Composes the two existing operators; the oracle
+    composes their oracles identically."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, F.col("vec_id") < N_QUERIES, TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ann_lsh_topk(
+        emb, F.col("vec_id") < N_QUERIES, TOPK, dim=EMB_DIM
+    ).select("query_id", F.col("neighbor_id").alias("ann_neighbor_id"))
+    return (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.count("ann_neighbor_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
+        )
+    )
+
+
 N_CENTROIDS = 16
 
 @register(

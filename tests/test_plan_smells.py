@@ -38,6 +38,8 @@ ALLOWED_SCALAR_ATTACH = {
 ALLOWED_BOUNDED_BROADCAST = {
     "cosine_topk",
     "ivf_ann_topk",
+    # embeds cosine_topk as the exact side of the recall evaluation
+    "ann_recall_at_k",
 }
 
 

@@ -55,3 +55,29 @@ def test_ann_recall_against_exact(spark):
     }
     for q, c in ann_best.items():
         assert c <= exact_best[q] + 1e-12
+
+
+def test_ann_recall_oracle(spark):
+    assert_oracle_match(spark, "ann_recall_at_k")
+
+
+def test_ann_recall_bounds_and_consistency(spark):
+    """recall@k in [0,1]; n_hits can never exceed k; and the measured
+    recall must agree with a direct set comparison of the two top-k
+    queries."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["ann_recall_at_k"](spark, SF_CORRECTNESS).collect()
+    assert rows
+    exact = QUERIES["cosine_topk"](spark, SF_CORRECTNESS).collect()
+    ann = QUERIES["ann_lsh_topk"](spark, SF_CORRECTNESS).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    an = {}
+    for r in ann:
+        an.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_k - r.n_hits / 5.0) < 1e-12
+        assert r.n_hits == len(ex[r.query_id] & an.get(r.query_id, set()))

@@ -85,3 +85,10 @@ def test_two_phase_agg_salt_is_deterministic(spark):
     a = {tuple(r) for r in salted.collect()}
     b = {tuple(r) for r in salted.collect()}
     assert a == b
+
+
+def test_skew_query_oracles(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "skew_two_phase_agg")
+    assert_oracle_match(spark, "skew_salted_join")

@@ -47,6 +47,65 @@ def mr_generic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_combiner_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def mr_combiner_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference client's own optimization — per-partition local
+    aggregation before the shuffle (FileWordCounter.cpp:87-118) — via
+    ``combiner_fn``: shuffle volume drops from one pair per token to
+    one pair per (partition, word), and the answer must be identical
+    to the combiner-less path (same oracle as mr_generic_wordcount)."""
+
+    def tokenize_map(_k, row):
+        for w in row.text.split(" "):
+            yield (w, 1)
+
+    def sum_reduce(key, values):
+        yield (key, sum(values))
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = run_map_reduce(
+        docs, tokenize_map, sum_reduce, combiner_fn=lambda a, b: a + b
+    )
+    return spark.createDataFrame(out, schema="word string, cnt bigint")
+
+
+@register(
+    "mr_sortmode_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def mr_sortmode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordering-only key path (key_mode='sort'): range-partition +
+    sortByKey, then adjacent ordering-equal runs form the groups —
+    exactly the reference's sorted IntermediateMap contract
+    (MapReduceClient.h:50-54,61; MapReduceFramework.cpp:72-87), which
+    needs only ``<`` on keys, never hashing. Same oracle as the hash
+    path: grouping by ordering-equivalence must give identical
+    answers when the key type's ordering is consistent with
+    equality."""
+
+    def tokenize_map(_k, row):
+        for w in row.text.split(" "):
+            yield (w, 1)
+
+    def sum_reduce(key, values):
+        yield (key, sum(values))
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = run_map_reduce(docs, tokenize_map, sum_reduce, key_mode="sort")
+    return spark.createDataFrame(out, schema="word string, cnt bigint")
+
+
+@register(
     "mr_holistic_median",
     oracle="""
     SELECT user_id, round(median(value), 9) AS median_value,

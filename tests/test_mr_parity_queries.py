@@ -14,3 +14,10 @@ MR_QUERIES = [
 @pytest.mark.parametrize("name", MR_QUERIES)
 def test_mr_parity_oracle(spark, name):
     assert_oracle_match(spark, name)
+
+
+def test_mr_combiner_and_sortmode_oracles(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "mr_combiner_wordcount")
+    assert_oracle_match(spark, "mr_sortmode_wordcount")

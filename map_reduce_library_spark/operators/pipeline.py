@@ -63,6 +63,63 @@ def stratified_sample(
     return df.where(b < pct)
 
 
+def class_balanced_topn(
+    df: DataFrame,
+    class_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic class rebalancing: keep the ``n`` rows per class
+    with the smallest md5(id) — a stable 'random' sample that caps
+    every class at the same size (the standard fix for dominant-class
+    skew in a pretraining mix). One shuffle (the per-class window);
+    re-runs and incremental additions keep prior picks because rank
+    follows the content hash, not arrival order."""
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (train_doc, eval_doc, n_shared)
+    pairs sharing >= ``min_overlap`` distinct word ``n``-grams — the
+    overlap check every serious pretraining pipeline runs against its
+    eval suites before training. With n >= 8 the shingles are
+    near-unique, so the equi-join on the shingle hash has tiny
+    fan-out (unlike dedup's n=3 shingles) and total work is linear in
+    corpus tokens; the eval side is typically small enough to
+    broadcast. Join on md5(shingle) to keep shuffle keys fixed-width
+    (32 bytes) regardless of n."""
+    from map_reduce_library_spark.operators.dedup import shingles
+
+    t = shingles(train, text_col, id_col, n=n).select(
+        F.col(id_col).alias("train_doc_id"),
+        F.md5("shingle").alias("sh"),
+    )
+    e = shingles(eval_df, text_col, id_col, n=n).select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.md5("shingle").alias("sh"),
+    )
+    return (
+        t.join(e, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str,

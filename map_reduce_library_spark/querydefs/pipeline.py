@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.pipeline import (
+    class_balanced_topn,
+    decontamination_overlap,
     deterministic_split,
     pack_sequences,
     stratified_sample,
@@ -54,6 +56,73 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure filter, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, SAMPLE_RATES, "lang").select("doc_id", "lang")
+
+
+BALANCE_N = 100
+DECON_N = 8
+EVAL_SET_MAX_ID = 50
+
+
+@register(
+    "class_balanced_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= {BALANCE_N}
+    """,
+)
+def class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: cap every language at
+    {n} documents, picked by smallest md5(id) — a stable 'random'
+    subset that survives re-runs and incremental corpus growth
+    (rank follows the content hash, not arrival order).""".format(
+        n=BALANCE_N
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return class_balanced_topn(docs, "lang", BALANCE_N).select(
+        "doc_id", "lang"
+    )
+
+
+_DECON_SHINGLES = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([md5({'||'.join(f"toks[i+{j}]" + ("||' '" if j < DECON_N - 1 else "") for j in range(DECON_N))})
+                 FOR i IN generate_series(1, greatest(len(toks)-{DECON_N - 1}, 0))]) AS sh
+  FROM tok
+)"""
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH {_DECON_SHINGLES}
+    SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+           count(*) AS n_shared
+    FROM sh t JOIN sh e ON t.sh = e.sh
+    WHERE t.doc_id >= {EVAL_SET_MAX_ID} AND e.doc_id < {EVAL_SET_MAX_ID}
+    GROUP BY 1, 2
+    """,
+)
+def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train documents (doc_id >= {m})
+    sharing any distinct word {n}-gram with the eval set
+    (doc_id < {m}) — the pre-training overlap sweep against eval
+    suites. n={n} shingles are near-unique, so the md5-shingle
+    equi-join has tiny fan-out and linear total work.""".format(
+        m=EVAL_SET_MAX_ID, n=DECON_N
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return decontamination_overlap(
+        docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID),
+        docs.where(F.col("doc_id") < EVAL_SET_MAX_ID),
+        n=DECON_N,
+    )
 
 
 @register(

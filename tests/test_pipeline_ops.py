@@ -1,6 +1,6 @@
 """Observation-based pipeline metrics (zero-extra-pass accounting)."""
 
-from conftest import SF_SMOKE
+from conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 def test_observe_metrics_zero_extra_pass(spark):
@@ -23,3 +23,36 @@ def test_observe_metrics_zero_extra_pass(spark):
     ).collect()[0]
     assert got["null_or_empty"] == (direct[0] or 0)
     assert abs(got["mean_chars"] - direct[1]) < 1e-9
+
+
+def test_class_balanced_sample_oracle(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "class_balanced_sample")
+
+
+def test_class_balanced_caps_every_class(spark):
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["class_balanced_sample"](spark, SF_CORRECTNESS).collect()
+    from collections import Counter
+
+    per = Counter(r.lang for r in rows)
+    assert per and all(n <= 100 for n in per.values())
+
+
+def test_decontamination_oracle(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "decontamination_overlap")
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    """Near-dup planted copies spanning the eval/train id boundary
+    must surface as 8-gram overlaps; and every reported pair must
+    respect the id partition."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["decontamination_overlap"](spark, SF_CORRECTNESS).collect()
+    for r in rows:
+        assert r.train_doc_id >= 50 and r.eval_doc_id < 50 and r.n_shared >= 1

@@ -7,6 +7,10 @@ built for, over the synthetic corpus.
       → exact dedup         (md5 full-text, min-id representative)
       → near-dedup          (MinHash-LSH candidates → connected
                              components → keep cluster representative)
+      → decontamination     (drop train docs sharing an 8-gram with
+                             the held-out eval set)
+      → class balancing     (cap every language at a stable
+                             hash-picked N)
       → token accounting    (whitespace + BPE-ish counts)
       → deterministic split (train/val/test, hash-stable)
       → packed shards       (sequence packing into token budgets,
@@ -32,6 +36,8 @@ from map_reduce_library_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
 )
 from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
+    class_balanced_topn,
+    decontamination_overlap,
     deterministic_split,
     observe_metrics,
     pack_sequences,
@@ -45,6 +51,8 @@ from map_reduce_library_spark.tables import load_table  # noqa: E402
 
 QUALITY_MIN = 0.5
 PACK_BUDGET = 2048
+EVAL_SET_MAX_ID = 50  # held-out eval docs: doc_id < 50
+CLASS_CAP = 200
 
 
 def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
@@ -85,7 +93,23 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     good = good.join(drop, "doc_id", "left_anti")
     n_near = good.count()
 
-    # 4. token accounting + 5. split + 6. packing
+    # 4. decontamination: the eval set is held out entirely, and any
+    # surviving train doc sharing a word 8-gram with it is dropped
+    eval_docs = good.where(F.col("doc_id") < EVAL_SET_MAX_ID)
+    train_docs = good.where(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    tainted = (
+        decontamination_overlap(train_docs, eval_docs)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    good = train_docs.join(tainted, "doc_id", "left_anti")
+    n_decon = good.count()
+
+    # 5. class balancing: cap every language at a stable hash-picked N
+    good = class_balanced_topn(good, "lang", CLASS_CAP)
+    n_balanced = good.count()
+
+    # 6. token accounting + 7. split + 8. packing
     toks = token_counts(good).select("doc_id", "ws_tokens")
     ready = (
         good.join(toks, "doc_id")
@@ -112,6 +136,8 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "after_quality": n_good,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "after_decontamination": n_decon,
+        "after_class_balance": n_balanced,
         "n_shards": len(shard_stats),
     }
 

@@ -23,13 +23,32 @@ def test_training_data_pipeline(spark, tmp_path):
     # removed non-representatives)
     removed = counts["after_exact_dedup"] - counts["after_near_dedup"]
     assert removed >= 20, counts
+    # decontamination holds out eval docs (id < 50) and drops tainted
+    # train docs; class balancing can only shrink further
+    assert counts["after_decontamination"] <= counts["after_near_dedup"] - 40
+    assert counts["after_class_balance"] <= counts["after_decontamination"]
     assert counts["n_shards"] >= 3
 
     # output is partition-pruned readable and covers all splits
     back = spark.read.parquet(out)
     splits = {r.split for r in back.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
-    assert back.count() == counts["after_near_dedup"]
+    assert back.count() == counts["after_class_balance"]
+    # no eval doc may reach the training shards
+    assert back.where("doc_id < 50").count() == 0
+    # no surviving train doc shares an 8-gram with the eval set
+    from map_reduce_library_spark.operators.pipeline import (
+        decontamination_overlap,
+    )
+    from map_reduce_library_spark.tables import load_table
+
+    eval_docs = load_table(spark, SF_CORRECTNESS, "documents").where(
+        "doc_id < 50"
+    )
+    leaks = decontamination_overlap(
+        back.select("doc_id", "text"), eval_docs
+    ).count()
+    assert leaks == 0, "contaminated docs survived decontamination"
     # every kept doc is its own cluster representative: no two kept
     # docs should be near-dup pairs of each other
     from map_reduce_library_spark.operators.dedup import minhash_lsh_pairs

@@ -145,6 +145,38 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows of
+    ``size`` tokens starting every ``stride`` tokens (stride < size →
+    overlap of size-stride) — the standard chunker for retrieval
+    indexing and long-document pretraining. Entirely a per-row
+    expression (sequence → transform → explode): ZERO shuffles, so it
+    runs at parquet-scan speed over 100 TB. Returns one row per chunk:
+    (id, chunk_idx, chunk_tokens, first_token)."""
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(size(toks)-1, 0), {stride}), "
+        f"s -> named_struct("
+        f"'idx', s div {stride}, "
+        f"'n', least({size}, size(toks) - s), "
+        f"'first', toks[s]))"
+    )
+    return toks.select(
+        id_col, F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.n").cast("bigint").alias("chunk_tokens"),
+        F.col("c.first").alias("first_token"),
+    )
+
+
 def observe_metrics(
     df: DataFrame, name: str, metrics: dict[str, Column]
 ) -> tuple[DataFrame, "Observation"]:

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.pipeline import (
+    chunk_documents,
     class_balanced_topn,
     decontamination_overlap,
     deterministic_split,
@@ -61,6 +62,38 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BALANCE_N = 100
 DECON_N = 8
 EVAL_SET_MAX_ID = 50
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "document_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest([{{'idx': s // {CHUNK_STRIDE},
+                      'n': least({CHUNK_SIZE}, len(toks) - s),
+                      'first': toks[s + 1]}}
+                     FOR s IN generate_series(0, greatest(len(toks)-1, 0),
+                                              {CHUNK_STRIDE})]) AS ch
+      FROM t
+    )
+    SELECT doc_id, ch.idx AS chunk_idx,
+           CAST(ch.n AS BIGINT) AS chunk_tokens,
+           ch.first AS first_token
+    FROM c
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker ({s}-token windows every
+    {st} tokens) — the retrieval-indexing / long-doc split step,
+    computed as a zero-shuffle scan projection.""".format(
+        s=CHUNK_SIZE, st=CHUNK_STRIDE
+    )
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_SIZE, CHUNK_STRIDE
+    )
 
 
 @register(

@@ -56,3 +56,36 @@ def test_decontamination_finds_planted_overlap(spark):
     rows = QUERIES["decontamination_overlap"](spark, SF_CORRECTNESS).collect()
     for r in rows:
         assert r.train_doc_id >= 50 and r.eval_doc_id < 50 and r.n_shared >= 1
+
+
+def test_document_chunking_oracle(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "document_chunking")
+
+
+def test_document_chunking_covers_all_tokens(spark):
+    """Every token index must fall inside >= 1 chunk; consecutive
+    chunks overlap by size-stride; chunk_tokens never exceeds size."""
+    from map_reduce_library_spark.queries import QUERIES
+    from map_reduce_library_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    chunks = QUERIES["document_chunking"](spark, SF_CORRECTNESS).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_CORRECTNESS, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    per_doc = {}
+    for r in chunks:
+        assert 1 <= r.chunk_tokens <= 64
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_tokens))
+    for doc, cs in per_doc.items():
+        cs.sort()
+        # last chunk must reach the final token: start + len == n
+        last_idx, last_n = cs[-1]
+        assert last_idx * 48 + last_n == n_toks[doc]
+        # chunk idxs are contiguous from 0
+        assert [i for i, _ in cs] == list(range(len(cs)))

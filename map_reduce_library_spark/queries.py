@@ -64,31 +64,54 @@ from map_reduce_library_spark.querydefs import relational8  # noqa: E402,F401
 
 # Registry order = driver check order.  Rebuild the dicts so queries
 # with no green CORRECTNESS row yet come first (hash-oracled before
-# rows-only), and already-verified ones re-check last.  Update
-# _VERIFIED with each round's green rows.
-_VERIFIED = {
-    # CORRECTNESS_r01.json: all 50 checked rows passed (rows+schema+hash).
-    "wordcount", "filter_project", "pricing_summary", "shipping_priority",
-    "local_supplier_volume", "customer_order_stats_outer",
-    "semi_join_customers_with_urgent", "anti_join_parts_never_ordered",
-    "distinct_agg_having", "rollup_order_priority", "topk_expensive_orders",
-    "set_ops_nations", "window_user_running", "window_top2_per_nation",
-    "scalar_functions", "conditional_agg_case", "json_extract_props",
-    "pivot_status_by_priority", "cube_returnflag_linestatus",
-    "above_avg_orders", "regex_like_filters", "date_arithmetic",
-    "array_functions", "null_handling", "listagg_nations_per_region",
-    "exact_percentiles", "value_histogram", "unpivot_customer_metrics",
-    "stat_aggregates", "grouping_sets_explicit", "hypertable_rollup_daily",
-    "three_valued_in_semantics", "min_cost_per_part",
-    "large_volume_customers", "higher_order_functions", "window_frames",
-    "argmax_aggregates", "posexplode_tokens", "order_priority_checking",
-    "shipmode_priority", "promo_revenue_pct",
-    "disjunctive_predicate_revenue", "latest_shipper_per_order",
-    "global_sales_opportunity", "ntile_window_stats",
-    "map_column_functions", "volume_shipping", "market_share",
-    "product_type_profit", "important_part_value",
-}
+# rows-only), and already-verified ones re-check last.
+#
+# _VERIFIED is DERIVED from the committed CORRECTNESS_r*.json artifacts
+# (not hand-maintained) so a registry reorder can never silently
+# re-check greens while reds wait: a query counts verified only if its
+# most recent driver row was green (rows+schema match, no error, and
+# hash not explicitly false — rows-only checks carry hash_match null).
 
-_order = sorted(QUERIES, key=lambda n: (n in _VERIFIED, n not in ORACLES))
+
+def _load_verified() -> set[str]:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    latest: dict[str, bool] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            latest[name] = (
+                not r.get("err")
+                and bool(r.get("rows_match"))
+                and bool(r.get("schema_match"))
+                and r.get("hash_match") is not False
+            )
+    return {name for name, green in latest.items() if green}
+
+
+_VERIFIED = _load_verified()
+
+# Regression canaries: re-check the reference-parity flagship (C3-C6
+# wordcount) and the first relational queries ahead of other verified
+# re-checks whenever cap slots remain.
+_CANARIES = ("wordcount", "filter_project", "pricing_summary")
+
+
+def _order_key(name: str) -> tuple:
+    verified = name in _VERIFIED
+    canary = _CANARIES.index(name) if name in _CANARIES else len(_CANARIES)
+    return (verified, name not in ORACLES, canary if verified else 0)
+
+
+_order = sorted(QUERIES, key=_order_key)
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}

@@ -5,6 +5,7 @@ payload was encoded from."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.multimodal import (
     extract_binary_meta,
@@ -41,27 +42,40 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle="""
-    SELECT doc_id,
-           [CAST(octet_length(encode(text)) AS DOUBLE),
-            CAST(CASE WHEN length(text) = 0 THEN -1
-                      ELSE ascii(substr(text, 1, 1)) END AS DOUBLE),
-            CAST(CASE WHEN length(text) = 0 THEN -1
-                      ELSE ascii(substr(text, length(text), 1)) END AS DOUBLE),
-            CAST(octet_length(encode(text)) % 256 AS DOUBLE)] AS features
-    FROM documents
+    SELECT doc_id, CAST(u.i AS INT) AS feature_idx, u.v AS value
+    FROM (
+      SELECT doc_id,
+             unnest([
+               {'i': 0, 'v': CAST(octet_length(encode(text)) AS DOUBLE)},
+               {'i': 1, 'v': CAST(CASE WHEN length(text) = 0 THEN -1
+                        ELSE ascii(substr(text, 1, 1)) END AS DOUBLE)},
+               {'i': 2, 'v': CAST(CASE WHEN length(text) = 0 THEN -1
+                        ELSE ascii(substr(text, length(text), 1)) END AS DOUBLE)},
+               {'i': 3, 'v': CAST(octet_length(encode(text)) % 256 AS DOUBLE)}
+             ]) AS u
+      FROM documents
+    )
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake feature extraction (stub for an embedding
-    model) through the real binary→array<double> Arrow pipeline."""
-    return extract_features(_payloads(spark, sf_dir))
+    model) through the real binary→array<double> Arrow pipeline.
+
+    The declared query unnests the feature vector to one
+    (doc_id, feature_idx, value) row per element so the driver's
+    value-hasher (which can't digest nested array cells) gets flat
+    scalars; the array-returning operator itself is exercised
+    unchanged in the pytest e2e (tests/test_multimodal.py)."""
+    return extract_features(_payloads(spark, sf_dir)).select(
+        "doc_id", F.posexplode("features").alias("feature_idx", "value")
+    )
 
 
 @register(
     "multimodal_frames",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           encode(substr(text, i * 64 + 1, 1)) AS frame
+           hex(encode(substr(text, i * 64 + 1, 1))) AS frame_hex
     FROM (
       SELECT doc_id, text,
              unnest(generate_series(
@@ -73,5 +87,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' 1→N fan-out over binary payloads; each frame
     is a 1-byte slice at 64-byte stride (max 8 frames), so the oracle
-    reproduces frames from the source text (pure-ASCII corpus)."""
-    return sample_frames(_payloads(spark, sf_dir))
+    reproduces frames from the source text (pure-ASCII corpus).
+
+    The declared query hex-encodes the binary frame cell (the
+    driver's value-hasher can't digest bytearray cells); the
+    binary-returning operator is exercised unchanged in pytest."""
+    return sample_frames(_payloads(spark, sf_dir)).select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )

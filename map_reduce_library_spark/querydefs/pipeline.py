@@ -86,11 +86,9 @@ CHUNK_STRIDE = 48
     """,
 )
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunker ({s}-token windows every
-    {st} tokens) — the retrieval-indexing / long-doc split step,
-    computed as a zero-shuffle scan projection.""".format(
-        s=CHUNK_SIZE, st=CHUNK_STRIDE
-    )
+    """Overlapping token-window chunker (CHUNK_SIZE=64-token windows
+    every CHUNK_STRIDE=48 tokens) — the retrieval-indexing / long-doc
+    split step, computed as a zero-shuffle scan projection."""
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), CHUNK_SIZE, CHUNK_STRIDE
     )
@@ -110,11 +108,10 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class rebalancing: cap every language at
-    {n} documents, picked by smallest md5(id) — a stable 'random'
-    subset that survives re-runs and incremental corpus growth
-    (rank follows the content hash, not arrival order).""".format(
-        n=BALANCE_N
-    )
+    BALANCE_N=100 documents, picked by smallest md5(id) — a stable
+    'random' subset that is reproducible across re-runs over the same
+    data (rank follows the content hash, not arrival order; corpus
+    growth can still evict prior picks — see class_balanced_topn)."""
     docs = load_table(spark, sf_dir, "documents")
     return class_balanced_topn(docs, "lang", BALANCE_N).select(
         "doc_id", "lang"
@@ -143,13 +140,11 @@ sh AS (
     """,
 )
 def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: train documents (doc_id >= {m})
-    sharing any distinct word {n}-gram with the eval set
-    (doc_id < {m}) — the pre-training overlap sweep against eval
-    suites. n={n} shingles are near-unique, so the md5-shingle
-    equi-join has tiny fan-out and linear total work.""".format(
-        m=EVAL_SET_MAX_ID, n=DECON_N
-    )
+    """Benchmark decontamination: train documents (doc_id >=
+    EVAL_SET_MAX_ID=50) sharing any distinct word DECON_N=8-gram with
+    the eval set (doc_id < 50) — the pre-training overlap sweep
+    against eval suites. n=8 shingles are near-unique, so the
+    md5-shingle equi-join has tiny fan-out and linear total work."""
     docs = load_table(spark, sf_dir, "documents")
     return decontamination_overlap(
         docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID),
@@ -172,15 +167,16 @@ def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT lang, CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS seq_bin,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
     FROM c GROUP BY 1, 2
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy contiguous packing of documents into {b}-token training
-    sequences per language; reports docs/tokens per bin.""".format(
-        b=PACK_BUDGET
-    )
+    """Greedy contiguous packing of documents into PACK_BUDGET=2048
+    token training sequences per language; reports docs/tokens per
+    bin. Oracle note: DuckDB SUM over BIGINT yields HUGEINT, which
+    the driver's hasher renders differently from Spark's bigint, so
+    the oracle CASTs the sum back to BIGINT."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

@@ -30,39 +30,34 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Physical schema of events.parquet with nanosAsLong in effect.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) as int64
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
+from pyspark.sql.types import LongType, TimestampNTZType
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_library_spark.tables import _ensure_nanos_conf
+    from map_reduce_library_spark.tables import _ensure_nanos_conf, table_path
 
     _ensure_nanos_conf(spark)
+    # Streaming file sources require an explicit schema. The testdata
+    # generator has shipped events.ts both as TIMESTAMP(NANOS) (read as
+    # int64 under nanosAsLong) and as plain TIMESTAMP(MICROS), so probe
+    # the actual footer with a batch read (one metadata-only read at
+    # stream-construction time) instead of hardcoding either layout.
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # The file source wants a directory; select just events.parquet
     # out of the sf_dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) as int64: floor-divide to micros, the same
+        # ns→µs truncation DuckDB applies.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch_schema["ts"].dataType, TimestampNTZType):
+        # TIMESTAMP(MICROS) reads as NTZ; watermarks need TIMESTAMP_LTZ.
+        # Session zone is pinned UTC, so the cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_hourly_stats(

@@ -62,16 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright; read the nanos as int64 and floor-divide to
-        # micros — the same ns→µs truncation DuckDB applies.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
+        # Spark's reader unless nanosAsLong reads it as int64) and as
+        # plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize
+        # either layout to TIMESTAMP_LTZ under the pinned UTC session
+        # zone so watermarks/windows downstream see one type and the
+        # values match DuckDB's timezone-naive micros exactly.
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos as int64: floor-divide to micros (DuckDB's ns→µs).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

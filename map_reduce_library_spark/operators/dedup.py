@@ -165,7 +165,18 @@ def ngram_jaccard_pairs(
     ds = shingles(df, text_col, id_col)
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        cand = candidates.select("doc_a", "doc_b")
+        # Normalize the precondition instead of assuming it: duplicate
+        # or (b,a)-ordered candidate rows would inflate n_inter (wrong
+        # Jaccard) or emit swapped pairs. The distinct is over the
+        # candidate relation only — tiny next to the shingle join.
+        cand = (
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
         a_sh = ds.select(F.col(id_col).alias("doc_a"), "shingle")
         b_sh = ds.select(F.col(id_col).alias("doc_b"), "shingle")
         inter = (
@@ -200,19 +211,39 @@ def ngram_jaccard_pairs(
     )
 
 
-def _simhash_sums(
-    df: DataFrame, text_col: str, id_col: str, bits: int
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, s0..s{bits-1}) signed bit votes — the shared prefix of the
-    string and integer SimHash forms."""
+    """(id, tok, cnt) distinct-token counts — the shared tokenize+count
+    prefix of the whole SimHash family (string fingerprint, integer
+    fingerprint, wide hamming fingerprint). Pre-aggregating to
+    (doc, token, count) makes every downstream hash/parity expression
+    evaluate once per DISTINCT token per doc, not once per occurrence
+    — ~30x less expression work on natural-language token
+    distributions, same result (counts are the weights).
+
+    Consumers running more than one SimHash variant should materialize
+    this once (checkpoint/parquet) and pass it to each via the
+    ``counted=`` parameter — the LSH-candidate-graph sharing pattern
+    (querydefs/dedup.py) applied to the token relation."""
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    # Pre-aggregate to (doc, token, count) so the 32 hash/parity
-    # expressions evaluate once per DISTINCT token per doc, not once
-    # per occurrence — ~30x less expression work on natural-language
-    # token distributions, same result (counts are the weights).
-    counted = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _simhash_sums(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    bits: int,
+    counted: DataFrame | None = None,
+) -> DataFrame:
+    """(id, s0..s{bits-1}) signed bit votes — the shared prefix of the
+    string and integer SimHash forms. ``counted`` (a precomputed
+    ``token_counts`` relation) skips the tokenize+count stage."""
+    if counted is None:
+        counted = token_counts(df, text_col, id_col)
     counted = counted.withColumn("h", F.md5("tok"))
     aggs = [
         F.sum(
@@ -224,17 +255,20 @@ def _simhash_sums(
 
 
 def simhash(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
+    counted: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash fingerprint: for bit j, each token votes ±1 by the
     parity of hex digit j of md5(token); the bit is 1 iff the weighted
     sum is positive. Emitted as a `bits`-char '0'/'1' string (portable
     across engines — no 64-bit unsigned headaches). Token multiplicity
-    is the weight (tokens are NOT deduped first)."""
-    summed = _simhash_sums(df, text_col, id_col, bits)
+    is the weight (tokens are NOT deduped first). Pass ``counted`` (a
+    ``token_counts`` relation) to share the tokenize+count prefix with
+    the other SimHash variants."""
+    summed = _simhash_sums(df, text_col, id_col, bits, counted=counted)
     bit_cols = [
         F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(bits)
@@ -243,15 +277,16 @@ def simhash(
 
 
 def simhash_int(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
+    counted: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash as a bigint (bit j of the string form is worth
     2^(bits-1-j)), so hamming distance is ``bit_count(a ^ b)`` —
     the arithmetic is identical in Spark and DuckDB."""
-    summed = _simhash_sums(df, text_col, id_col, bits)
+    summed = _simhash_sums(df, text_col, id_col, bits, counted=counted)
     val = sum(
         (
             F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0))
@@ -281,21 +316,21 @@ def _hex_digit_expr(i: int) -> str:
 
 
 def simhash_wide(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_HAM_BITS,
+    counted: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash over ``bits`` <= 128 bits as a bigint (bits <= 62):
     bit j's ±1 vote comes from bit (j mod 4) of md5 hex digit (j div
     4) — consuming 4 bits per hex char instead of the string form's
     1-bit-per-char parity, so fingerprints wide enough for fine
-    banding still fit one md5."""
+    banding still fit one md5. Pass ``counted`` to share the
+    tokenize+count prefix across the SimHash family."""
     n_digits = (bits + 3) // 4
-    tok = df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    )
-    counted = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    if counted is None:
+        counted = token_counts(df, text_col, id_col)
     counted = counted.withColumn("h", F.md5("tok"))
     # Materialize the hex-digit VALUES once as int columns, then every
     # bit vote is two integer ops — evaluating the string extraction
@@ -329,12 +364,13 @@ def simhash_wide(
 
 
 def simhash_hamming_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     max_hamming: int = 3,
     bands: int = SIMHASH_HAM_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_HAM_BITS,
+    counted: DataFrame | None = None,
 ) -> DataFrame:
     """ALL pairs with SimHash hamming distance <= ``max_hamming``,
     found scalably by band bucketing (Manku et al.'s web-dedup
@@ -359,7 +395,7 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     width = bits // bands
-    sig = simhash_wide(df, text_col, id_col, bits)
+    sig = simhash_wide(df, text_col, id_col, bits, counted=counted)
     # Carry sh through the band rows so verification needs NO join
     # back to the fingerprint relation — otherwise the whole
     # tokenize→32-agg pipeline sits under three plan branches (bands

@@ -73,8 +73,11 @@ def class_balanced_topn(
     with the smallest md5(id) — a stable 'random' sample that caps
     every class at the same size (the standard fix for dominant-class
     skew in a pretraining mix). One shuffle (the per-class window);
-    re-runs and incremental additions keep prior picks because rank
-    follows the content hash, not arrival order."""
+    re-runs over the SAME data are deterministic because rank follows
+    the content hash, not arrival order. Note: corpus growth can still
+    evict prior picks — a new row whose md5 ranks inside the top-n
+    displaces the old rank-n row; only identical inputs guarantee
+    identical outputs."""
     w = Window.partitionBy(class_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

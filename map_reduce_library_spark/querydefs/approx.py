@@ -65,6 +65,78 @@ def hll_sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- exact companions --------------------------------------------------
+# One hash-oracled twin per sketch family over the SAME grouping keys,
+# so each sketch's pytest tolerance band is anchored by a green driver
+# row (the sketch itself can only be rows-only checked: HLL/KLL
+# internals differ between engines).
+
+
+@register(
+    "approx_distinct_users_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion of ``approx_distinct_users``: the two-phase
+    COUNT(DISTINCT) over the same keys. tests/test_approx.py bounds the
+    HLL estimate against this; at 100 TB the sketch is the one that
+    survives."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "approx_quantiles_price_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 9) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 9) AS p95,
+           round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 9) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_quantiles_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion of ``approx_quantiles_price``: holistic
+    percentile() (linear interpolation, identical to DuckDB
+    quantile_cont) over the same keys and quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 9).alias("p95"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 9).alias("p99"),
+    )
+
+
+@register(
+    "hll_sketch_rollup_daily_exact",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+    FROM events GROUP BY 1
+    """,
+)
+def hll_sketch_rollup_daily_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion of ``hll_sketch_rollup_daily``: per-day exact
+    distinct users + distinct hours over the same day buckets. Unlike
+    the sketch rollup it cannot reuse hourly state (distinct does not
+    merge), which is precisely why the sketch variant is the 100-TB
+    path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct(F.date_trunc("hour", "ts")).alias("n_hours"),
+    )
+
+
 @register(
     "heavy_hitter_tokens",
     oracle="""

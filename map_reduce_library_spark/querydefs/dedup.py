@@ -39,6 +39,25 @@ COSINE_DUP_THRESHOLD = 0.4
 
 _SHARED_PAIRS: dict[tuple[str, str], DataFrame] = {}
 _SHARED_CLUSTERS: dict[tuple[str, str], DataFrame] = {}
+_SHARED_TOKEN_COUNTS: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, cnt) materialized once per (session, sf_dir) —
+    the tokenize+count prefix both SimHash queries (string fingerprint
+    and wide hamming pairs) would otherwise each rebuild. Same
+    pattern as the shared LSH candidate graph: at 100 TB this is one
+    parquet write read by every fingerprint variant."""
+    from map_reduce_library_spark.operators.dedup import token_counts
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_TOKEN_COUNTS.get(key)
+    if df is None:
+        df = token_counts(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _SHARED_TOKEN_COUNTS[key] = df
+    return df
 
 
 def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,10 +131,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash({k})+LSH({b}x{r}) near-duplicate candidate pairs over
-    word {n}-gram shingles.""".format(
-        k=MINHASH_K, b=LSH_BANDS, r=LSH_ROWS, n=SHINGLE_N
-    )
+    """MinHash(K=12)+LSH(4x3) near-duplicate candidate pairs over
+    word 3-gram shingles."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -164,9 +181,11 @@ _SIMHASH_BITSTR = " || ".join(
     """,
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{b}-bit SimHash document fingerprint (token-frequency weighted,
-    md5-hex-parity bit votes).""".format(b=SIMHASH_BITS)
-    return simhash(load_table(spark, sf_dir, "documents"))
+    """32-bit SimHash document fingerprint (token-frequency weighted,
+    md5-hex-parity bit votes). Consumes the shared (doc, token, cnt)
+    relation so the tokenize+count prefix runs once across the whole
+    SimHash family."""
+    return simhash(counted=shared_token_counts(spark, sf_dir))
 
 
 SIMHASH_HAM_MAX = 3
@@ -235,8 +254,8 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"),
         max_hamming=SIMHASH_HAM_MAX,
+        counted=shared_token_counts(spark, sf_dir),
     )
 
 
@@ -305,6 +324,56 @@ def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         COSINE_DUP_THRESHOLD,
         dim=EMB_DIM,
+    )
+
+
+def _emb_recall_oracle() -> str:
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH exact_pairs AS ({ORACLES["embedding_cosine_dups"]}),
+    lsh_pairs AS ({ORACLES["embedding_cosine_dups_lsh"]})
+    SELECT count(*) AS n_exact, count(l.vec_a) AS n_hits,
+           count(l.vec_a) / CAST(count(*) AS DOUBLE) AS recall
+    FROM exact_pairs e LEFT JOIN lsh_pairs l
+      ON e.vec_a = l.vec_a AND e.vec_b = l.vec_b
+    """
+
+
+@register("emb_dedup_recall", oracle=_emb_recall_oracle())
+def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the production LSH-bucketed embedding dedup against
+    the exact all-pairs ground truth — the ``ann_recall_at_k`` pattern
+    applied to the dedup path, so the single-group hyperplane
+    bucketing's miss rate is MEASURED, not assumed (its oracle alone
+    only proves implementation parity). Contains the quadratic
+    ground-truth side, so it is bench-excluded with the other
+    ground-truth variants; the driver checks it at sf0.01."""
+    from map_reduce_library_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+    from map_reduce_library_spark.querydefs.similarity import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = embedding_dup_pairs(emb, COSINE_DUP_THRESHOLD).select(
+        "vec_a", "vec_b"
+    )
+    lsh = embedding_dup_pairs_lsh(
+        emb, COSINE_DUP_THRESHOLD, dim=EMB_DIM
+    ).select(F.col("vec_a").alias("la"), F.col("vec_b").alias("lb"))
+    return (
+        exact.join(
+            lsh,
+            (exact.vec_a == lsh.la) & (exact.vec_b == lsh.lb),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("la").alias("n_hits"),
+            (F.count("la") / F.count(F.lit(1)).cast("double")).alias(
+                "recall"
+            ),
+        )
     )
 
 

@@ -71,22 +71,21 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "python_datasource_scan",
-    oracle="""
-    SELECT CAST(i AS BIGINT) AS id,
-           md5(CAST(i AS VARCHAR)) AS payload,
-           CAST(i % 7 AS BIGINT) AS bucket
-    FROM generate_series(0, 199) t(i)
-    """,
-)
-def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A custom connector through the Python DataSource API (Spark 4):
-    a deterministic generator source that plans N partitions and
-    produces rows executor-side — the pattern for wrapping any
-    external system (REST API, proprietary format) as a first-class,
-    partition-parallel Spark source. No driver-side materialization:
-    each partition generates only its own slice."""
+_RANGEGEN_CLS = None
+_RANGEGEN_REGISTERED: set[str] = set()
+
+
+def _rangegen_source():
+    """Build the DataSource class ONCE per process (cached): repeated
+    calls then register byte-identical pickled state, so plan-time
+    Python workers and any command-level caching can be reused across
+    invocations instead of treating every call as a brand-new source.
+    The classes stay function-local so cloudpickle serializes them by
+    value (executors lack this repo on PYTHONPATH under the external
+    driver)."""
+    global _RANGEGEN_CLS
+    if _RANGEGEN_CLS is not None:
+        return _RANGEGEN_CLS
     import hashlib
 
     from pyspark.sql.datasource import (
@@ -123,7 +122,32 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return RangeGenReader(self.options)
 
-    spark.dataSource.register(RangeGenSource)
+    _RANGEGEN_CLS = RangeGenSource
+    return _RANGEGEN_CLS
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           md5(CAST(i AS VARCHAR)) AS payload,
+           CAST(i % 7 AS BIGINT) AS bucket
+    FROM generate_series(0, 199) t(i)
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom connector through the Python DataSource API (Spark 4):
+    a deterministic generator source that plans N partitions and
+    produces rows executor-side — the pattern for wrapping any
+    external system (REST API, proprietary format) as a first-class,
+    partition-parallel Spark source. No driver-side materialization:
+    each partition generates only its own slice. Registration is
+    once-per-session (re-registering an identical source every call
+    only adds JVM round-trips)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _RANGEGEN_REGISTERED:
+        spark.dataSource.register(_rangegen_source())
+        _RANGEGEN_REGISTERED.add(app_id)
     return (
         spark.read.format("rangegen")
         .option("n", 200)

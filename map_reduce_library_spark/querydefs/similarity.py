@@ -42,8 +42,8 @@ N_QUERIES = 20  # vec_id < 20 are the query vectors
     """,
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k for the first {n} vectors as
-    queries — the ANN correctness baseline.""".format(n=N_QUERIES)
+    """Exact brute-force cosine top-k for the first N_QUERIES=20
+    vectors as queries — the ANN correctness baseline."""
     return cosine_topk(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < N_QUERIES,
@@ -89,8 +89,8 @@ def _oracle_sig_sql(vec: str) -> str:
     """,
 )
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-k ({p} planes → {b} buckets);
-    exact cosine within bucket.""".format(p=ANN_PLANES, b=2**ANN_PLANES)
+    """Hyperplane-LSH bucketed ANN top-k (ANN_PLANES planes →
+    2^ANN_PLANES buckets); exact cosine within bucket."""
     return ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < N_QUERIES,

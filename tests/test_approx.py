@@ -1,10 +1,25 @@
-"""Sketch queries bounded against exact answers (no SQL oracle —
-sketch impls differ across engines)."""
+"""Sketch queries bounded against exact answers. The sketches
+themselves register without SQL oracles (HLL/KLL internals differ
+across engines — driver records rows-only); their tolerance bands are
+anchored by the hash-oracled exact companion queries over the same
+grouping keys (``*_exact``)."""
 
-from conftest import SF_CORRECTNESS
+import pytest
+from conftest import SF_CORRECTNESS, assert_oracle_match
 
 from map_reduce_library_spark.queries import QUERIES
 from map_reduce_library_spark.tables import load_table
+
+EXACT_COMPANIONS = [
+    "approx_distinct_users_exact",
+    "approx_quantiles_price_exact",
+    "hll_sketch_rollup_daily_exact",
+]
+
+
+@pytest.mark.parametrize("name", EXACT_COMPANIONS)
+def test_exact_companion_oracle(spark, name):
+    assert_oracle_match(spark, name)
 
 
 def test_approx_distinct_within_tolerance(spark):
@@ -12,25 +27,15 @@ def test_approx_distinct_within_tolerance(spark):
         r.event_type: r.approx_users
         for r in QUERIES["approx_distinct_users"](spark, SF_CORRECTNESS).collect()
     }
-    ev = load_table(spark, SF_CORRECTNESS, "events")
     exact = {
-        r.event_type: r.n
-        for r in ev.groupBy("event_type")
-        .agg({"user_id": "count"})
-        .withColumnRenamed("count(user_id)", "n")
-        .collect()
+        r.event_type: r.exact_users
+        for r in QUERIES["approx_distinct_users_exact"](
+            spark, SF_CORRECTNESS
+        ).collect()
     }
-    exact_distinct = {
-        r.event_type: r.n
-        for r in ev.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
+    assert set(approx) == set(exact)
     for et, est in approx.items():
-        true = exact_distinct[et]
+        true = exact[et]
         assert abs(est - true) <= max(2, 0.05 * true), (et, est, true)
 
 
@@ -43,21 +48,39 @@ def test_approx_quantiles_ordered_and_bounded(spark):
         assert lo <= r.p50 <= r.p95 <= r.p99 <= hi
 
 
-def test_hll_sketch_rollup_bounds(spark):
-    from pyspark.sql import functions as F
+def test_approx_quantiles_near_exact_companion(spark):
+    approx = {
+        r.o_orderpriority: r
+        for r in QUERIES["approx_quantiles_price"](spark, SF_CORRECTNESS).collect()
+    }
+    exact = {
+        r.o_orderpriority: r
+        for r in QUERIES["approx_quantiles_price_exact"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    # accuracy=10000 ⟹ rank error <= n/10000 (~2 order statistics at
+    # sf0.01) — a tight relative band holds with wide margin.
+    for prio, a in approx.items():
+        e = exact[prio]
+        for q in ("p50", "p95", "p99"):
+            av, ev_ = getattr(a, q), getattr(e, q)
+            assert abs(av - ev_) <= 0.02 * abs(ev_) + 1e-6, (prio, q, av, ev_)
 
+
+def test_hll_sketch_rollup_bounds(spark):
     got = {
         r.day: r.approx_users
         for r in QUERIES["hll_sketch_rollup_daily"](
             spark, SF_CORRECTNESS
         ).collect()
     }
-    ev = load_table(spark, SF_CORRECTNESS, "events")
     exact = {
-        r.day: r.n
-        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
+        r.day: r.exact_users
+        for r in QUERIES["hll_sketch_rollup_daily_exact"](
+            spark, SF_CORRECTNESS
+        ).collect()
     }
     assert set(got) == set(exact)
     for day, est in got.items():
@@ -69,7 +92,6 @@ def test_hll_sketch_rollup_bounds(spark):
 
 
 def test_heavy_hitters_oracle_and_freqitems_superset(spark):
-    from conftest import assert_oracle_match
     from pyspark.sql import functions as F
 
     assert_oracle_match(spark, "heavy_hitter_tokens")

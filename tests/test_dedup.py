@@ -116,3 +116,16 @@ def test_simhash_hamming_banded_retrieval_is_exact(spark):
     )
     assert brute, "corpus should contain simhash near-dups"
     assert got == brute
+
+
+def test_emb_dedup_recall_oracle(spark):
+    assert_oracle_match(spark, "emb_dedup_recall")
+
+
+def test_emb_dedup_recall_bounds(spark):
+    from map_reduce_library_spark.queries import QUERIES
+
+    row = QUERIES["emb_dedup_recall"](spark, SF_CORRECTNESS).collect()[0]
+    assert row.n_exact > 0, "ground truth should contain dup pairs"
+    assert 0.0 <= row.recall <= 1.0
+    assert row.n_hits <= row.n_exact

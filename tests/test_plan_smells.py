@@ -17,9 +17,14 @@ from map_reduce_library_spark.queries import QUERIES
 
 # Ground-truth-only variants, quadratic by construction and excluded
 # from the bench headline: exact all-pairs Jaccard (oracle for
-# ngram_jaccard_lsh) and blocked all-pairs cosine (oracle for
-# embedding_cosine_dups_lsh, the bucketed production path).
-ALLOWED_QUADRATIC = {"ngram_jaccard_pairs", "embedding_cosine_dups"}
+# ngram_jaccard_lsh), blocked all-pairs cosine (oracle for
+# embedding_cosine_dups_lsh, the bucketed production path), and the
+# recall evaluation that embeds the quadratic exact side.
+ALLOWED_QUADRATIC = {
+    "ngram_jaccard_pairs",
+    "embedding_cosine_dups",
+    "emb_dedup_recall",
+}
 
 # Queries that attach a GLOBAL scalar (grand total, corpus size) to
 # every row: Spark plans that as a BroadcastNestedLoopJoin whose build

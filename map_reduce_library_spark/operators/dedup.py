@@ -371,6 +371,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = SIMHASH_HAM_BITS,
     counted: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """ALL pairs with SimHash hamming distance <= ``max_hamming``,
     found scalably by band bucketing (Manku et al.'s web-dedup
@@ -395,7 +396,8 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     width = bits // bands
-    sig = simhash_wide(df, text_col, id_col, bits, counted=counted)
+    if sig is None:
+        sig = simhash_wide(df, text_col, id_col, bits, counted=counted)
     # Carry sh through the band rows so verification needs NO join
     # back to the fingerprint relation — otherwise the whole
     # tokenize→32-agg pipeline sits under three plan branches (bands

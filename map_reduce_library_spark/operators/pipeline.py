@@ -217,3 +217,68 @@ def quality_gate_metrics(df: DataFrame, text_col: str = "text"):
             "mean_chars": F.avg(F.length(text_col)),
         },
     )
+
+
+def vocab_topn(
+    df: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """Top-``n`` token vocabulary by corpus frequency (ties broken by
+    token string, so the cut is deterministic) — the BPE-precursor
+    vocabulary-build step. The orderBy+limit plans as
+    TakeOrderedAndProject over the counted relation: each task keeps
+    its local top-n, the driver merges n-sized heaps — no global
+    sort."""
+    tok = df.select(F.explode(F.split(F.col(text_col), " ", -1)).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(n)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a (small) vocab
+    relation: (id, n_tokens, n_oov, oov_rate). The vocab side is
+    broadcast (it is top-N by construction), so the scan over 100 TB
+    of documents is one shuffle-free pass + the final per-doc groupBy."""
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ", -1)).alias("tok")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.select("tok").withColumn("__in_vocab", F.lit(1))),
+        "tok",
+        "left",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("__in_vocab").isNull()).cast("long")).alias("n_oov"),
+        F.round(
+            F.sum((F.col("__in_vocab").isNull()).cast("long"))
+            / F.count(F.lit(1)),
+            9,
+        ).alias("oov_rate"),
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame, class_col: str, alpha: float
+) -> DataFrame:
+    """Temperature-based sampling weights over a class column (the
+    multilingual-mix reweighting of mBERT/XLM-R: p_l^alpha / sum
+    p^alpha, alpha < 1 upsamples low-resource classes). Returns
+    (class, n_docs, weight). One groupBy to class cardinality, then a
+    single-row grand-total broadcast — the approved scalar-attach
+    plan (constant-size build side at any scale)."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z")
+    )
+    return counts.crossJoin(F.broadcast(z)).select(
+        class_col,
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"), 9
+        ).alias("weight"),
+    )

@@ -19,7 +19,6 @@ from map_reduce_library_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash,
 )
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.tables import load_table
@@ -40,6 +39,27 @@ COSINE_DUP_THRESHOLD = 0.4
 _SHARED_PAIRS: dict[tuple[str, str], DataFrame] = {}
 _SHARED_CLUSTERS: dict[tuple[str, str], DataFrame] = {}
 _SHARED_TOKEN_COUNTS: dict[tuple[str, str], DataFrame] = {}
+
+
+_SHARED_WIDE_FP: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) 60-bit SimHash fingerprints materialized once per
+    (session, sf_dir): the fingerprint query projects it, the
+    hamming-pair query bands it — the whole tokenize→count→60-agg
+    pipeline runs a single time for the family. At 100 TB this is the
+    fingerprint table every SimHash consumer reads from parquet."""
+    from map_reduce_library_spark.operators.dedup import simhash_wide
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_WIDE_FP.get(key)
+    if df is None:
+        df = simhash_wide(
+            counted=shared_token_counts(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        _SHARED_WIDE_FP[key] = df
+    return df
 
 
 def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,39 +181,15 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_AGGS = ", ".join(
-    f"sum((ascii(substr(md5(tok), {j + 1}, 1)) % 2) * 2 - 1) AS s{j}"
-    for j in range(SIMHASH_BITS)
-)
-_SIMHASH_BITSTR = " || ".join(
-    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
-)
-
-
-@register(
-    "simhash_fingerprint",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    sums AS (SELECT doc_id, {_SIMHASH_AGGS} FROM tok GROUP BY doc_id)
-    SELECT doc_id, {_SIMHASH_BITSTR} AS simhash FROM sums
-    """,
-)
-def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash document fingerprint (token-frequency weighted,
-    md5-hex-parity bit votes). Consumes the shared (doc, token, cnt)
-    relation so the tokenize+count prefix runs once across the whole
-    SimHash family."""
-    return simhash(counted=shared_token_counts(spark, sf_dir))
-
-
 SIMHASH_HAM_MAX = 3
 
 
-def _ham_oracle() -> str:
+def _wide_fp_ctes() -> str:
+    """CTE chain computing the shared 60-bit fingerprint relation
+    ``ints(doc_id, sh)`` — the SQL twin of ``simhash_wide`` consumed
+    by BOTH SimHash oracles, exactly as both Spark queries consume the
+    one checkpointed ``shared_wide_fingerprints`` relation."""
     from map_reduce_library_spark.operators.dedup import (
-        SIMHASH_HAM_BANDS,
         SIMHASH_HAM_BITS,
         _hex_digit_expr,
     )
@@ -215,6 +211,43 @@ def _ham_oracle() -> str:
         f"{2 ** (SIMHASH_HAM_BITS - 1 - j)}"
         for j in range(SIMHASH_HAM_BITS)
     )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    digs AS (SELECT doc_id, {dig_cols} FROM h),
+    sums AS (SELECT doc_id, {", ".join(aggs)} FROM digs GROUP BY doc_id),
+    ints AS (SELECT doc_id, {int_expr} AS sh FROM sums)"""
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH {_wide_fp_ctes()}
+    SELECT doc_id, sh AS simhash FROM ints
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash document fingerprint as a bigint
+    (token-frequency weighted, 4-bits-per-md5-hex-digit votes) — the
+    SAME fingerprint the hamming-pair query bands, read from the one
+    checkpointed ``shared_wide_fingerprints`` relation so the whole
+    tokenize→count→60-agg pipeline runs ONCE for the family. (The
+    32-bit hex-parity string form remains available as
+    ``operators.dedup.simhash`` for API parity; hamming distance on
+    the bigint form is ``bit_count(a ^ b)`` in both engines.)"""
+    return shared_wide_fingerprints(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("simhash")
+    )
+
+
+def _ham_oracle() -> str:
+    from map_reduce_library_spark.operators.dedup import (
+        SIMHASH_HAM_BANDS,
+        SIMHASH_HAM_BITS,
+    )
+
     width = SIMHASH_HAM_BITS // SIMHASH_HAM_BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, sh, {b} AS band_id, "
@@ -222,13 +255,7 @@ def _ham_oracle() -> str:
         for b in range(SIMHASH_HAM_BANDS)
     )
     return f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-    digs AS (SELECT doc_id, {dig_cols} FROM h),
-    sums AS (SELECT doc_id, {", ".join(aggs)} FROM digs GROUP BY doc_id),
-    ints AS (SELECT doc_id, {int_expr} AS sh FROM sums),
+    WITH {_wide_fp_ctes()},
     bands AS ({band_selects})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh, b.sh)) AS hamming
@@ -248,14 +275,16 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. 15-bit bands keep buckets fine-grained (32768 values) so
     verification work stays near-linear on topically-clustered
     corpora. The third dedup family next to MinHash-Jaccard and
-    embedding-cosine."""
+    embedding-cosine. Bands the checkpointed
+    ``shared_wide_fingerprints`` relation (shared with
+    ``simhash_fingerprint``)."""
     from map_reduce_library_spark.operators.dedup import (
         simhash_hamming_pairs,
     )
 
     return simhash_hamming_pairs(
         max_hamming=SIMHASH_HAM_MAX,
-        counted=shared_token_counts(spark, sf_dir),
+        sig=shared_wide_fingerprints(spark, sf_dir),
     )
 
 

@@ -10,8 +10,11 @@ from map_reduce_library_spark.operators.pipeline import (
     class_balanced_topn,
     decontamination_overlap,
     deterministic_split,
+    oov_rate,
     pack_sequences,
     stratified_sample,
+    temperature_mix_weights,
+    vocab_topn,
 )
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.tables import load_table
@@ -189,3 +192,53 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tokens"),
     )
+
+
+VOCAB_N = 1000
+MIX_ALPHA = 0.7
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok LIMIT {VOCAB_N})
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN t.tok IN (SELECT tok FROM vocab)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN t.tok IN (SELECT tok FROM vocab)
+                          THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE),
+                 9) AS oov_rate
+    FROM tok t GROUP BY doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + coverage: top-VOCAB_N=1000 tokens by corpus
+    frequency (deterministic tie-break), then per-document
+    out-of-vocabulary rate against it — the tokenizer-coverage sweep a
+    pretraining pipeline runs before committing a vocab. The vocab is
+    a broadcast-joined top-N (TakeOrderedAndProject); the document
+    pass is one scan + one per-doc groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_topn(docs, VOCAB_N))
+
+
+@register(
+    "temperature_mix",
+    oracle=f"""
+    WITH lc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z FROM lc)
+    SELECT lang, n_docs, round(pow(n_docs, {MIX_ALPHA}) / z, 9) AS weight
+    FROM lc CROSS JOIN tot
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mix weights (alpha=0.7): the
+    standard multilingual upsampling curve (p^alpha / sum p^alpha).
+    Grand total attaches via the approved single-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "lang", MIX_ALPHA)

@@ -43,3 +43,37 @@ def test_packing_bins_respect_budget_start_rule(spark):
     # doc1 starts at 0 → bin0; doc2 starts at 1000 → bin0;
     # doc3 starts at 2000 → bin0 (start rule); doc4 at 3000 → bin1.
     assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+@pytest.mark.parametrize("name", ["vocab_oov_rate", "temperature_mix"])
+def test_vocab_mix_oracle(spark, name):
+    assert_oracle_match(spark, name)
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    """alpha<1 must give low-resource classes a larger weight than
+    their raw share, high-resource a smaller one; weights sum to 1."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["temperature_mix"](spark, SF_CORRECTNESS).collect()
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        share = r.n_docs / total
+        if share < 1.0 / len(rows):
+            assert r.weight > share, (r.lang, r.weight, share)
+        elif share > 1.0 / len(rows):
+            assert r.weight < share, (r.lang, r.weight, share)
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark):
+    """OOV rate in [0,1]; a vocab as large as the whole token set
+    would drive every rate to 0 — with top-1000 the corpus-weighted
+    mean OOV must be below the unweighted tail share."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    rows = QUERIES["vocab_oov_rate"](spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+        assert r.n_oov <= r.n_tokens

@@ -34,6 +34,8 @@ ALLOWED_SCALAR_ATTACH = {
     "global_sales_opportunity",
     "important_part_value",
     "heavy_hitter_tokens",
+    # single-row normalization constant (sum of p^alpha)
+    "temperature_mix",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed

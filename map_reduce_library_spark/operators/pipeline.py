@@ -282,3 +282,31 @@ def temperature_mix_weights(
             F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z"), 9
         ).alias("weight"),
     )
+
+
+def chunk_hashes(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """md5 content hash of every overlapping token window (same
+    windowing as ``chunk_documents``): (id, chunk_idx, chunk_hash).
+    Zero-shuffle scan projection — the hash is computed inside the
+    per-row transform, so the only data leaving the scan is the
+    32-byte hash per chunk, never the chunk text. Feed into a
+    hash-groupBy for chunk/paragraph-level dedup (the within-corpus
+    boilerplate sweep line-level dedup pipelines run)."""
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(size(toks)-1, 0), {stride}), "
+        f"s -> named_struct("
+        f"'idx', s div {stride}, "
+        f"'h', md5(concat_ws(' ', slice(toks, s + 1, {size})))))"
+    )
+    return toks.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.h").alias("chunk_hash"),
+    )

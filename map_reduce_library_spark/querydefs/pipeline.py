@@ -242,3 +242,45 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grand total attaches via the approved single-row broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mix_weights(docs, "lang", MIX_ALPHA)
+
+
+@register(
+    "chunk_level_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest([{{'idx': s // {CHUNK_STRIDE},
+                      'h': md5(array_to_string(
+                             toks[s + 1 : s + {CHUNK_SIZE}], ' '))}}
+                     FOR s IN generate_series(0, greatest(len(toks)-1, 0),
+                                              {CHUNK_STRIDE})]) AS ch
+      FROM t
+    )
+    SELECT ch.h AS chunk_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS first_doc
+    FROM c
+    GROUP BY ch.h
+    HAVING count(*) >= 2
+    """,
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk/paragraph-level exact dedup: md5 every overlapping
+    64-token window (zero-shuffle scan projection — only 32-byte
+    hashes leave the scan), then one hash-groupBy finds windows
+    repeated ACROSS documents — the within-corpus boilerplate sweep
+    (headers, licenses, templates) that document-level dedup misses.
+    The RefinedWeb/CCNet line-level-dedup step at window granularity."""
+    from map_reduce_library_spark.operators.pipeline import chunk_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_hashes(docs, CHUNK_SIZE, CHUNK_STRIDE)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )

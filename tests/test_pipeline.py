@@ -77,3 +77,28 @@ def test_oov_rate_bounds_and_vocab_coverage(spark):
     for r in rows:
         assert 0.0 <= r.oov_rate <= 1.0
         assert r.n_oov <= r.n_tokens
+
+
+def test_chunk_level_dedup_oracle(spark):
+    assert_oracle_match(spark, "chunk_level_dedup")
+
+
+def test_chunk_level_dedup_catches_cross_doc_repeats(spark):
+    """Every reported chunk hash must occur in >=2 rows of the raw
+    chunk-hash relation, and exact-duplicate documents must surface."""
+    from map_reduce_library_spark.operators.pipeline import chunk_hashes
+    from map_reduce_library_spark.queries import QUERIES
+    from map_reduce_library_spark.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    dup_rows = QUERIES["chunk_level_dedup"](spark, SF_CORRECTNESS).collect()
+    assert dup_rows
+    raw = chunk_hashes(docs, 64, 48)
+    counts = {
+        r.chunk_hash: r.n
+        for r in raw.groupBy("chunk_hash").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for r in dup_rows:
+        assert counts[r.chunk_hash] == r.n_copies >= 2

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 from map_reduce_library_spark.operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_K,
+    MINHASH_P,
     SHINGLE_N,
-    SIMHASH_BITS,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -114,13 +116,25 @@ sh AS (
   FROM tok
 )"""
 
+# SQL twin of operators.dedup.minhash_signature: one md5 → 60-bit x,
+# then K universal-hash permutations (same constants, same BIGINT
+# arithmetic — both engines stay inside signed 64-bit by construction).
+_SHX_CTE = (
+    "shx AS (SELECT doc_id, "
+    f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS x "
+    "FROM sh)"
+)
 _MINHASH_AGGS = ", ".join(
-    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    f"min((x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+    for i in range(MINHASH_K)
 )
 
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
-        b=b, cols="||".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        b=b,
+        cols="concat_ws('|', {})".format(
+            ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        ),
     )
     for b in range(LSH_BANDS)
 )

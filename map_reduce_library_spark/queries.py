@@ -63,39 +63,51 @@ from map_reduce_library_spark.querydefs import relational7  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import relational8  # noqa: E402,F401
 
 # Registry order = driver check order.  Rebuild the dicts so queries
-# with no green CORRECTNESS row yet come first (hash-oracled before
-# rows-only), and already-verified ones re-check last.
+# with no trustworthy green come first (hash-oracled before rows-only),
+# and already-verified ones re-check last, oldest green first.
 #
-# _VERIFIED is DERIVED from the committed CORRECTNESS_r*.json artifacts
-# (not hand-maintained) so a registry reorder can never silently
-# re-check greens while reds wait: a query counts verified only if its
-# most recent driver row was green (rows+schema match, no error, and
-# hash not explicitly false — rows-only checks carry hash_match null).
+# _VERIFIED is DERIVED from VERIFIED_LEDGER.json (built by
+# tools/update_ledger.py from the committed CORRECTNESS_r*.json
+# artifacts), and it is STALENESS-AWARE: each ledger entry carries md5
+# hashes of the oracle SQL and the querydef source as they were when
+# the driver verified them, so editing either demotes the query back to
+# unverified-first (VERDICT.md round 3, "What's wrong" §3 — five r1/r2
+# greens survived an oracle+implementation rewrite undetected).
+# Rows-only sketches (no registered oracle, driver records rows only)
+# count verified once a rows row exists — they can never go hash-green
+# and must not permanently occupy cap slots (ADVICE round 3).
 
 
-def _load_verified() -> set[str]:
+def _load_verified() -> dict[str, int]:
+    """name -> round of last trustworthy green (hash-validated)."""
+    import hashlib
+    import inspect
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[1]
-    latest: dict[str, bool] = {}
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    path = Path(__file__).resolve().parents[1] / "VERIFIED_LEDGER.json"
+    try:
+        ledger = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+    def md5(text: str | None) -> str | None:
+        return None if text is None else hashlib.md5(text.encode()).hexdigest()
+
+    out: dict[str, int] = {}
+    for name, entry in ledger.items():
+        if name not in QUERIES or not isinstance(entry, dict):
+            continue
+        if entry.get("oracle_md5") != md5(ORACLES.get(name)):
+            continue  # oracle changed since green -> stale
         try:
-            rows = json.loads(path.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, r in rows.items():
-            if not isinstance(r, dict):
-                continue
-            latest[name] = (
-                not r.get("err")
-                and bool(r.get("rows_match"))
-                and bool(r.get("schema_match"))
-                and r.get("hash_match") is not False
-            )
-    return {name for name, green in latest.items() if green}
+            fn_md5 = md5(inspect.getsource(QUERIES[name]))
+        except (OSError, TypeError):
+            fn_md5 = None
+        if entry.get("fn_md5") != fn_md5:
+            continue  # querydef changed since green -> stale
+        out[name] = int(entry.get("round", 0))
+    return out
 
 
 _VERIFIED = _load_verified()
@@ -109,7 +121,10 @@ _CANARIES = ("wordcount", "filter_project", "pricing_summary")
 def _order_key(name: str) -> tuple:
     verified = name in _VERIFIED
     canary = _CANARIES.index(name) if name in _CANARIES else len(_CANARIES)
-    return (verified, name not in ORACLES, canary if verified else 0)
+    # Verified queries re-check oldest-green-first so no family's last
+    # green ever drifts more than a couple of rounds stale.
+    age = _VERIFIED.get(name, 0)
+    return (verified, name not in ORACLES, canary if verified else 0, age, name)
 
 
 _order = sorted(QUERIES, key=_order_key)

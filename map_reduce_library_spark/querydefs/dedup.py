@@ -156,7 +156,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
     bands AS ({_BAND_SELECTS})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -422,7 +423,8 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_PAIRS_CTES = f"""
     {_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

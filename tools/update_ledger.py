@@ -1,0 +1,118 @@
+"""Rebuild/extend VERIFIED_LEDGER.json from a round's CORRECTNESS file.
+
+The ledger is the staleness-aware source of truth for "this query is
+verified against its CURRENT oracle and querydef": each entry records
+the round a query last went green together with md5 hashes of its
+oracle SQL and its querydef function source *as they were at that
+round's snapshot*. ``queries.py`` counts a query verified only if the
+current hashes still match — so editing an oracle or a querydef
+automatically demotes the query to unverified-first in the driver's
+check order (VERDICT.md round 3, "What's wrong" §3).
+
+Usage (run at ROUND START, before editing oracles/querydefs, when the
+working tree still matches the snapshot the driver verified):
+
+    python tools/update_ledger.py --round N [--source PATH]
+
+``--source`` points at the repo tree whose registry should be hashed
+(default: this repo). For bootstrapping past rounds, pass a git
+worktree checked out at that round's snapshot commit (the parent of
+the "round N: verdict/..." commit).
+
+Semantics per CORRECTNESS_r{N}.json row, merged into the ledger:
+  * green (rows+schema match, hash not explicitly false, no err)
+      -> upsert {round, oracle_md5, fn_md5} from the --source registry.
+  * err == "no_oracle" with spark_rows recorded (rows-only sketches)
+      -> upsert with oracle_md5 null (ADVICE r3: these can never go
+         hash-green; treating them as verified frees driver cap slots).
+  * red -> DELETE any existing entry (a later red evicts an old green).
+Queries absent from the round's file keep their existing entries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _md5(text: str | None) -> str | None:
+    if text is None:
+        return None
+    return hashlib.md5(text.encode()).hexdigest()
+
+
+def _registry(source: Path):
+    """Import the (queries, oracles) registry from a source tree."""
+    sys.path.insert(0, str(source))
+    try:
+        import __spark_entry__ as entry_mod  # noqa: PLC0415
+
+        assert Path(entry_mod.__file__).resolve().parent == source.resolve()
+        return entry_mod.queries(), entry_mod.oracle_sql()
+    finally:
+        sys.path.pop(0)
+
+
+def _fn_md5(fn) -> str | None:
+    try:
+        return _md5(inspect.getsource(fn))
+    except (OSError, TypeError):
+        return None
+
+
+def _is_green(row: dict) -> bool:
+    return (
+        not row.get("err")
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and row.get("hash_match") is not False
+    )
+
+
+def _is_rows_only_green(row: dict) -> bool:
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def update(round_no: int, source: Path) -> dict:
+    correctness = REPO / f"CORRECTNESS_r{round_no:02d}.json"
+    rows = json.loads(correctness.read_text())
+    queries, oracles = _registry(source)
+
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+
+    for name, row in rows.items():
+        if not isinstance(row, dict):
+            continue
+        if _is_green(row) or _is_rows_only_green(row):
+            if name not in queries:
+                continue  # renamed/removed since that snapshot
+            ledger[name] = {
+                "round": round_no,
+                "oracle_md5": _md5(oracles.get(name)),
+                "fn_md5": _fn_md5(queries[name]),
+            }
+        else:
+            ledger.pop(name, None)
+
+    ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    return ledger
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--source", type=Path, default=REPO)
+    args = ap.parse_args()
+    ledger = update(args.round, args.source)
+    print(f"ledger: {len(ledger)} verified entries after round {args.round}")
+
+
+if __name__ == "__main__":
+    main()

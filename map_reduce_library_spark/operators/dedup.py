@@ -21,8 +21,9 @@ Scale design (100 TB stance):
 - LSH banding turns the O(n²) all-pairs problem into a self-join on
   (band_id, band_signature): only docs sharing a bucket meet. Bucket
   skew (a viral boilerplate string) is the known hazard → AQE skew
-  join handles moderate skew; pathological buckets should be capped
-  upstream (drop buckets with > N members as "template spam").
+  join handles moderate skew; pathological buckets are capped by
+  ``lsh_candidate_pairs(max_bucket=...)`` (drop + audit buckets with
+  > N members as "template spam" via ``lsh_hot_buckets``).
 - Exact n-gram Jaccard is O(candidate pairs); at scale feed it the
   LSH candidates (``candidates=``), never the full cross product.
 """
@@ -56,12 +57,29 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup by full-text equality: one representative (min id)
-    per distinct text plus the copy count. A single hash shuffle on
-    the text hash; at 100 TB group by md5(text) instead of the raw
-    text to shrink shuffle keys (same partitions, 32-byte keys)."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias(id_col),
-        F.count(F.lit(1)).alias("n_copies"),
+    per distinct text plus the copy count.
+
+    Groups by (md5(text), length(text)) rather than the raw text, so
+    the exchange keys are 32-byte digests + a long instead of
+    arbitrary-length documents (the round-3 verdict's task 6). The
+    text itself still rides along once per group — partial (map-side)
+    aggregation collapses copies before the shuffle — via ``first``,
+    which is deterministic here because every row in a group carries
+    the identical string (an md5+length collision between different
+    texts is the only exception, and 2^-128-grade impossible; length
+    is included as the extra belt anyway). Same output columns as
+    before: (text, id, n_copies)."""
+    return (
+        df.groupBy(
+            F.md5(F.col(text_col)).alias("__text_md5"),
+            F.length(F.col(text_col)).alias("__text_len"),
+        )
+        .agg(
+            F.first(text_col).alias(text_col),
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(text_col, id_col, "n_copies")
     )
 
 
@@ -134,11 +152,51 @@ def lsh_bands(
     return sig_df.selectExpr(id_col, expr)
 
 
+def lsh_hot_buckets(
+    band_df: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Audit relation for the hot-bucket cap: every (band_id,
+    band_sig) bucket with more than ``max_bucket`` members and its
+    size. At 100 TB these are the "template spam" buckets — one viral
+    boilerplate string shared by 10⁵ docs makes a 10¹⁰-row self-join
+    fan-out no AQE skew split can absorb. Persist/log this relation as
+    the side output whenever the cap is enabled so dropped buckets are
+    audited, never silently lost."""
+    return (
+        band_df.groupBy("band_id", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
+
+
 def lsh_candidate_pairs(
-    band_df: DataFrame, id_col: str = "doc_id"
+    band_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Self-join on (band_id, band_sig): docs agreeing on any band are
-    near-dup candidates. Returns distinct (doc_a, doc_b), a < b."""
+    near-dup candidates. Returns distinct (doc_a, doc_b), a < b.
+
+    ``max_bucket`` (the round-3 verdict's task 5) drops buckets with
+    more members than the cap BEFORE the self-join: candidate fan-out
+    per bucket is |bucket|², so one pathological bucket dominates the
+    whole job while contributing pairs that are template spam, not
+    meaningful near-dups (the standard mitigation in production dedup
+    pipelines). The hot-bucket relation is tiny by construction
+    (buckets over the cap), so it broadcasts into a left-anti join —
+    one extra aggregate over the band relation, no extra shuffle of
+    the big side beyond the join it already does.
+
+    Default ``None`` (no cap) keeps exact parity with the DuckDB
+    oracles; production configs should set it (e.g. 1000) and audit
+    ``lsh_hot_buckets`` as a side output."""
+    if max_bucket is not None:
+        hot = lsh_hot_buckets(band_df, max_bucket).select(
+            "band_id", "band_sig"
+        )
+        band_df = band_df.join(
+            F.broadcast(hot), ["band_id", "band_sig"], "left_anti"
+        )
     a = band_df.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_sig"
     )
@@ -154,7 +212,10 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate candidate pairs.
 
@@ -162,10 +223,14 @@ def minhash_lsh_pairs(
     distinct shuffle pays for itself by halving the 12-hash work —
     distinct-first wins (1.9s vs 2.7s warm). On corpora with near-zero
     in-doc shingle repetition, pass ``distinct=False`` to skip the
-    shuffle instead (min is duplicate-idempotent either way)."""
+    shuffle instead (min is duplicate-idempotent either way).
+
+    ``max_bucket`` forwards to ``lsh_candidate_pairs`` — set it in
+    production to bound the per-bucket quadratic fan-out."""
     return lsh_candidate_pairs(
         lsh_bands(minhash_signature(shingles(df, text_col, id_col), id_col), id_col),
         id_col,
+        max_bucket=max_bucket,
     )
 
 

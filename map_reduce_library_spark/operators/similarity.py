@@ -32,13 +32,39 @@ from pyspark.sql import functions as F
 
 ANN_PLANES = 4
 
+# Band-OR (multi-table) LSH: T independent signature tables of P
+# planes each, candidates = union over tables of same-bucket pairs.
+# Versus the single 4-plane table (16 buckets, the round-1..3 default
+# the round-3 verdict flagged as Σ|bucket|² ≈ n²/16 at 100 TB):
+# 6 planes/table → 64 buckets/table (4× finer), so per-table probe
+# work is n²/64 and the 4-table union is back to ~n²/16 WORK but with
+# recall 1-(1-p^6)^4 instead of p^4 (p = 1-θ/π per-plane agreement) —
+# strictly higher for every pair above p ≈ 0.6 (cosine ≳ 0.3, i.e.
+# everything at or above COSINE_DUP_THRESHOLD). Measured at sf0.01 by
+# emb_dedup_recall / ann_recall_at_k, not assumed.
+ANN_TABLES = 4
+ANN_BAND_PLANES = 6
 
-def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
-    """Deterministic ±1 hyperplanes: sign from md5 parity of 'p,d'."""
+
+def hyperplane_weights(
+    planes: int, dim: int, table: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign from md5 parity. Table 0
+    keeps the original 'p,d' seeding (round-1..3 signatures are
+    reproducible); tables ≥1 salt the digest with the table index so
+    every signature table is an independent draw."""
     return [
         [
             1.0
-            if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) % 2
+            if int(
+                hashlib.md5(
+                    (
+                        f"{p},{d}" if table == 0 else f"t{table}:{p},{d}"
+                    ).encode()
+                ).hexdigest()[0],
+                16,
+            )
+            % 2
             else -1.0
             for d in range(dim)
         ]
@@ -61,9 +87,11 @@ def _dot(a: str, b: str) -> str:
     )
 
 
-def lsh_signature_expr(vec: str, planes: int, dim: int) -> str:
+def lsh_signature_expr(
+    vec: str, planes: int, dim: int, table: int = 0
+) -> str:
     """SQL expression for the P-bit hyperplane signature of ``vec``."""
-    ws = hyperplane_weights(planes, dim)
+    ws = hyperplane_weights(planes, dim, table)
     bits = []
     for p in range(planes):
         lit = "array(" + ", ".join(
@@ -71,6 +99,24 @@ def lsh_signature_expr(vec: str, planes: int, dim: int) -> str:
         ) + ")"
         bits.append(f"CASE WHEN {_dot(vec, lit)} > 0 THEN '1' ELSE '0' END")
     return " || ".join(f"({b})" for b in bits)
+
+
+def _banded_sigs(
+    base: DataFrame, planes: int, tables: int, dim: int
+) -> DataFrame:
+    """Explode ``base`` (id, v, nrm) into one row per signature table:
+    (…, tbl, sig). One projection, no shuffle — the join on
+    (tbl, sig) downstream is the only exchange, and its key space is
+    tables × 2^planes buckets."""
+    sig_arr = F.array(
+        *[
+            F.expr(lsh_signature_expr("v", planes, dim, table=t))
+            for t in range(tables)
+        ]
+    )
+    return base.select(
+        "*", F.posexplode(sig_arr).alias("tbl", "sig")
+    )
 
 
 def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -121,37 +167,48 @@ def ann_lsh_topk(
     query_pred: Column,
     k: int,
     dim: int,
-    planes: int = ANN_PLANES,
+    planes: int = ANN_BAND_PLANES,
+    tables: int = ANN_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to vectors
-    sharing the query's LSH bucket. Returns
-    (query_id, neighbor_id, rnk, cosine) — a subset of the exact
-    result with recall P(bucket-collision | similarity)."""
+    """Approximate top-k, band-OR multi-table LSH: exact cosine
+    ranking restricted to vectors sharing the query's bucket in ANY of
+    the ``tables`` signature tables (candidates are the union, deduped
+    per pair before ranking). Returns (query_id, neighbor_id, rnk,
+    cosine) — a subset of the exact result with recall
+    1 - Π_t P(miss in table t | similarity)."""
     from pyspark.sql.window import Window
 
-    sig = lsh_signature_expr("v", planes, dim)
-    base = _prep(emb, id_col, vec_col).withColumn("sig", F.expr(sig))
-    q = base.where(query_pred).select(
+    base = _prep(emb, id_col, vec_col)
+    sigs = _banded_sigs(base, planes, tables, dim)
+    q = sigs.where(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("vq"),
         F.col("nrm").alias("nq"),
+        "tbl",
         "sig",
     )
-    c = base.select(
+    c = sigs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("vc"),
         F.col("nrm").alias("nc"),
+        "tbl",
         "sig",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        q.join(c, "sig")
+        q.join(c, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.expr(_dot("vq", "vc")) / (F.col("nq") * F.col("nc")))
+        # band-OR union: a pair colliding in several tables scores the
+        # same deterministic cosine each time, so the vectors are
+        # projected away BEFORE this dedup shuffle — it moves only
+        # (pair, cosine), never the embeddings.
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
@@ -162,49 +219,57 @@ def embedding_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float,
     dim: int,
-    planes: int = ANN_PLANES,
+    planes: int = ANN_BAND_PLANES,
+    tables: int = ANN_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs, LSH-bucketed — the PRODUCTION scale
-    path: exact cosine scoring restricted to vectors sharing the
-    P-bit hyperplane signature. The self-join on ``sig`` is a hash
-    equi-join whose fan-out is rows-per-bucket, so total work is
-    Σ_b |bucket_b|² — linear-ish in the corpus for balanced buckets
-    and tunable by ``planes`` — versus the all-pairs
-    ``dedup.embedding_dup_pairs`` which is quadratic however well
-    blocked (that variant is ground-truth-only, like
-    ``ngram_jaccard_pairs``).
+    """Embedding near-dup pairs, band-OR multi-table LSH — the
+    PRODUCTION scale path: exact cosine scoring restricted to vectors
+    sharing a bucket in ANY of ``tables`` independent P-plane
+    signature tables (MinHash-banding applied to hyperplane LSH; the
+    round-3 verdict's task 4). Each per-table self-join on
+    (tbl, sig) is a hash equi-join whose fan-out is rows-per-bucket,
+    so probe work is Σ_t Σ_b |bucket_tb|² with 2^planes buckets per
+    table — versus the all-pairs ``dedup.embedding_dup_pairs`` which
+    is quadratic however well blocked (that variant is
+    ground-truth-only, like ``ngram_jaccard_pairs``).
 
-    Recall is P(same bucket | cosine ≥ t) = Π_p (1 - θ/π); raise it
-    with band-OR over multiple signature groups exactly like MinHash
-    banding. Cosine is rounded to 9 decimals to be reproducible
-    against the DuckDB oracle (same hyperplanes inlined both sides).
+    Per-pair recall is 1 - (1 - p^planes)^tables with
+    p = 1 - θ/π — strictly above the old single 4-plane table's p^4
+    for every pair at or above COSINE_DUP_THRESHOLD, at 4× finer
+    buckets (see the ANN_TABLES note above). Measured, not assumed:
+    ``emb_dedup_recall`` compares against the exact ground truth.
+    Cosine is rounded to 9 decimals to be reproducible against the
+    DuckDB oracle (same hyperplanes inlined both sides).
     """
-    sig = lsh_signature_expr("v", planes, dim)
-    base = _prep(emb, id_col, vec_col).withColumn("sig", F.expr(sig))
-    a = base.select(
+    base = _prep(emb, id_col, vec_col)
+    sigs = _banded_sigs(base, planes, tables, dim)
+    a = sigs.select(
         F.col(id_col).alias("vec_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
+        "tbl",
         "sig",
     )
-    b = base.select(
+    b = sigs.select(
         F.col(id_col).alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        "tbl",
         "sig",
     )
     return (
-        a.join(b, "sig")
+        a.join(b, ["tbl", "sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos_raw", F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))
         )
+        # threshold BEFORE the band-OR dedup so the distinct shuffle
+        # only carries surviving (pair, cosine) rows, no vectors.
         .where(F.col("cos_raw") >= threshold)
-        .select(
-            "vec_a", "vec_b", F.round("cos_raw", 9).alias("cosine")
-        )
+        .select("vec_a", "vec_b", F.round("cos_raw", 9).alias("cosine"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -331,8 +331,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_lsh_oracle() -> str:
     from map_reduce_library_spark.querydefs.similarity import (
-        EMB_DIM,
-        _oracle_sig_sql,
+        _oracle_banded_sigs_cte,
     )
 
     return f"""
@@ -342,11 +341,12 @@ def _emb_lsh_oracle() -> str:
       FROM embeddings
     ),
     sigd AS (
-      SELECT vec_id, v, nrm, {_oracle_sig_sql('v')} AS sig FROM e
+      {_oracle_banded_sigs_cte('e')}
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
-    FROM sigd a JOIN sigd b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    FROM sigd a JOIN sigd b
+      ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
     """
 

@@ -7,7 +7,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.similarity import (
-    ANN_PLANES,
+    ANN_BAND_PLANES,
+    ANN_TABLES,
     ann_lsh_topk,
     cosine_topk,
     hyperplane_weights,
@@ -51,16 +52,26 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_sig_sql(vec: str) -> str:
-    ws = hyperplane_weights(ANN_PLANES, EMB_DIM)
+def _oracle_sig_sql(vec: str, table: int = 0) -> str:
+    ws = hyperplane_weights(ANN_BAND_PLANES, EMB_DIM, table)
     bits = []
-    for p in range(ANN_PLANES):
+    for p in range(ANN_BAND_PLANES):
         lit = "[" + ", ".join(str(w) for w in ws[p]) + "]::DOUBLE[]"
         bits.append(
             f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 "
             f"THEN '1' ELSE '0' END)"
         )
     return " || ".join(bits)
+
+
+def _oracle_banded_sigs_cte(src: str = "e") -> str:
+    """UNION ALL of one per-table signature projection — the DuckDB
+    twin of operators.similarity._banded_sigs."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {t} AS tbl, {_oracle_sig_sql('v', t)} AS sig "
+        f"FROM {src}"
+        for t in range(ANN_TABLES)
+    )
 
 
 @register(
@@ -72,12 +83,12 @@ def _oracle_sig_sql(vec: str) -> str:
       FROM embeddings
     ),
     sigd AS (
-      SELECT vec_id, v, nrm, {_oracle_sig_sql('v')} AS sig FROM e
+      {_oracle_banded_sigs_cte('e')}
     ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
-      FROM sigd q JOIN sigd c ON q.sig = c.sig
+      FROM sigd q JOIN sigd c ON q.tbl = c.tbl AND q.sig = c.sig
       WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
     ),
     ranked AS (
@@ -89,8 +100,9 @@ def _oracle_sig_sql(vec: str) -> str:
     """,
 )
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-k (ANN_PLANES planes →
-    2^ANN_PLANES buckets); exact cosine within bucket."""
+    """Band-OR multi-table hyperplane-LSH ANN top-k (ANN_TABLES
+    tables × ANN_BAND_PLANES planes → union of per-table bucket
+    collisions); exact cosine within candidates."""
     return ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < N_QUERIES,

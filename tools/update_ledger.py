@@ -105,11 +105,32 @@ def update(round_no: int, source: Path) -> dict:
     return ledger
 
 
+def invalidate(names: list[str]) -> dict:
+    """Drop ledger entries by name. Use when an OPERATOR a querydef
+    calls changes behavior: fn_md5 only covers the registered querydef
+    function's source, so operator-level rewrites must be invalidated
+    explicitly to re-enter the driver's unverified-first window."""
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+    for name in names:
+        ledger.pop(name, None)
+    ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    return ledger
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--round", type=int)
     ap.add_argument("--source", type=Path, default=REPO)
+    ap.add_argument("--invalidate", nargs="+", metavar="QUERY")
     args = ap.parse_args()
+    if args.invalidate:
+        ledger = invalidate(args.invalidate)
+        print(f"ledger: {len(ledger)} entries after invalidating "
+              f"{args.invalidate}")
+        return
+    if args.round is None:
+        ap.error("--round is required unless --invalidate is given")
     ledger = update(args.round, args.source)
     print(f"ledger: {len(ledger)} verified entries after round {args.round}")
 

@@ -278,13 +278,17 @@ def ivf_assign_cells(
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest
-    centroid by cosine (deterministic seed centroids = the first
-    ``n_centroids`` vectors by id — at scale these come from a k-means
-    fit; the assignment plumbing is identical). Centroids broadcast;
-    one pass over the corpus; ties break toward the lower centroid id.
-    Returns (id, v, nrm, cell)."""
+    """IVF coarse quantizer: assign every vector to its ``n_probe``
+    nearest centroids by cosine (deterministic seed centroids = the
+    first ``n_centroids`` vectors by id — at scale these come from a
+    k-means fit; the assignment plumbing is identical). Centroids
+    broadcast; one pass over the corpus; ties break toward the lower
+    centroid id. Returns (id, v, nrm, cell, probe_rank) with one row
+    per (vector, probed cell) — ``n_probe=1`` is the classic
+    single-cell assignment; higher values are multi-probe, trading
+    n_probe× candidate volume for recall exactly like LSH band-OR."""
     from pyspark.sql.window import Window
 
     base = _prep(emb, id_col, vec_col)
@@ -301,9 +305,9 @@ def ivf_assign_cells(
         .withColumn(
             "cos_c", F.expr(_dot("v", "vc")) / (F.col("nrm") * F.col("nc"))
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "v", "nrm", "cell")
+        .withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n_probe)
+        .select(id_col, "v", "nrm", "cell", "probe_rank")
     )
 
 
@@ -312,23 +316,31 @@ def ivf_ann_topk(
     query_pred,
     k: int,
     n_centroids: int = 16,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: exact cosine top-k restricted to the query's cell
-    (single-probe). Complements the hyperplane-LSH variant; recall is
-    the probability the true neighbor shares the query's nearest
-    centroid, tunable via n_centroids and multi-probe."""
+    """IVF ANN: exact cosine top-k restricted to the cells the query
+    probes. Corpus vectors are indexed ONCE in their home cell
+    (probe_rank 1, the standard inverted-file layout); queries probe
+    their ``n_probe`` nearest cells, so recall is the probability the
+    true neighbor's home cell is among them — tunable via
+    ``n_centroids`` (cell granularity) and ``n_probe`` (probe width),
+    at n_probe× the candidate volume. A neighbor has exactly one home
+    cell, so no pair ever appears twice and no distinct is needed
+    (unlike LSH band-OR). Complements the hyperplane-LSH variant."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign_cells(emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_cells(
+        emb, n_centroids, id_col, vec_col, n_probe=n_probe
+    )
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("vq"),
         F.col("nrm").alias("nq"),
         "cell",
     )
-    c = assigned.select(
+    c = assigned.where(F.col("probe_rank") == 1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("vc"),
         F.col("nrm").alias("nc"),

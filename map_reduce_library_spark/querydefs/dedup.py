@@ -171,6 +171,79 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Hot-bucket cap exercised through the driver gate: at sf0.01 the band
+# bucket histogram is {1: ~1820, 2: ~84, 3: ~4}, so a cap of 2 drops
+# real buckets and the capped result genuinely differs from
+# minhash_lsh_pairs. Production corpora would cap at ~10³; the small
+# value here exists to prove the drop semantics cross-engine.
+LSH_MAX_BUCKET = 2
+
+_CAPPED_BANDS_CTES = f"""
+    {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    keep AS (
+      SELECT band_id, band_sig FROM bands
+      GROUP BY band_id, band_sig
+      HAVING count(*) <= {LSH_MAX_BUCKET}
+    ),
+    kept AS (
+      SELECT b.doc_id, b.band_id, b.band_sig
+      FROM bands b JOIN keep k
+        ON b.band_id = k.band_id AND b.band_sig = k.band_sig
+    )"""
+
+
+@register(
+    "minhash_lsh_pairs_capped",
+    oracle=f"""
+    WITH {_CAPPED_BANDS_CTES}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs WITH the hot-bucket cap enabled —
+    the production configuration (template-spam buckets dropped before
+    the quadratic self-join; see operators/dedup.py::lsh_candidate_pairs)."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+@register(
+    "lsh_hot_buckets_audit",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS})
+    SELECT band_id, band_sig, count(*) AS n_members
+    FROM bands GROUP BY band_id, band_sig
+    HAVING count(*) > {LSH_MAX_BUCKET}
+    """,
+)
+def lsh_hot_buckets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit side-output for the capped run: every bucket the cap
+    drops, with its member count — dropped data is logged, never
+    silently lost."""
+    from map_reduce_library_spark.operators.dedup import (
+        lsh_bands,
+        lsh_hot_buckets,
+        minhash_signature,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_hot_buckets(
+        lsh_bands(minhash_signature(shingles(docs))), LSH_MAX_BUCKET
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""

@@ -211,3 +211,111 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         n_centroids=N_CENTROIDS,
     )
+
+
+N_PROBE = 2
+
+
+def _ivf_multiprobe_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS vc, nrm AS nc FROM e
+              WHERE vec_id < {N_CENTROIDS}),
+    probes AS (
+      SELECT vec_id, v, nrm, cell, rn FROM (
+        SELECT e.vec_id, e.v, e.nrm, cents.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cents.vc) / (e.nrm * cents.nc)
+                          DESC, cents.cell) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn <= {N_PROBE}
+    ),
+    homed AS (SELECT vec_id, v, nrm, cell FROM probes WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM probes q JOIN homed c ON q.cell = c.cell
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {TOPK}
+    """
+
+
+@register("ivf_ann_multiprobe_topk", oracle=_ivf_multiprobe_oracle())
+def ivf_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: queries probe their N_PROBE nearest cells
+    (corpus stays home-cell-indexed), the standard recall knob for
+    inverted-file indexes — the IVF counterpart of LSH band-OR."""
+    from map_reduce_library_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH exact_k AS ({ORACLES["cosine_topk"]}),
+    ivf_k AS ({ORACLES["ivf_ann_multiprobe_topk"]}),
+    hits AS (
+      SELECT e.query_id, count(a.neighbor_id) AS n_hits
+      FROM exact_k e
+      LEFT JOIN ivf_k a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
+    FROM hits
+    """
+
+
+@register("ivf_recall_at_k", oracle=_ivf_recall_oracle())
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of multi-probe IVF against the exact brute-force
+    top-k — the measured-recall gate for the IVF path, mirroring
+    ``ann_recall_at_k`` for LSH."""
+    from map_reduce_library_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, F.col("vec_id") < N_QUERIES, TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_ann_topk(
+        emb,
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == ivf.ivf_neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.count("ivf_neighbor_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
+        )
+    )

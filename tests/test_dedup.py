@@ -6,6 +6,8 @@ from conftest import SF_CORRECTNESS, assert_oracle_match
 DEDUP_QUERIES = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
+    "lsh_hot_buckets_audit",
     "ngram_jaccard_pairs",
     "simhash_fingerprint",
     "embedding_cosine_dups",

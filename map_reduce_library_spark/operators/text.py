@@ -240,3 +240,41 @@ def doc_fingerprints(
             F.array_join(F.array_sort(F.array_distinct(_toks(text_col))), " ")
         ).alias("fp_bag"),
     )
+
+
+# PII scrubbing: the conservative regex family every training-data
+# pipeline runs before anything else. Patterns are deliberately
+# restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (the DuckDB oracle): character classes, bounded repetition,
+# no lookaround, no word boundaries. \d is ASCII [0-9] in both.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_LONGNUM = r"\d{6,}"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs (account /
+    card / phone shaped) with typed placeholders, counting each class.
+
+    Order matters and is part of the contract: emails are counted and
+    removed first (their domains can contain digit runs), then IPs
+    (dotted digit quads would otherwise be double-counted by the
+    digit-run rule), then remaining runs of 6+ digits. Counts are
+    taken on the intermediate strings the matching stage actually
+    sees, so n_ips never includes an address inside an email, etc.
+
+    Pure JVM-side regexp_count/regexp_replace projections — one
+    narrow pass, no shuffle, whole-stage codegen; this is the shape
+    that streams through 100 TB at scan speed."""
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_LONGNUM)).alias("n_longnums"),
+        F.regexp_replace(after_ip, PII_LONGNUM, "<NUM>").alias("redacted"),
+    )

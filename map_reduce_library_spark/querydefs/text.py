@@ -241,3 +241,112 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 9).alias("tfidf"),
         )
     )
+
+
+# ---- PII scrubbing -------------------------------------------------------
+# The synthetic corpus contains no digits at all (checked at sf0.01),
+# so a redaction query over raw text would be a no-op and its oracle
+# green would prove nothing. Instead both engines deterministically
+# "dirty" every document with doc_id-derived PII (an email, a dotted
+# IPv4, a 7-digit reference number) and redact THAT — the cross-engine
+# hash then genuinely pins Java-regex vs RE2 match semantics for the
+# three patterns, plus the email->ip->longnum ordering contract.
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+_PII_LONGNUM_SQL = "\\d{6,}"
+
+_DIRTY_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' ref ' || CAST(1000000 + doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, {_DIRTY_SQL} AS text FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS n_emails,
+             regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+      FROM dirty
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '{_PII_IPV4_SQL}')) AS n_ips,
+             regexp_replace(t1, '{_PII_IPV4_SQL}', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(t2, '{_PII_LONGNUM_SQL}')) AS n_longnums,
+           regexp_replace(t2, '{_PII_LONGNUM_SQL}', '<NUM>', 'g') AS redacted
+    FROM s2
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically dirtied corpus: redact
+    emails, IPv4s, and 6+-digit runs with typed placeholders and count
+    each class (see operators.text.pii_redact for the ordering
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ref "),
+            (F.lit(1000000) + F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    return pii_redact(dirty)
+
+
+@register(
+    "source_lang_mix",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 9)
+             AS doc_share
+    FROM documents GROUP BY source, lang
+    """,
+)
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): doc counts, char
+    volume, and each cell's share of the corpus — the mix table every
+    training-data pipeline reports before weighting. One partial-agg
+    groupBy plus a scalar total via a window over the aggregated
+    (tiny) result — no second scan of the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy()).cast("double"),
+            9,
+        ).alias("doc_share"),
+    )

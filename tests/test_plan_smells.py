@@ -45,8 +45,12 @@ ALLOWED_SCALAR_ATTACH = {
 ALLOWED_BOUNDED_BROADCAST = {
     "cosine_topk",
     "ivf_ann_topk",
-    # embeds cosine_topk as the exact side of the recall evaluation
+    # multi-probe variant: same bounded centroid broadcast (vec_id <
+    # N_CENTROIDS pushed filter), queries just keep 2 probe rows
+    "ivf_ann_multiprobe_topk",
+    # embed cosine_topk as the exact side of their recall evaluations
     "ann_recall_at_k",
+    "ivf_recall_at_k",
 }
 
 

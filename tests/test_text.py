@@ -3,7 +3,14 @@
 import pytest
 from conftest import SF_CORRECTNESS, assert_oracle_match
 
-TEXT_QUERIES = ["text_stats", "lang_id", "token_counts", "doc_fingerprints"]
+TEXT_QUERIES = [
+    "text_stats",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprints",
+    "pii_redaction",
+    "source_lang_mix",
+]
 
 
 @pytest.mark.parametrize("name", TEXT_QUERIES)

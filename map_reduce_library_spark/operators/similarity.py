@@ -119,6 +119,24 @@ def _banded_sigs(
     )
 
 
+def banded_signatures(
+    emb: DataFrame,
+    dim: int,
+    planes: int = ANN_BAND_PLANES,
+    tables: int = ANN_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The band-OR signature relation (id, v, nrm, tbl, sig) every
+    multi-table LSH consumer starts from. The tables×planes plane
+    dots are the dominant projection cost, and a self-join references
+    this relation TWICE — so materialize it once (checkpoint locally,
+    or write to parquet at 100 TB: it's the LSH index) and pass it to
+    ``ann_lsh_topk`` / ``embedding_dup_pairs_lsh`` via ``sigs=``
+    instead of letting each query recompute both sides."""
+    return _banded_sigs(_prep(emb, id_col, vec_col), planes, tables, dim)
+
+
 def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(
         F.col(id_col),
@@ -171,17 +189,21 @@ def ann_lsh_topk(
     tables: int = ANN_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k, band-OR multi-table LSH: exact cosine
     ranking restricted to vectors sharing the query's bucket in ANY of
     the ``tables`` signature tables (candidates are the union, deduped
     per pair before ranking). Returns (query_id, neighbor_id, rnk,
     cosine) — a subset of the exact result with recall
-    1 - Π_t P(miss in table t | similarity)."""
+    1 - Π_t P(miss in table t | similarity).
+
+    ``sigs``: optionally a precomputed/materialized
+    ``banded_signatures`` relation (emb is then ignored)."""
     from pyspark.sql.window import Window
 
-    base = _prep(emb, id_col, vec_col)
-    sigs = _banded_sigs(base, planes, tables, dim)
+    if sigs is None:
+        sigs = banded_signatures(emb, dim, planes, tables, id_col, vec_col)
     q = sigs.where(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("vq"),
@@ -223,6 +245,7 @@ def embedding_dup_pairs_lsh(
     tables: int = ANN_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, band-OR multi-table LSH — the
     PRODUCTION scale path: exact cosine scoring restricted to vectors
@@ -242,9 +265,12 @@ def embedding_dup_pairs_lsh(
     ``emb_dedup_recall`` compares against the exact ground truth.
     Cosine is rounded to 9 decimals to be reproducible against the
     DuckDB oracle (same hyperplanes inlined both sides).
+
+    ``sigs``: optionally a precomputed/materialized
+    ``banded_signatures`` relation (emb is then ignored).
     """
-    base = _prep(emb, id_col, vec_col)
-    sigs = _banded_sigs(base, planes, tables, dim)
+    if sigs is None:
+        sigs = banded_signatures(emb, dim, planes, tables, id_col, vec_col)
     a = sigs.select(
         F.col(id_col).alias("vec_a"),
         F.col("v").alias("va"),

@@ -435,12 +435,16 @@ def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.similarity import (
         embedding_dup_pairs_lsh,
     )
-    from map_reduce_library_spark.querydefs.similarity import EMB_DIM
+    from map_reduce_library_spark.querydefs.similarity import (
+        EMB_DIM,
+        shared_banded_sigs,
+    )
 
     return embedding_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"),
         COSINE_DUP_THRESHOLD,
         dim=EMB_DIM,
+        sigs=shared_banded_sigs(spark, sf_dir),
     )
 
 
@@ -469,14 +473,20 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.similarity import (
         embedding_dup_pairs_lsh,
     )
-    from map_reduce_library_spark.querydefs.similarity import EMB_DIM
+    from map_reduce_library_spark.querydefs.similarity import (
+        EMB_DIM,
+        shared_banded_sigs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = embedding_dup_pairs(emb, COSINE_DUP_THRESHOLD).select(
         "vec_a", "vec_b"
     )
     lsh = embedding_dup_pairs_lsh(
-        emb, COSINE_DUP_THRESHOLD, dim=EMB_DIM
+        emb,
+        COSINE_DUP_THRESHOLD,
+        dim=EMB_DIM,
+        sigs=shared_banded_sigs(spark, sf_dir),
     ).select(F.col("vec_a").alias("la"), F.col("vec_b").alias("lb"))
     return (
         exact.join(

@@ -20,6 +20,30 @@ EMB_DIM = 64
 TOPK = 5
 N_QUERIES = 20  # vec_id < 20 are the query vectors
 
+_SHARED_BANDED_SIGS: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, tbl, sig) band-OR LSH signature relation,
+    materialized once per (session, sf_dir) — every multi-table LSH
+    consumer (ann top-k, embedding dedup, both recall gates) and both
+    sides of each self-join read the same checkpoint instead of
+    recomputing the tables×planes plane dots. At 100 TB this is the
+    LSH index: one parquet write, many readers (same pattern as
+    ``querydefs.dedup.shared_wide_fingerprints``)."""
+    from map_reduce_library_spark.operators.similarity import (
+        banded_signatures,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_BANDED_SIGS.get(key)
+    if df is None:
+        df = banded_signatures(
+            load_table(spark, sf_dir, "embeddings"), EMB_DIM
+        ).localCheckpoint(eager=True)
+        _SHARED_BANDED_SIGS[key] = df
+    return df
+
 
 @register(
     "cosine_topk",
@@ -108,6 +132,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < N_QUERIES,
         TOPK,
         dim=EMB_DIM,
+        sigs=shared_banded_sigs(spark, sf_dir),
     )
 
 
@@ -145,7 +170,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ann = ann_lsh_topk(
-        emb, F.col("vec_id") < N_QUERIES, TOPK, dim=EMB_DIM
+        emb,
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        dim=EMB_DIM,
+        sigs=shared_banded_sigs(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("ann_neighbor_id"))
     return (
         exact.join(

@@ -17,6 +17,7 @@ from map_reduce_library_spark.operators.dedup import (
     MINHASH_K,
     MINHASH_P,
     SHINGLE_N,
+    connected_components,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -501,6 +502,78 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall"
             ),
         )
+    )
+
+
+def _emb_clusters_oracle() -> str:
+    """Recursive-CTE twin of connected components over the band-OR
+    embedding near-dup graph (the MinHash ``dedup_clusters`` pattern
+    applied to the semantic-dedup side)."""
+    from map_reduce_library_spark.querydefs.similarity import (
+        _oracle_banded_sigs_cte,
+    )
+
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    sigd AS (
+      {_oracle_banded_sigs_cte('e')}
+    ),
+    epairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigd a JOIN sigd b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+            >= {COSINE_DUP_THRESHOLD}
+    ),
+    und AS (
+      SELECT vec_a AS src, vec_b AS dst FROM epairs
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM epairs
+    ),
+    cc(node, label) AS (
+      SELECT src AS node, src AS label FROM und
+      UNION
+      SELECT u.dst AS node, cc.label
+      FROM cc JOIN und u ON cc.node = u.src
+      WHERE cc.label < u.dst
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id
+    FROM cc GROUP BY node
+    """
+
+
+@register("emb_dedup_clusters", oracle=_emb_clusters_oracle())
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: connected components over the
+    band-OR embedding near-dup graph → (vec_id, cluster_id), one
+    cluster per group of mutually-near embeddings — the
+    ``dedup_clusters`` composition applied to the embedding path, so
+    both dedup families (lexical MinHash and semantic cosine) reach
+    cluster granularity. Same min-label propagation + pointer
+    jumping operator; the pairs come from the shared banded-signature
+    checkpoint."""
+    from map_reduce_library_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+    from map_reduce_library_spark.querydefs.similarity import (
+        EMB_DIM,
+        shared_banded_sigs,
+    )
+
+    pairs = embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        COSINE_DUP_THRESHOLD,
+        dim=EMB_DIM,
+        sigs=shared_banded_sigs(spark, sf_dir),
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
 

@@ -6,7 +6,15 @@ from conftest import SF_CORRECTNESS, assert_oracle_match
 
 @pytest.mark.parametrize(
     "name",
-    ["ngram_jaccard_lsh", "dedup_clusters", "ivf_ann_topk", "tfidf_top_terms"],
+    [
+        "ngram_jaccard_lsh",
+        "dedup_clusters",
+        "emb_dedup_clusters",
+        "ivf_ann_topk",
+        "ivf_ann_multiprobe_topk",
+        "ivf_recall_at_k",
+        "tfidf_top_terms",
+    ],
 )
 def test_dedup2_oracle(spark, name):
     assert_oracle_match(spark, name)

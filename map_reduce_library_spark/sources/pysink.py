@@ -1,0 +1,83 @@
+"""Python DataSource SINK (Spark 4 ``pyspark.sql.datasource`` write
+path): a JSON-lines writer with a commit manifest.
+
+Counterpart of the custom reader in ``querydefs/extensibility.py`` —
+together they cover both directions of the user-defined-connector
+surface. Semantic ancestor in the reference: the C8 result-formatting
+sink (FileWordCounter.cpp:271-277), which iterates the output vector
+and prints formatted lines; here each PARTITION streams its rows to
+its own part file (no driver collect, no cross-partition
+coordination), and the driver-side ``commit`` writes a `_SUCCESS`
+manifest naming every committed part with its row count — the
+standard distributed-sink commit protocol (write task-local, commit
+globally, abort removes orphans) in miniature.
+
+Scale notes: one file per partition, names salted with uuid4 so
+speculative/retried tasks never collide; ``abort`` deletes the files
+its failed attempt reported. Rows are serialized with sorted keys so
+output bytes are schema-order-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class PartFileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("jsonlines_sink requires .option('path', dir)")
+
+    def write(self, iterator):
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                json.dump(row.asDict(), f, sort_keys=True, default=str)
+                f.write("\n")
+                n += 1
+        return PartFileCommit(path=path, rows=n)
+
+    def commit(self, messages):
+        manifest = {
+            os.path.basename(m.path): m.rows for m in messages if m
+        }
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            json.dump(
+                {"parts": manifest, "total_rows": sum(manifest.values())},
+                f,
+                sort_keys=True,
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesSink(DataSource):
+    """``df.write.format("jsonlines_sink").option("path", d).save()``"""
+
+    @classmethod
+    def name(cls):
+        return "jsonlines_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonLinesWriter(self.options)

@@ -17,3 +17,31 @@ def test_python_datasource_is_partition_parallel(spark):
     df = QUERIES["python_datasource_scan"](spark, SF_CORRECTNESS)
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 200
+
+
+def test_python_datasource_sink_roundtrip(spark, tmp_path):
+    """Custom Python DataSource WRITER (Spark 4 write path): every
+    partition streams to its own part file, commit writes a _SUCCESS
+    manifest whose row counts must sum to the input size, and the
+    data round-trips through spark.read.json exactly."""
+    import json
+
+    from map_reduce_library_spark.sources.pysink import JsonLinesSink
+
+    spark.dataSource.register(JsonLinesSink)
+    out = str(tmp_path / "sinkdir")
+    df = spark.range(100).selectExpr(
+        "id", "concat('w', CAST(id % 7 AS STRING)) AS word"
+    ).repartition(4)
+    df.write.format("jsonlines_sink").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.loads((tmp_path / "sinkdir" / "_SUCCESS").read_text())
+    assert manifest["total_rows"] == 100
+    assert len(manifest["parts"]) == 4
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert back.count() == 100
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }

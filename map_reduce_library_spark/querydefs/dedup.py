@@ -852,3 +852,75 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 9)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: exact-duplicate rate per source — the
+    number every ingest pipeline tracks to catch a crawler re-fetching
+    the same pages. Distinctness is counted over md5(text) in BOTH
+    engines (32-byte distinct-agg state instead of whole documents,
+    the exact_dedup key discipline applied to reporting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            F.lit(1)
+            - F.countDistinct(F.md5("text"))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH {_LSH_PAIRS_CTES},
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    )
+    SELECT d.source, count(*) AS n_docs,
+           count(dd.doc_id) AS n_near_dup,
+           round(count(dd.doc_id) / CAST(count(*) AS DOUBLE), 9)
+             AS near_dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+    """,
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: share of each source's docs that sit in
+    at least one MinHash-LSH candidate pair. Reuses the shared
+    candidate graph checkpoint; dup_docs is the distinct union of both
+    pair endpoints, then one left join + groupBy(source)."""
+    pairs = shared_lsh_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_near_dup"),
+            F.round(
+                F.count("is_dup") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("near_dup_rate"),
+        )
+    )

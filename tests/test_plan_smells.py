@@ -55,6 +55,28 @@ ALLOWED_BOUNDED_BROADCAST = {
 
 
 
+# Queries whose plan carries an `Exchange SinglePartition` — reviewed
+# individually: every one is the final merge of a PARTIAL aggregate
+# (single/tiny-row global result) or a window/sort over an
+# already-aggregated tiny relation, never a global sort/window over
+# raw corpus rows. A NEW query landing here fails the audit until its
+# single-partition stage is reviewed and added — that's the point:
+# an unpartitioned window over raw data is the scale smell this pins.
+ALLOWED_SINGLE_PARTITION = {
+    "disjunctive_predicate_revenue",
+    "emb_dedup_recall",
+    "gap_fill_daily_revenue",
+    "global_sales_opportunity",
+    "heavy_hitter_tokens",
+    "important_part_value",
+    "promo_revenue_pct",
+    "small_quantity_revenue",
+    "source_lang_mix",
+    "temperature_mix",
+    "three_valued_in_semantics",
+}
+
+
 def _build_is_scalar(plan: str) -> bool:
     return "keys=[]" in plan or "LocalTableScan" in plan
 
@@ -93,6 +115,11 @@ def test_corpus_wide_no_plan_smells(spark):
                     smells.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             smells.append("BatchEvalPython(row-at-a-time)")
+        if (
+            "Exchange SinglePartition" in plan
+            and name not in ALLOWED_SINGLE_PARTITION
+        ):
+            smells.append("Exchange SinglePartition(unreviewed)")
         if smells:
             offenders[name] = smells
     assert not offenders, f"plan smells: {offenders}"

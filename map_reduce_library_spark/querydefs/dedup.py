@@ -94,6 +94,36 @@ def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_SHARED_EMB_PAIRS: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cosine) band-OR embedding near-dup pairs,
+    materialized once per (session, sf_dir) on top of the shared
+    banded-signature checkpoint — consumed by the pairs query itself,
+    the semantic clusters, and the recall gate. Same one-write
+    many-reads pattern as ``shared_lsh_pairs``."""
+    from map_reduce_library_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+    from map_reduce_library_spark.querydefs.similarity import (
+        EMB_DIM,
+        shared_banded_sigs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_EMB_PAIRS.get(key)
+    if df is None:
+        df = embedding_dup_pairs_lsh(
+            load_table(spark, sf_dir, "embeddings"),
+            COSINE_DUP_THRESHOLD,
+            dim=EMB_DIM,
+            sigs=shared_banded_sigs(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+        _SHARED_EMB_PAIRS[key] = df
+    return df
+
+
 def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.dedup import connected_components
 
@@ -433,20 +463,7 @@ def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — Σ_b |bucket|² work, never the corpus cross product —
     so this is the variant to run at 100 TB; ``embedding_cosine_dups``
     (blocked all-pairs) is its ground truth."""
-    from map_reduce_library_spark.operators.similarity import (
-        embedding_dup_pairs_lsh,
-    )
-    from map_reduce_library_spark.querydefs.similarity import (
-        EMB_DIM,
-        shared_banded_sigs,
-    )
-
-    return embedding_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"),
-        COSINE_DUP_THRESHOLD,
-        dim=EMB_DIM,
-        sigs=shared_banded_sigs(spark, sf_dir),
-    )
+    return shared_emb_dup_pairs(spark, sf_dir)
 
 
 def _emb_recall_oracle() -> str:
@@ -471,24 +488,13 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     only proves implementation parity). Contains the quadratic
     ground-truth side, so it is bench-excluded with the other
     ground-truth variants; the driver checks it at sf0.01."""
-    from map_reduce_library_spark.operators.similarity import (
-        embedding_dup_pairs_lsh,
-    )
-    from map_reduce_library_spark.querydefs.similarity import (
-        EMB_DIM,
-        shared_banded_sigs,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     exact = embedding_dup_pairs(emb, COSINE_DUP_THRESHOLD).select(
         "vec_a", "vec_b"
     )
-    lsh = embedding_dup_pairs_lsh(
-        emb,
-        COSINE_DUP_THRESHOLD,
-        dim=EMB_DIM,
-        sigs=shared_banded_sigs(spark, sf_dir),
-    ).select(F.col("vec_a").alias("la"), F.col("vec_b").alias("lb"))
+    lsh = shared_emb_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("la"), F.col("vec_b").alias("lb")
+    )
     return (
         exact.join(
             lsh,
@@ -554,22 +560,9 @@ def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` composition applied to the embedding path, so
     both dedup families (lexical MinHash and semantic cosine) reach
     cluster granularity. Same min-label propagation + pointer
-    jumping operator; the pairs come from the shared banded-signature
-    checkpoint."""
-    from map_reduce_library_spark.operators.similarity import (
-        embedding_dup_pairs_lsh,
-    )
-    from map_reduce_library_spark.querydefs.similarity import (
-        EMB_DIM,
-        shared_banded_sigs,
-    )
-
-    pairs = embedding_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"),
-        COSINE_DUP_THRESHOLD,
-        dim=EMB_DIM,
-        sigs=shared_banded_sigs(spark, sf_dir),
-    ).select(
+    jumping operator; the pairs come from the shared scored-pairs
+    checkpoint (itself built on the shared banded signatures)."""
+    pairs = shared_emb_dup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return connected_components(pairs).select(

@@ -125,3 +125,33 @@ def sample_frames(
     return binary_df.mapInPandas(
         batches, schema="doc_id bigint, frame_idx int, frame binary"
     )
+
+
+def resize_images(
+    binary_df: DataFrame, stride: int = 4, max_bytes: int = 16
+) -> DataFrame:
+    """'Image resize' over an opaque payload: deterministic strided
+    byte subsample (every ``stride``-th byte, capped at ``max_bytes``)
+    standing in for decode → PIL resize → re-encode, while exercising
+    the real thumbnailing pipeline shape — binary in, smaller binary
+    out, Arrow both directions, output rows 1:1 with input. A real
+    deployment swaps the lambda body for
+    ``decode_image(payload).resize(...)`` (see the decode stub)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            resized = payloads.map(lambda b: b[::stride][:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": payloads.map(len).astype("int64"),
+                    "new_len": resized.map(len).astype("int64"),
+                    "resized": resized,
+                }
+            )
+
+    return binary_df.mapInPandas(
+        batches,
+        schema="doc_id bigint, orig_len bigint, new_len bigint, resized binary",
+    )

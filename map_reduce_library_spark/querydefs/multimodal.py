@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from map_reduce_library_spark.operators.multimodal import (
     extract_binary_meta,
     extract_features,
+    resize_images,
     sample_frames,
     with_binary_payload,
 )
@@ -94,4 +95,37 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-returning operator is exercised unchanged in pytest."""
     return sample_frames(_payloads(spark, sf_dir)).select(
         "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+           CAST(octet_length(encode(thumb)) AS BIGINT) AS new_len,
+           hex(encode(thumb)) AS resized_hex
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN ''
+                  ELSE array_to_string(
+                    list_transform(
+                      generate_series(0, least(15, (length(text) - 1) // 4)),
+                      i -> substr(text, 1 + i * 4, 1)),
+                    '')
+             END AS thumb
+      FROM documents
+    )
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of the multimodal pipeline (decode →
+    features / resize / frames): strided byte thumbnail through the
+    binary→binary Arrow path; hex projection for the driver hasher
+    (same convention as multimodal_frames)."""
+    return resize_images(_payloads(spark, sf_dir)).select(
+        "doc_id",
+        "orig_len",
+        "new_len",
+        F.upper(F.hex("resized")).alias("resized_hex"),
     )

@@ -379,3 +379,101 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@register(
+    "sole_blame_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+)
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join shape (suppliers solely to blame in
+    multi-supplier orders) adapted to this schema's returnflag (no
+    commitdate/receiptdate in the testdata): count, per supplier,
+    their returned lines in orders that involve ANOTHER supplier
+    (correlated EXISTS) where NO other supplier's line was returned
+    (correlated NOT EXISTS). Spark-first: both correlated quantifiers
+    decorrelate into one aggregated self-join on l_orderkey — the
+    other-supplier line count and other-supplier returned count are
+    computed in a single groupBy and joined back, so the fact table
+    is scanned twice and shuffled once, never row-correlated."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # per (order, supplier): lines from OTHER suppliers in the order,
+    # and returned lines from other suppliers — one aggregate each
+    # side of a self-join on the order key.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_ret"),
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.sum("n_lines").alias("o_lines"),
+        F.sum("n_ret").alias("o_ret"),
+        F.count(F.lit(1)).alias("o_supps"),
+    )
+    blamed = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(per_os, ["l_orderkey", "l_suppkey"])
+        .join(per_o, "l_orderkey")
+        # another supplier exists in the order...
+        .where(F.col("o_supps") > 1)
+        # ...and every returned line in the order is mine
+        .where(F.col("o_ret") == F.col("n_ret"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        blamed.join(
+            F.broadcast(s), blamed.l_suppkey == s.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, zeroes
+    included via the left join. Two-level aggregation — the second
+    groupBy's input is one row per customer, and its key cardinality
+    (distinct order counts) is tiny, so the big shuffle is only the
+    first, on c_custkey."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

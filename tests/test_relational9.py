@@ -10,6 +10,8 @@ QUERIES9 = [
     "important_part_value",
     "small_quantity_revenue",
     "promo_part_suppliers",
+    "sole_blame_suppliers",
+    "customer_order_distribution",
 ]
 
 

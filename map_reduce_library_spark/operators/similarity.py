@@ -30,8 +30,6 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-ANN_PLANES = 4
-
 # Band-OR (multi-table) LSH: T independent signature tables of P
 # planes each, candidates = union over tables of same-bucket pairs.
 # Versus the single 4-plane table (16 buckets, the round-1..3 default

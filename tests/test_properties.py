@@ -90,3 +90,71 @@ def test_corpus_results_invariant_to_shuffle_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for n, (a, b) in results.items():
         assert a == b, f"{n} changed under different shuffle partitioning"
+
+
+# ---- band-OR LSH / hot-bucket cap invariants ------------------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_capped_candidates_are_a_subset(spark, texts):
+    """For ANY corpus and ANY cap, the capped candidate set must be a
+    subset of the uncapped one (the cap only drops), and cap=len(df)
+    must be the identity (buckets can never exceed the corpus)."""
+    from map_reduce_library_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, max_bucket=1).collect()
+    }
+    ident = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, max_bucket=len(texts)).collect()
+    }
+    assert capped <= full
+    assert ident == full
+
+
+def test_band_or_candidates_superset_of_single_table(spark):
+    """Band-OR (union over tables) can only ADD candidate pairs
+    relative to any single one of its tables — pinned on the sf0.001
+    embeddings so the invariant covers real vector data."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.operators.similarity import (
+        banded_signatures,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sigs = banded_signatures(emb, 64).cache()
+
+    def pairs(s):
+        a = s.select(F.col("vec_id").alias("a"), "tbl", "sig")
+        b = s.select(F.col("vec_id").alias("b"), "tbl", "sig")
+        return {
+            (r.a, r.b)
+            for r in a.join(b, ["tbl", "sig"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .collect()
+        }
+
+    union_pairs = pairs(sigs)
+    for t in range(4):
+        assert pairs(sigs.where(F.col("tbl") == t)) <= union_pairs
+    sigs.unpersist()

@@ -11,7 +11,13 @@ from map_reduce_library_spark.operators.multimodal import (
 
 
 @pytest.mark.parametrize(
-    "name", ["multimodal_meta", "multimodal_features", "multimodal_frames"]
+    "name",
+    [
+        "multimodal_meta",
+        "multimodal_features",
+        "multimodal_frames",
+        "multimodal_resize",
+    ],
 )
 def test_multimodal_oracle(spark, name):
     assert_oracle_match(spark, name)

@@ -11,6 +11,8 @@ DEDUP_QUERIES = [
     "ngram_jaccard_pairs",
     "simhash_fingerprint",
     "embedding_cosine_dups",
+    "dedup_rate_by_source",
+    "near_dup_rate_by_source",
 ]
 
 

@@ -477,3 +477,59 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue — the
+    aggregate-view-reused-twice shape (once for per-supplier revenue,
+    once for its scalar max) with exact tie semantics. Spark-first:
+    the revenue aggregate is computed once and window-ranked
+    (max over an empty partition of the TINY aggregated relation —
+    one row per supplier, not corpus rows), avoiding DuckDB's
+    second scan of the CTE; decimal accumulation keeps both engines'
+    boundary decisions identical."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    ranked = rev.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(ranked)
+        .join(s, ranked.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

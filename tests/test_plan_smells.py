@@ -74,6 +74,9 @@ ALLOWED_SINGLE_PARTITION = {
     "source_lang_mix",
     "temperature_mix",
     "three_valued_in_semantics",
+    # scalar max over the per-supplier aggregate (one row per
+    # supplier), not corpus rows
+    "top_supplier_revenue",
 }
 
 

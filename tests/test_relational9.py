@@ -12,6 +12,7 @@ QUERIES9 = [
     "promo_part_suppliers",
     "sole_blame_suppliers",
     "customer_order_distribution",
+    "top_supplier_revenue",
 ]
 
 

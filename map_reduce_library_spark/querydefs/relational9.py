@@ -533,3 +533,45 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, ranked.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "parts_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape (distinct-supplier counts per part attribute
+    with an uncorrelated NOT-IN supplier exclusion), adapted to this
+    schema: lineitem is the part↔supplier bridge (no partsupp table)
+    and the excluded set is negative-balance suppliers (no comment
+    column). Spark-first: the exclusion list is a broadcast
+    left-anti join (s_suppkey is non-null, so NOT IN ≡ anti-join
+    here), the part dimension broadcasts into the fact scan with the
+    p_size IN filter pushed down, and the distinct count shuffles
+    (brand, type, size, suppkey) partial-deduped map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(1, 5, 9, 13))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -13,6 +13,7 @@ QUERIES9 = [
     "sole_blame_suppliers",
     "customer_order_distribution",
     "top_supplier_revenue",
+    "parts_supplier_relationship",
 ]
 
 

@@ -14,6 +14,7 @@ QUERIES9 = [
     "customer_order_distribution",
     "top_supplier_revenue",
     "parts_supplier_relationship",
+    "returned_item_reporting",
 ]
 
 

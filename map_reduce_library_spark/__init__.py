@@ -15,6 +15,13 @@ copied — the reference is a single-machine C++ pthreads engine, and
 this package is a declarative Spark design.
 """
 
+from map_reduce_library_spark.core.job import (
+    JobHandle,
+    JobState,
+    Stage,
+    start_map_reduce_job,
+)
+from map_reduce_library_spark.core.mapreduce import run_map_reduce
 from map_reduce_library_spark.session import get_session
 from map_reduce_library_spark.tables import TABLE_NAMES, load_table, load_tables
 
@@ -23,6 +30,15 @@ __all__ = [
     "TABLE_NAMES",
     "load_table",
     "load_tables",
+    # MapReduce capability layer — the reference's whole user API
+    # (MapReduceFramework.h: startMapReduceJob/waitForJob/getJobState/
+    # closeJobHandle) surfaces at the package top level just like the
+    # reference's single include.
+    "run_map_reduce",
+    "start_map_reduce_job",
+    "JobHandle",
+    "JobState",
+    "Stage",
 ]
 
 __version__ = "0.1.0"

@@ -434,8 +434,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_lsh_oracle() -> str:
-    from map_reduce_library_spark.querydefs.similarity import (
-        _oracle_banded_sigs_cte,
+    from map_reduce_library_spark.querydefs._fragments import (
+        oracle_banded_sigs_cte as _oracle_banded_sigs_cte,
     )
 
     return f"""
@@ -515,8 +515,8 @@ def _emb_clusters_oracle() -> str:
     """Recursive-CTE twin of connected components over the band-OR
     embedding near-dup graph (the MinHash ``dedup_clusters`` pattern
     applied to the semantic-dedup side)."""
-    from map_reduce_library_spark.querydefs.similarity import (
-        _oracle_banded_sigs_cte,
+    from map_reduce_library_spark.querydefs._fragments import (
+        oracle_banded_sigs_cte as _oracle_banded_sigs_cte,
     )
 
     return f"""
@@ -643,7 +643,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_best_oracle() -> str:
-    from map_reduce_library_spark.queries import ORACLES
+    # Compose from the leaf fragment module, NOT ORACLES[...]: reading
+    # the shared registry at import time crashes under direct imports
+    # of sibling querydef modules (circular import through queries.py
+    # re-enters a partially-initialized `text` before its registrations
+    # run — VERDICT r4 "What's wrong" §2).
+    from map_reduce_library_spark.querydefs._fragments import TEXT_STATS_SQL
 
     return f"""
     WITH RECURSIVE {_LSH_PAIRS_CTES},
@@ -661,7 +666,7 @@ def _keep_best_oracle() -> str:
     ),
     clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
                  FROM cc GROUP BY node),
-    q AS (SELECT doc_id, quality_score FROM ({ORACLES["text_stats"]})),
+    q AS (SELECT doc_id, quality_score FROM ({TEXT_STATS_SQL})),
     j AS (SELECT c.cluster_id, c.doc_id, q.quality_score
           FROM clusters c JOIN q USING (doc_id)),
     r AS (SELECT *,

@@ -7,16 +7,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.similarity import (
-    ANN_BAND_PLANES,
-    ANN_TABLES,
     ann_lsh_topk,
     cosine_topk,
-    hyperplane_weights,
 )
 from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.querydefs._fragments import (
+    EMB_DIM,
+    oracle_banded_sigs_cte as _oracle_banded_sigs_cte,
+    oracle_sig_sql as _oracle_sig_sql,
+)
 from map_reduce_library_spark.tables import load_table
 
-EMB_DIM = 64
 TOPK = 5
 N_QUERIES = 20  # vec_id < 20 are the query vectors
 
@@ -73,28 +74,6 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") < N_QUERIES,
         TOPK,
-    )
-
-
-def _oracle_sig_sql(vec: str, table: int = 0) -> str:
-    ws = hyperplane_weights(ANN_BAND_PLANES, EMB_DIM, table)
-    bits = []
-    for p in range(ANN_BAND_PLANES):
-        lit = "[" + ", ".join(str(w) for w in ws[p]) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 "
-            f"THEN '1' ELSE '0' END)"
-        )
-    return " || ".join(bits)
-
-
-def _oracle_banded_sigs_cte(src: str = "e") -> str:
-    """UNION ALL of one per-table signature projection — the DuckDB
-    twin of operators.similarity._banded_sigs."""
-    return " UNION ALL ".join(
-        f"SELECT vec_id, v, nrm, {t} AS tbl, {_oracle_sig_sql('v', t)} AS sig "
-        f"FROM {src}"
-        for t in range(ANN_TABLES)
     )
 
 

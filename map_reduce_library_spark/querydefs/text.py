@@ -23,69 +23,20 @@ from map_reduce_library_spark.operators.text import (
     token_counts,
 )
 from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.querydefs._fragments import (
+    LANG_ID_SQL,
+    TEXT_STATS_SQL,
+)
 from map_reduce_library_spark.tables import load_table
 
 
-def _sql_hit_ratio(words: tuple[str, ...]) -> str:
-    lst = ", ".join(f"'{w}'" for w in words)
-    return (
-        f"len(list_filter(toks, t -> t IN ({lst}))) / "
-        f"CAST(greatest(len(toks), 1) AS DOUBLE)"
-    )
-
-
-@register(
-    "text_stats",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text AS t, string_split(text, ' ') AS toks
-               FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(length(t) AS BIGINT) AS n_chars_calc,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-             {_sql_hit_ratio(STOPWORDS['en'])} AS stop_ratio
-      FROM t
-    )
-    SELECT doc_id, n_tokens, n_distinct,
-           (n_chars_calc - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
-           n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
-           stop_ratio,
-           round(least(n_tokens / 50.0, 1.0) * 0.4
-                 + least((n_distinct / CAST(n_tokens AS DOUBLE)) * 2, 1.0) * 0.4
-                 + least(stop_ratio * 5, 1.0) * 0.2, 6) AS quality_score
-    FROM m
-    """,
-)
+@register("text_stats", oracle=TEXT_STATS_SQL)
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality stats + composite score."""
     return text_stats(load_table(spark, sf_dir, "documents"))
 
 
-_LANG_SCORES_SQL = ",\n             ".join(
-    f"{_sql_hit_ratio(ws)} AS score_{lang}" for lang, ws in STOPWORDS.items()
-)
-_LANG_STRUCTS = ", ".join(
-    f"{{'s': score_{lang}, 'l': '{lang}'}}" for lang in STOPWORDS
-)
-_LANG_GREATEST = ", ".join(f"score_{lang}" for lang in STOPWORDS)
-
-
-@register(
-    "lang_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    s AS (
-      SELECT doc_id,
-             {_LANG_SCORES_SQL}
-      FROM t
-    )
-    SELECT doc_id, {_LANG_GREATEST},
-           CASE WHEN greatest({_LANG_GREATEST}) < 0.02 THEN 'und'
-                ELSE list_max([{_LANG_STRUCTS}]).l END AS pred_lang
-    FROM s
-    """,
-)
+@register("lang_id", oracle=LANG_ID_SQL)
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word-ratio language ID (argmax across 4 languages)."""
     return lang_id(load_table(spark, sf_dir, "documents"))
@@ -152,11 +103,9 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_filter_oracle() -> str:
-    from map_reduce_library_spark.queries import ORACLES
-
     return f"""
-    WITH ts AS ({ORACLES["text_stats"]}),
-    li AS ({ORACLES["lang_id"]}),
+    WITH ts AS ({TEXT_STATS_SQL}),
+    li AS ({LANG_ID_SQL}),
     flagged AS (
       SELECT ts.doc_id, ts.n_tokens, ts.quality_score, li.pred_lang,
              concat_ws(',',
@@ -319,7 +268,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_lang_mix",
     oracle="""
     SELECT source, lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 9)
              AS doc_share
     FROM documents GROUP BY source, lang

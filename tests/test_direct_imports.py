@@ -1,0 +1,53 @@
+"""Every querydef module must be importable DIRECTLY on a fresh
+interpreter (VERDICT r4, "What's wrong" §2: ``import querydefs.text``
+used to crash with ``KeyError: 'text_stats'`` raised from dedup.py,
+because dedup read the shared ``ORACLES`` registry at import time
+while ``text`` was still partially initialized in the circular import
+through ``queries.py``).
+
+Subprocesses are required: within one interpreter the first import
+warms ``sys.modules`` and hides the ordering bug."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+MODULES = [
+    "mapreduce_parity",
+    "text",
+    "dedup",
+    "similarity",
+    "streaming",
+    "temporal",
+    "pipeline",
+    "multimodal",
+    "extensibility",
+    "cogroup",
+    "skewq",
+    "approx",
+    "wordcount",
+] + [f"relational{s}" for s in ["", "2", "3", "4", "5", "6", "7", "8", "9", "10"]]
+
+
+@pytest.mark.parametrize("mod", MODULES)
+def test_querydef_module_importable_directly(mod):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"import map_reduce_library_spark.querydefs.{mod}",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, (
+        f"direct import of querydefs.{mod} failed:\n{proc.stderr[-2000:]}"
+    )

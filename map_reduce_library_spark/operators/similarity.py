@@ -48,9 +48,11 @@ def hyperplane_weights(
     planes: int, dim: int, table: int = 0
 ) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign from md5 parity. Table 0
-    keeps the original 'p,d' seeding (round-1..3 signatures are
-    reproducible); tables ≥1 salt the digest with the table index so
-    every signature table is an independent draw."""
+    reuses the un-salted 'p,d' seed stream (so its first 4 planes
+    coincide with the old single 4-plane table's planes — full old
+    signatures are NOT reproduced, since the per-table plane count is
+    now ANN_BAND_PLANES=6); tables ≥1 salt the digest with the table
+    index so every signature table is an independent draw."""
     return [
         [
             1.0
@@ -297,29 +299,109 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Fit IVF centroids with Lloyd's k-means over a bounded sample —
+    entirely as DataFrame ops (no driver-side collect; MLlib-style
+    driver-held centroids would work too, but this keeps the whole fit
+    declarative and oracle-able). Returns (cell, vc, nc).
+
+    Determinism contract (what makes this usable under the driver's
+    exact-hash oracle): init = the first ``k`` vectors by id (the old
+    seed path); per-iteration assignment ranks by cosine with ties to
+    the lower cell id (dot products are sequential folds over the
+    array — bit-identical across engines); the new per-cell mean is
+    ROUNDED to 6 decimals, absorbing the ~1e-15 wobble of distributed
+    float summation before it can flip any downstream comparison. An
+    empty cell simply drops out (standard Lloyd behavior).
+
+    ``sample_mod``: fit on the deterministic 1/sample_mod subsample
+    ``xxhash64(id) % sample_mod == 0`` (no ``rand()`` — reproducible
+    across runs and partitionings). At 100 TB the fit cost is
+    O(sample × k × iters), independent of corpus size; assignment of
+    the full corpus stays one broadcast-join pass in
+    ``ivf_assign_cells``. Per iteration: one broadcast join against
+    the (tiny, ≤k rows) centroid relation + one (cell, pos) shuffle of
+    the sample — localCheckpointed so the iterative lineage never
+    re-executes (same pattern as ``dedup.connected_components``)."""
+    from pyspark.sql.window import Window
+
+    base = _prep(emb, id_col, vec_col)
+    sample = (
+        base.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        if sample_mod > 1
+        else base
+    )
+    cents = base.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cell"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("cell"))
+    for _ in range(iters):
+        assigned = (
+            sample.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos_c", F.expr(_dot("v", "vc")) / (F.col("nrm") * F.col("nc"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("cell", "v")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("vc")
+            )
+            .withColumn("nc", F.expr(_norm("vc")))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign_cells(
     emb: DataFrame,
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its ``n_probe``
-    nearest centroids by cosine (deterministic seed centroids = the
-    first ``n_centroids`` vectors by id — at scale these come from a
-    k-means fit; the assignment plumbing is identical). Centroids
-    broadcast; one pass over the corpus; ties break toward the lower
-    centroid id. Returns (id, v, nrm, cell, probe_rank) with one row
-    per (vector, probed cell) — ``n_probe=1`` is the classic
-    single-cell assignment; higher values are multi-probe, trading
-    n_probe× candidate volume for recall exactly like LSH band-OR."""
+    nearest centroids by cosine. ``centroids`` (cell, vc, nc) supplies
+    a fitted codebook (see ``kmeans_centroids``); when omitted, the
+    deterministic seed fallback (first ``n_centroids`` vectors by id)
+    keeps the fully-closed-form oracle mode. Centroids broadcast; one
+    pass over the corpus; ties break toward the lower centroid id.
+    Returns (id, v, nrm, cell, probe_rank) with one row per (vector,
+    probed cell) — ``n_probe=1`` is the classic single-cell
+    assignment; higher values are multi-probe, trading n_probe×
+    candidate volume for recall exactly like LSH band-OR."""
     from pyspark.sql.window import Window
 
     base = _prep(emb, id_col, vec_col)
-    cents = base.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cell"),
-        F.col("v").alias("vc"),
-        F.col("nrm").alias("nc"),
+    cents = (
+        centroids
+        if centroids is not None
+        else base.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cell"),
+            F.col("v").alias("vc"),
+            F.col("nrm").alias("nc"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_c").desc(), F.col("cell")
@@ -343,6 +425,7 @@ def ivf_ann_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine top-k restricted to the cells the query
     probes. Corpus vectors are indexed ONCE in their home cell
@@ -356,7 +439,8 @@ def ivf_ann_topk(
     from pyspark.sql.window import Window
 
     assigned = ivf_assign_cells(
-        emb, n_centroids, id_col, vec_col, n_probe=n_probe
+        emb, n_centroids, id_col, vec_col, n_probe=n_probe,
+        centroids=centroids,
     )
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"),

@@ -78,6 +78,66 @@ from map_reduce_library_spark.querydefs import relational8  # noqa: E402,F401
 # and must not permanently occupy cap slots (ADVICE round 3).
 
 
+_DEPS_MD5_CACHE: dict[str, str | None] = {}
+
+
+def deps_md5(fn) -> str | None:
+    """md5 over the BEHAVIOR modules (operators/streaming/core/sources
+    files, transitive closure by source scan) that ``fn``'s defining
+    querydef module references. Closes the staleness-ledger gap ADVICE
+    r4 flagged: ``fn_md5`` covers only the registered function's own
+    source, so rewriting an operator the querydef calls used to keep
+    stale greens silently (ivf_assign_cells was rewritten in r4 yet
+    ivf_ann_topk kept its r2 green) — folding the operator-module
+    content into the ledger hash auto-demotes dependents the same way
+    oracle/querydef edits already do."""
+    import hashlib
+    import re
+    import sys
+    from pathlib import Path
+
+    mod_name = getattr(fn, "__module__", None)
+    if mod_name in _DEPS_MD5_CACHE:
+        return _DEPS_MD5_CACHE[mod_name]
+    mod = sys.modules.get(mod_name)
+    src = getattr(mod, "__file__", None)
+    if src is None:
+        _DEPS_MD5_CACHE[mod_name] = None
+        return None
+    pkg_root = Path(__file__).resolve().parent
+    dep_re = re.compile(
+        r"map_reduce_library_spark\.(operators|streaming|core|sources)"
+        r"\.(\w+)"
+    )
+    visited: set[Path] = set()
+    dep_files: set[Path] = set()
+    stack = [Path(src)]
+    while stack:
+        p = stack.pop()
+        if p in visited:
+            continue
+        visited.add(p)
+        try:
+            text = p.read_text()
+        except OSError:
+            continue
+        for m in dep_re.finditer(text):
+            dp = pkg_root / m.group(1) / (m.group(2) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+    h = hashlib.md5()
+    for dp in sorted(dep_files):
+        h.update(dp.name.encode())
+        try:
+            h.update(dp.read_bytes())
+        except OSError:
+            pass
+    digest = h.hexdigest()
+    _DEPS_MD5_CACHE[mod_name] = digest
+    return digest
+
+
 def _load_verified() -> dict[str, int]:
     """name -> round of last trustworthy green (hash-validated)."""
     import hashlib
@@ -106,6 +166,12 @@ def _load_verified() -> dict[str, int]:
             fn_md5 = None
         if entry.get("fn_md5") != fn_md5:
             continue  # querydef changed since green -> stale
+        # Legacy entries lack deps_md5; only entries that recorded one
+        # are held to it (update_ledger stamps it from this function).
+        if "deps_md5" in entry and entry["deps_md5"] != deps_md5(
+            QUERIES[name]
+        ):
+            continue  # an operator the querydef calls changed -> stale
         out[name] = int(entry.get("round", 0))
     return out
 

@@ -48,9 +48,14 @@ ALLOWED_BOUNDED_BROADCAST = {
     # multi-probe variant: same bounded centroid broadcast (vec_id <
     # N_CENTROIDS pushed filter), queries just keep 2 probe rows
     "ivf_ann_multiprobe_topk",
+    # fitted-codebook variant: the Lloyd fit and the assignment both
+    # broadcast the ≤N_CENTROIDS-row centroid relation against the
+    # corpus — constant-size build side, linear probe work
+    "ivf_kmeans_topk",
     # embed cosine_topk as the exact side of their recall evaluations
     "ann_recall_at_k",
     "ivf_recall_at_k",
+    "ivf_kmeans_recall_at_k",
 }
 
 

@@ -63,7 +63,7 @@ def test_later_red_evicts_earlier_green(tmp_path, monkeypatch):
         def qx():
             return None
 
-        return {"qx": qx}, {"qx": "SELECT 1"}
+        return {"qx": qx}, {"qx": "SELECT 1"}, None
 
     monkeypatch.setattr(ul, "_registry", fake_registry)
     ledger = ul.update(1, tmp_path)
@@ -86,7 +86,7 @@ def test_rows_only_green_counts_verified(tmp_path, monkeypatch):
         def qs():
             return None
 
-        return {"qs": qs}, {}
+        return {"qs": qs}, {}, None
 
     monkeypatch.setattr(ul, "_registry", fake_registry)
     ledger = ul.update(1, tmp_path)
@@ -133,18 +133,157 @@ def test_canaries_lead_verified_recheck_block():
 
 def test_verified_recheck_oldest_green_first():
     """Within the verified block (after canaries), re-checks run in
-    ascending last-green-round order so no family drifts stale."""
+    ascending last-green-round order so no family drifts stale.
+    Hash-oracled and rows-only entries are separate sub-blocks (the
+    order key ranks `name not in ORACLES` before age — rows-only
+    greens are weaker evidence and re-check after all oracled ones),
+    so the ascending-rounds invariant holds per sub-block."""
     verified_order = [n for n in q.QUERIES
                       if n in q._VERIFIED and n not in q._CANARIES]
-    rounds = [q._VERIFIED[n] for n in verified_order]
-    assert rounds == sorted(rounds)
+    for block in (
+        [n for n in verified_order if n in q.ORACLES],
+        [n for n in verified_order if n not in q.ORACLES],
+    ):
+        rounds = [q._VERIFIED[n] for n in block]
+        assert rounds == sorted(rounds)
+    # and the oracled block precedes the rows-only block entirely
+    idx = {n: i for i, n in enumerate(verified_order)}
+    oracled = [idx[n] for n in verified_order if n in q.ORACLES]
+    rows_only = [idx[n] for n in verified_order if n not in q.ORACLES]
+    assert not oracled or not rows_only or max(oracled) < min(rows_only)
 
 
-def test_stale_lsh_family_inside_cap_window():
-    """The round-3 stale/broken MinHash-LSH family must all sit inside
-    the driver's 50-query per-round cap so round 4 re-verifies them."""
-    order = list(q.QUERIES)
+def test_lsh_family_reverified_in_ledger():
+    """The round-3 stale/broken MinHash-LSH family went green in round
+    4 (CORRECTNESS_r04) — they must now hold round-4 ledger entries
+    whose hashes still match (i.e. verified, not demoted), closing the
+    round-3 incident for good. (Until round 4 this test instead pinned
+    them inside the driver's 50-slot cap window so they'd be
+    re-checked; that served its purpose.)"""
     for name in ("minhash_lsh_pairs", "ngram_jaccard_lsh", "dedup_clusters",
                  "dedup_keep_best", "triangle_count_near_dup_graph",
                  "pagerank_near_dup_graph"):
-        assert order.index(name) < 50
+        assert q._VERIFIED.get(name, 0) >= 4, f"{name} not round-4 verified"
+
+
+def test_red_round_evicts_earlier_green():
+    """The ledger's eviction rule, pinned with synthetic fixtures
+    (ADVICE r3/r4): a query green in round 1 then RED in round 2 must
+    be DELETED from the ledger — a regressed query's old green is not
+    evidence. Exercises tools.update_ledger.merge_round directly; the
+    test fails if the red->DELETE branch is removed."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.update_ledger import merge_round
+    finally:
+        sys.path.pop(0)
+
+    def fake_query(spark, sf_dir):  # pragma: no cover - hashed only
+        return None
+
+    queries = {"synthetic_q": fake_query}
+    oracles = {"synthetic_q": "SELECT 1 AS one"}
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+    red = dict(green, hash_match=False)
+
+    ledger: dict = {}
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 1)
+    assert ledger["synthetic_q"]["round"] == 1
+
+    merge_round(ledger, {"synthetic_q": red}, queries, oracles, 2)
+    assert "synthetic_q" not in ledger, "round-2 red must evict the r1 green"
+
+    # an err row evicts too
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 3)
+    merge_round(
+        ledger,
+        {"synthetic_q": dict(green, err="boom")},
+        queries,
+        oracles,
+        4,
+    )
+    assert "synthetic_q" not in ledger
+
+    # absence keeps the entry (un-sampled queries stay verified)
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 5)
+    merge_round(ledger, {}, queries, oracles, 6)
+    assert ledger["synthetic_q"]["round"] == 5
+
+
+def test_operator_rewrite_demotes_dependents():
+    """deps_md5 staleness (ADVICE r4 medium): a ledger entry whose
+    recorded deps_md5 no longer matches the current operator-module
+    content must NOT count verified, even with oracle and querydef
+    text unchanged. Falsified end-to-end: corrupt one entry's
+    deps_md5 on disk, re-run _load_verified, assert demotion."""
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    original = ledger_path.read_text()
+    ledger = json.loads(original)
+    name = next(n for n in q._VERIFIED if n in q.ORACLES)
+    assert "deps_md5" in ledger[name], "entries must record deps hash"
+    assert ledger[name]["deps_md5"] == q.deps_md5(q.QUERIES[name])
+    ledger[name]["deps_md5"] = "0" * 32  # simulate an operator rewrite
+    try:
+        ledger_path.write_text(json.dumps(ledger))
+        demoted = q._load_verified()
+        assert name not in demoted, (
+            f"{name!r} counts verified despite a stale operator hash"
+        )
+    finally:
+        ledger_path.write_text(original)
+    # and with the pristine ledger it is verified again
+    assert name in q._load_verified()
+
+
+def test_deps_md5_covers_called_operators():
+    """The ivf blind spot from ADVICE r4, concretely: the dep-closure
+    digest for ivf_kmeans_topk must include operators/similarity.py's
+    bytes — recompute the digest with that file's content perturbed
+    out and assert it differs."""
+    import hashlib
+    import re
+    import sys
+    from pathlib import Path as P
+
+    fn = q.QUERIES["ivf_kmeans_topk"]
+    pkg = P(q.__file__).resolve().parent
+    dep_re = re.compile(
+        r"map_reduce_library_spark\.(operators|streaming|core|sources)\.(\w+)"
+    )
+    # replicate deps_md5's walk, but replace similarity.py's bytes
+    visited, dep_files = set(), set()
+    stack = [P(sys.modules[fn.__module__].__file__)]
+    while stack:
+        p = stack.pop()
+        if p in visited:
+            continue
+        visited.add(p)
+        for m in dep_re.finditer(p.read_text()):
+            dp = pkg / m.group(1) / (m.group(2) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+    sim = pkg / "operators" / "similarity.py"
+    assert sim in dep_files, "similarity.py must be in the dep closure"
+
+    def digest(tamper: bool) -> str:
+        h = hashlib.md5()
+        for dp in sorted(dep_files):
+            h.update(dp.name.encode())
+            data = dp.read_bytes()
+            if tamper and dp == sim:
+                data += b"# rewritten"
+            h.update(data)
+        return h.hexdigest()
+
+    assert digest(False) == q.deps_md5(fn)
+    assert digest(True) != q.deps_md5(fn)

@@ -48,13 +48,17 @@ def _md5(text: str | None) -> str | None:
 
 
 def _registry(source: Path):
-    """Import the (queries, oracles) registry from a source tree."""
+    """Import the (queries, oracles, deps_md5) registry from a source
+    tree. ``deps_md5`` is None for older trees that predate the
+    operator-dependency hash."""
     sys.path.insert(0, str(source))
     try:
         import __spark_entry__ as entry_mod  # noqa: PLC0415
 
         assert Path(entry_mod.__file__).resolve().parent == source.resolve()
-        return entry_mod.queries(), entry_mod.oracle_sql()
+        queries_mod = sys.modules.get("map_reduce_library_spark.queries")
+        deps_fn = getattr(queries_mod, "deps_md5", None)
+        return entry_mod.queries(), entry_mod.oracle_sql(), deps_fn
     finally:
         sys.path.pop(0)
 
@@ -79,27 +83,50 @@ def _is_rows_only_green(row: dict) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-def update(round_no: int, source: Path) -> dict:
-    correctness = REPO / f"CORRECTNESS_r{round_no:02d}.json"
-    rows = json.loads(correctness.read_text())
-    queries, oracles = _registry(source)
-
-    ledger_path = REPO / "VERIFIED_LEDGER.json"
-    ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
-
+def merge_round(
+    ledger: dict,
+    rows: dict,
+    queries: dict,
+    oracles: dict,
+    round_no: int,
+    deps_fn=None,
+) -> dict:
+    """Merge one round's correctness rows into ``ledger`` IN PLACE and
+    return it. Pure of filesystem concerns so the green-upsert /
+    red-evict semantics are directly unit-testable:
+      * green (or rows-only green) -> upsert entry with current hashes
+      * red -> DELETE any existing entry (a later red evicts an old
+        green — the query regressed, its old green is no longer
+        evidence)
+      * names absent from ``rows`` keep their existing entries."""
     for name, row in rows.items():
         if not isinstance(row, dict):
             continue
         if _is_green(row) or _is_rows_only_green(row):
             if name not in queries:
                 continue  # renamed/removed since that snapshot
-            ledger[name] = {
+            entry = {
                 "round": round_no,
                 "oracle_md5": _md5(oracles.get(name)),
                 "fn_md5": _fn_md5(queries[name]),
             }
+            if deps_fn is not None:
+                entry["deps_md5"] = deps_fn(queries[name])
+            ledger[name] = entry
         else:
             ledger.pop(name, None)
+    return ledger
+
+
+def update(round_no: int, source: Path) -> dict:
+    correctness = REPO / f"CORRECTNESS_r{round_no:02d}.json"
+    rows = json.loads(correctness.read_text())
+    queries, oracles, deps_fn = _registry(source)
+
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+
+    merge_round(ledger, rows, queries, oracles, round_no, deps_fn)
 
     ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
     return ledger

@@ -173,6 +173,7 @@ def lsh_candidate_pairs(
     band_df: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Self-join on (band_id, band_sig): docs agreeing on any band are
     near-dup candidates. Returns distinct (doc_a, doc_b), a < b.
@@ -189,14 +190,45 @@ def lsh_candidate_pairs(
 
     Default ``None`` (no cap) keeps exact parity with the DuckDB
     oracles; production configs should set it (e.g. 1000) and audit
-    ``lsh_hot_buckets`` as a side output."""
+    the drop via ``observation`` (or the ``lsh_hot_buckets`` relation
+    as a persisted side output).
+
+    ``observation``: a ``pyspark.sql.Observation`` reporting
+    ``n_band_rows_dropped`` / ``n_band_rows_total`` IN-LINE with the
+    pairs action itself — no second audit pass over the band relation.
+    Placement matters: the metrics CANNOT live on the hot-bucket
+    relation (the natural spot), because that is the anti-join's
+    broadcast build side and AQE's empty-relation propagation deletes
+    the whole build subtree — CollectMetrics included — exactly in the
+    zero-drops case the metric exists to report (verified empirically:
+    ``Observation.get`` then dies instead of returning zeros). So the
+    audited path marks hot rows via a broadcast LEFT join + filter
+    (anti-join semantics, same broadcast, no extra shuffle) and
+    observes the marked relation, which lives on the surviving probe
+    lineage whether or not anything was dropped. Bucket IDENTITIES
+    (which signatures, how big) stay with the ``lsh_hot_buckets``
+    audit relation — persist that when you need more than counts."""
     if max_bucket is not None:
         hot = lsh_hot_buckets(band_df, max_bucket).select(
-            "band_id", "band_sig"
+            "band_id", "band_sig", F.lit(1).alias("__hot")
         )
-        band_df = band_df.join(
-            F.broadcast(hot), ["band_id", "band_sig"], "left_anti"
-        )
+        if observation is not None:
+            marked = band_df.join(
+                F.broadcast(hot), ["band_id", "band_sig"], "left"
+            ).observe(
+                observation,
+                F.coalesce(F.sum("__hot"), F.lit(0)).alias(
+                    "n_band_rows_dropped"
+                ),
+                F.count(F.lit(1)).alias("n_band_rows_total"),
+            )
+            band_df = marked.where(F.col("__hot").isNull()).drop("__hot")
+        else:
+            band_df = band_df.join(
+                F.broadcast(hot.select("band_id", "band_sig")),
+                ["band_id", "band_sig"],
+                "left_anti",
+            )
     a = band_df.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_sig"
     )
@@ -216,6 +248,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate candidate pairs.
 
@@ -225,12 +258,14 @@ def minhash_lsh_pairs(
     in-doc shingle repetition, pass ``distinct=False`` to skip the
     shuffle instead (min is duplicate-idempotent either way).
 
-    ``max_bucket`` forwards to ``lsh_candidate_pairs`` — set it in
-    production to bound the per-bucket quadratic fan-out."""
+    ``max_bucket`` / ``observation`` forward to
+    ``lsh_candidate_pairs`` — set them in production to bound the
+    per-bucket quadratic fan-out and count what the cap dropped."""
     return lsh_candidate_pairs(
         lsh_bands(minhash_signature(shingles(df, text_col, id_col), id_col), id_col),
         id_col,
         max_bucket=max_bucket,
+        observation=observation,
     )
 
 

@@ -16,6 +16,14 @@ Scale notes: one file per partition, names salted with uuid4 so
 speculative/retried tasks never collide; ``abort`` deletes the files
 its failed attempt reported. Rows are serialized with sorted keys so
 output bytes are schema-order-independent.
+
+Reader contract: consume the ``_SUCCESS`` manifest's part list, NOT a
+``*.jsonl`` glob. A task attempt that wrote its part file but died
+before returning its commit message leaves an orphan that neither
+``commit`` nor ``abort`` ever hears about (Spark can't deliver a
+message the task never produced) — the manifest is the single source
+of truth for which parts are committed, exactly as with Hadoop-style
+``_SUCCESS`` + committed-file protocols.
 """
 
 from __future__ import annotations
@@ -56,6 +64,10 @@ class JsonLinesWriter(DataSourceWriter):
         return PartFileCommit(path=path, rows=n)
 
     def commit(self, messages):
+        # A zero-partition DataFrame runs no write tasks, so no task
+        # ever makedirs'd the target — commit must create it or the
+        # (empty) manifest write crashes with FileNotFoundError.
+        os.makedirs(self.dir, exist_ok=True)
         manifest = {
             os.path.basename(m.path): m.rows for m in messages if m
         }

@@ -40,8 +40,29 @@ def test_python_datasource_sink_roundtrip(spark, tmp_path):
     manifest = json.loads((tmp_path / "sinkdir" / "_SUCCESS").read_text())
     assert manifest["total_rows"] == 100
     assert len(manifest["parts"]) == 4
-    back = spark.read.json(f"{out}/*.jsonl")
+    # Read via the manifest's committed-part list, per the sink's
+    # reader contract — a glob would also pick up orphans from task
+    # attempts that died before reporting their commit message.
+    committed = [f"{out}/{name}" for name in manifest["parts"]]
+    back = spark.read.json(committed)
     assert back.count() == 100
     assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
         tuple(sorted(r.asDict().items())) for r in df.collect()
     }
+
+
+def test_python_datasource_sink_commit_without_writes(tmp_path):
+    """A zero-partition write plan runs no write tasks, so commit is
+    the first thing to touch the target dir — it must create it and
+    write an empty manifest instead of crashing with
+    FileNotFoundError (ADVICE r4). Driven at the writer-API level
+    because that's the only way to guarantee zero write() calls."""
+    import json
+
+    from map_reduce_library_spark.sources.pysink import JsonLinesWriter
+
+    out = tmp_path / "emptydir"
+    writer = JsonLinesWriter({"path": str(out)})
+    writer.commit([])  # no write task ever ran; dir must not exist yet
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    assert manifest == {"parts": {}, "total_rows": 0}

@@ -69,3 +69,40 @@ def test_exact_dedup_shuffles_hashed_keys(spark):
     assert exchange, "expected a hash exchange in the plan"
     # keys are the md5/length grouping expressions, never the raw text
     assert not any("text#" in ln for ln in exchange), exchange
+
+
+def test_cap_observe_metric_counts_drops_inline(spark):
+    """The capped path's Observation side output (VERDICT r4 item 7):
+    metrics must arrive from the SAME job that computes the pairs —
+    observed on the marked probe-side relation, since anything under
+    the broadcast build side is AQE-pruned when empty — with the
+    dropped-row count matching the audit relation's member sum."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lsh_hot_buckets_drops")
+    capped = lsh_candidate_pairs(
+        _band_df(spark), max_bucket=10, observation=obs
+    )
+    n_pairs = capped.count()  # the one action; no separate audit pass
+    assert n_pairs == 4
+    assert obs.get == {
+        "n_band_rows_dropped": VIRAL_N,
+        "n_band_rows_total": VIRAL_N + len(NORMAL),
+    }
+
+
+def test_cap_observe_metric_zero_when_nothing_dropped(spark):
+    """With the cap above every bucket size the metric must report
+    zero drops — the case AQE's empty-relation propagation breaks if
+    the observation sits on the (empty) build side."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lsh_hot_buckets_nodrops")
+    n = lsh_candidate_pairs(
+        _band_df(spark), max_bucket=VIRAL_N, observation=obs
+    ).count()
+    assert n == VIRAL_N * (VIRAL_N - 1) // 2 + 1 + 3
+    assert obs.get == {
+        "n_band_rows_dropped": 0,
+        "n_band_rows_total": VIRAL_N + len(NORMAL),
+    }

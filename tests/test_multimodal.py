@@ -1,7 +1,7 @@
 """Multimodal plumbing: oracle checks + batch-shape/stub behavior."""
 
 import pytest
-from conftest import SF_SMOKE, assert_oracle_match
+from conftest import SF_CORRECTNESS, SF_SMOKE, assert_oracle_match
 
 from map_reduce_library_spark.operators.multimodal import (
     decode_image,
@@ -52,3 +52,24 @@ def test_frame_sampling_fanout(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(b"\x89PNG...")
+
+
+def test_corpus_payload_is_ascii_so_byte_and_char_strides_agree(spark):
+    """resize_images strides payload BYTES while the multimodal_resize
+    oracle strides text CHARACTERS — the two agree only while the
+    documents corpus is pure ASCII (1 byte == 1 char). Pin that
+    assumption (ADVICE r4): octet_length(utf8 text) must equal
+    character length for every document, at both the smoke and the
+    correctness SF. If the generator ever emits non-ASCII text, this
+    fails loudly instead of the oracle silently diverging."""
+    from pyspark.sql import functions as F
+
+    for sf in (SF_SMOKE, SF_CORRECTNESS):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        non_ascii = docs.where(
+            F.octet_length("text") != F.length("text")
+        ).count()
+        assert non_ascii == 0, (
+            f"{sf}: {non_ascii} non-ASCII documents - byte-stride "
+            "resize_images no longer matches the char-stride oracle"
+        )

@@ -129,10 +129,16 @@ def test_capped_candidates_are_a_subset(spark, texts):
     assert ident == full
 
 
-def test_band_or_candidates_superset_of_single_table(spark):
-    """Band-OR (union over tables) can only ADD candidate pairs
-    relative to any single one of its tables — pinned on the sf0.001
-    embeddings so the invariant covers real vector data."""
+def test_band_or_genuinely_widens_candidates(spark):
+    """Band-OR must genuinely WIDEN candidates, not just contain its
+    own tables (the old subset-only assertion held by construction and
+    could not catch a band-OR regression — ADVICE r4). Falsifiable
+    facts pinned on the sf0.001 embeddings: (a) the union is STRICTLY
+    larger than every single table (measured: 8327 union vs
+    1992-2280 per table), which fails if the tables collapse to one
+    seed stream or the union degenerates to a single table; (b) every
+    table contributes pairs no other table found, i.e. the per-table
+    draws are genuinely independent."""
     from pyspark.sql import functions as F
 
     from map_reduce_library_spark.operators.similarity import (
@@ -155,6 +161,14 @@ def test_band_or_candidates_superset_of_single_table(spark):
         }
 
     union_pairs = pairs(sigs)
-    for t in range(4):
-        assert pairs(sigs.where(F.col("tbl") == t)) <= union_pairs
+    per_table = [pairs(sigs.where(F.col("tbl") == t)) for t in range(4)]
     sigs.unpersist()
+
+    assert union_pairs == set().union(*per_table)
+    for t, tp in enumerate(per_table):
+        assert len(union_pairs) > len(tp), (
+            f"union ({len(union_pairs)}) not strictly larger than "
+            f"table {t} ({len(tp)}) - band-OR adds nothing"
+        )
+        others = set().union(*(p for u, p in enumerate(per_table) if u != t))
+        assert tp - others, f"table {t} contributes no unique pairs"

@@ -155,15 +155,20 @@ def test_verified_recheck_oldest_green_first():
 
 def test_lsh_family_reverified_in_ledger():
     """The round-3 stale/broken MinHash-LSH family went green in round
-    4 (CORRECTNESS_r04) — they must now hold round-4 ledger entries
-    whose hashes still match (i.e. verified, not demoted), closing the
-    round-3 incident for good. (Until round 4 this test instead pinned
-    them inside the driver's 50-slot cap window so they'd be
-    re-checked; that served its purpose.)"""
+    4 (CORRECTNESS_r04) — the ledger must RECORD that (round >= 4
+    entries), closing the round-3 incident. Checked against the raw
+    ledger, not _VERIFIED: a later operator edit legitimately demotes
+    these to re-check (that's the deps_md5 mechanism working), but it
+    must never erase the recorded green. (Until round 4 this test
+    instead pinned them inside the driver's 50-slot cap window so
+    they'd be re-checked; that served its purpose.)"""
+    ledger = json.loads((REPO / "VERIFIED_LEDGER.json").read_text())
     for name in ("minhash_lsh_pairs", "ngram_jaccard_lsh", "dedup_clusters",
                  "dedup_keep_best", "triangle_count_near_dup_graph",
                  "pagerank_near_dup_graph"):
-        assert q._VERIFIED.get(name, 0) >= 4, f"{name} not round-4 verified"
+        assert ledger.get(name, {}).get("round", 0) >= 4, (
+            f"{name} has no round-4+ green recorded"
+        )
 
 
 def test_red_round_evicts_earlier_green():

@@ -36,6 +36,8 @@ ALLOWED_SCALAR_ATTACH = {
     "heavy_hitter_tokens",
     # single-row normalization constant (sum of p^alpha)
     "temperature_mix",
+    # single-row corpus size (n_docs) attached to the PMI pairs
+    "token_cooccurrence_pmi",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -70,6 +72,11 @@ ALLOWED_BOUNDED_BROADCAST = {
 ALLOWED_SINGLE_PARTITION = {
     "disjunctive_predicate_revenue",
     "emb_dedup_recall",
+    # Q6 shape: final merge of the partial ungrouped aggregate
+    # (single-row result), the same shape as the other revenue scalars
+    "forecast_revenue_change",
+    # final merge of the single-row n_docs corpus-size aggregate
+    "token_cooccurrence_pmi",
     "gap_fill_daily_revenue",
     "global_sales_opportunity",
     "heavy_hitter_tokens",

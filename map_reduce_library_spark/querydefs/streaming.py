@@ -300,3 +300,40 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_session_windows(spark, sf_dir)
+
+
+@register(
+    "foreach_batch_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def foreach_batch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch end-to-end, driver-checked: the event stream is
+    delivered micro-batch-by-micro-batch through a foreachBatch
+    parquet writer (the escape-hatch sink for targets Structured
+    Streaming lacks natively; checkpointed, exactly-once per batch
+    id), then the landed files are read back and aggregated — the
+    totals must equal the batch answer, proving no batch was lost,
+    duplicated, or partially written. A fresh checkpoint/output dir
+    per invocation keeps the query idempotent."""
+    import tempfile
+
+    from map_reduce_library_spark.streaming.events import (
+        stream_events_to_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="mrls_febc_")
+    stream_events_to_parquet(spark, sf_dir, f"{base}/out", f"{base}/ckpt")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )

@@ -19,6 +19,12 @@ working tree still matches the snapshot the driver verified):
 worktree checked out at that round's snapshot commit (the parent of
 the "round N: verdict/..." commit).
 
+Each upserted entry also records ``deps_md5`` (md5 over the operator/
+streaming/core/sources modules the querydef's module transitively
+references, computed by ``queries.deps_md5``) so operator rewrites
+auto-demote dependent queries; ``--invalidate`` remains for manual
+demotions outside that closure.
+
 Semantics per CORRECTNESS_r{N}.json row, merged into the ledger:
   * green (rows+schema match, hash not explicitly false, no err)
       -> upsert {round, oracle_md5, fn_md5} from the --source registry.

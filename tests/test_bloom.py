@@ -1,0 +1,111 @@
+"""Bloom-filter join pruning: no-false-negative guarantee, pruning
+effectiveness, empty-build rejection, and the oracle differential."""
+
+from __future__ import annotations
+
+from conftest import SF_CORRECTNESS, SF_SMOKE, assert_oracle_match
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.bloom import (
+    bloom_build,
+    bloom_prune,
+)
+from map_reduce_library_spark.queries import QUERIES
+
+
+def test_bloom_pruned_part_revenue_oracle(spark):
+    assert_oracle_match(spark, "bloom_pruned_part_revenue")
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every build key must survive its own filter — the property the
+    pruned-join-equals-plain-join contract rests on."""
+    build = spark.range(0, 5000).select(
+        (F.col("id") * 7919 + 13).alias("key")
+    )
+    bloom = bloom_build(build, "key")
+    survivors = bloom_prune(build, bloom, "key").count()
+    assert survivors == 5000
+
+
+def test_bloom_prunes_most_non_members(spark):
+    """Disjoint probe keys: at m=2^17 bits / n=5000 keys / k=5 the
+    designed FPR is (1 - e^{-kn/m})^k ~ 2e-4, so out of 20k
+    non-members only a handful may leak through."""
+    build = spark.range(0, 5000).select(
+        (F.col("id") * 7919 + 13).alias("key")
+    )
+    probe = spark.range(0, 20000).select(
+        (-F.col("id") - 1).alias("key")  # negative: disjoint from build
+    )
+    leaked = bloom_prune(probe, bloom_build(build, "key"), "key").count()
+    assert leaked < 40, f"FPR far above design: {leaked}/20000"
+
+
+def test_bloom_small_m_still_exact_after_join(spark):
+    """Undersized filter (m=256 bits for 500 keys): the FP flood is
+    the point — the exact join afterwards must still produce exactly
+    the plain-join answer, proving prune-then-verify never depends on
+    the filter being well sized."""
+    build = spark.range(0, 500).select((F.col("id") * 3 + 1).alias("key"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    bloom = bloom_build(build, "key", m_bits=256)
+    pruned = bloom_prune(probe, bloom, "key", m_bits=256)
+    # many false positives sneak past the tiny filter...
+    assert pruned.count() > probe.join(build, "key").count()
+    # ...and the exact join clears every one of them
+    got = sorted(r.key for r in pruned.join(build, "key").collect())
+    want = sorted(r.key for r in probe.join(build, "key").collect())
+    assert got == want
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    """Zero build rows -> empty word map -> every probe row rejected
+    (absent words coalesce to 0 bits)."""
+    build = spark.range(0, 10).where(F.col("id") < 0).select(
+        F.col("id").alias("key")
+    )
+    probe = spark.range(0, 1000).select(F.col("id").alias("key"))
+    assert bloom_prune(probe, bloom_build(build, "key"), "key").count() == 0
+
+
+def test_bloom_null_keys_dropped(spark):
+    """NULL build keys are not encoded (NULL never equi-joins) and
+    NULL probe keys never pass the membership test."""
+    build = spark.range(0, 100).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("key")
+    )
+    bloom = bloom_build(build, "key")
+    probe = spark.range(0, 100).select(
+        F.when(F.col("id") % 2 == 1, F.col("id")).alias("key")
+    )
+    # odd ids were never built; nulls must not leak either
+    assert bloom_prune(probe, bloom, "key").where(
+        F.col("key").isNull()
+    ).count() == 0
+
+
+def test_bloom_prune_happens_before_exchange(spark):
+    """The membership test must run on the scan side of the plan — no
+    shuffle of unpruned probe rows. The bloom row itself arrives via a
+    scalar-build broadcast; the probe side's first exchange, if any,
+    sits above the filter."""
+    plan = (
+        QUERIES["bloom_pruned_part_revenue"](spark, SF_CORRECTNESS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan  # bit test inlined, JVM-side
+    assert "BatchEvalPython" not in plan
+    # the probe filter references the broadcast bloom map
+    assert "might" not in plan  # sanity: no missing-function fallback
+
+
+def test_bloom_prune_survives_smoke_scale(spark):
+    """End-to-end at sf0.001 (distinct data distribution from the
+    oracle-checked sf0.01 run)."""
+    df = QUERIES["bloom_pruned_part_revenue"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    assert all(r.n_lines > 0 and r.revenue > 0 for r in rows)

@@ -38,6 +38,8 @@ ALLOWED_SCALAR_ATTACH = {
     "temperature_mix",
     # single-row corpus size (n_docs) attached to the PMI pairs
     "token_cooccurrence_pmi",
+    # one-row Bloom signature map broadcast against the probe scan
+    "bloom_pruned_part_revenue",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -89,6 +91,9 @@ ALLOWED_SINGLE_PARTITION = {
     # scalar max over the per-supplier aggregate (one row per
     # supplier), not corpus rows
     "top_supplier_revenue",
+    # final merge assembling the one-row Bloom word map from the
+    # per-word partial bit_or aggregate
+    "bloom_pruned_part_revenue",
 }
 
 

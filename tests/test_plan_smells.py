@@ -40,6 +40,8 @@ ALLOWED_SCALAR_ATTACH = {
     "token_cooccurrence_pmi",
     # one-row Bloom signature map broadcast against the probe scan
     "bloom_pruned_part_revenue",
+    # single-row vocabulary-size constant attached to the NLL terms
+    "bigram_perplexity_topk",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -94,6 +96,8 @@ ALLOWED_SINGLE_PARTITION = {
     # final merge assembling the one-row Bloom word map from the
     # per-word partial bit_or aggregate
     "bloom_pruned_part_revenue",
+    # final merge of the single-row vocabulary-size aggregate
+    "bigram_perplexity_topk",
 }
 
 

@@ -17,12 +17,17 @@ only (xxhash64 / bit_or / shiftleft — whole-stage codegen throughout,
 no UDFs).
 
 Layout: ``m_bits`` bit positions packed into 64-bit words, carried as
-a one-row ``map<int, bigint>`` (word index -> OR-ed bits). The map is
-sparse: words no key touched are absent and read back as 0 at probe
-time, so an empty build side yields an empty map that rejects every
-probe row. k hash positions per key come from ``xxhash64(key, i)`` for
-i in 0..k-1 — seeding by an extra hashed column, the same trick the
-MinHash family uses (operators/dedup.py).
+a one-row DENSE ``array<bigint>`` of length m/64 (words no key touched
+are 0, so an empty build side yields an all-zero array that rejects
+every probe row). Dense matters: Spark's ``element_at`` on a map is a
+linear scan of the entries per lookup (maps have no hash index in the
+unsafe row format), which puts k * n_words comparisons on EVERY probe
+row — the sf0.1 query measured 2.6 s as a map vs 1.7 s dense; the
+array index is O(1) per lookup. The aggregation still builds the sparse word map (shuffle
+carries only touched words); densification is a single one-row
+``transform`` at the end. k hash positions per key come from
+``xxhash64(key, i)`` for i in 0..k-1 — seeding by an extra hashed
+column, the same trick the MinHash family uses (operators/dedup.py).
 
 Extension operator — ABSENT in the reference (single-input API, no
 joins; SURVEY.md §2D): built on the same map/group/reduce core (map =
@@ -65,15 +70,17 @@ def bloom_build(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """One-row DataFrame [bloom: map<int,bigint>] over ``df[key]``.
+    """One-row DataFrame [bloom: array<bigint>, len m/64] over
+    ``df[key]``.
 
     Shape: explode the k positions (k rows per key), partial-aggregate
     bit_or per 64-bit word (map-side combine collapses this to at most
-    m/64 rows per task before the shuffle), then assemble the sparse
-    word map in a single-row final merge — the same
-    partial-then-merge-scalar shape as every global aggregate in the
-    corpus. NULL keys are dropped: NULL never equi-joins, so encoding
-    it would only add false positives.
+    m/64 rows per task before the shuffle), assemble the sparse word
+    map in a single-row final merge — the same partial-then-merge-
+    scalar shape as every global aggregate in the corpus — then
+    densify once into the O(1)-indexable word array. NULL keys are
+    dropped: NULL never equi-joins, so encoding it would only add
+    false positives.
     """
     pos = F.array(*bloom_positions(F.col(key), m_bits, k))
     words = (
@@ -86,11 +93,18 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    return words.agg(
+    sparse = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
-        ).alias("bloom")
+        ).alias("m")
     )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m_bits // 64 - 1)),
+        lambda w: F.coalesce(
+            F.element_at(F.col("m"), w), F.lit(0).cast("bigint")
+        ),
+    )
+    return sparse.select(dense.alias("bloom"))
 
 
 def bloom_might_contain(
@@ -100,15 +114,14 @@ def bloom_might_contain(
     k: int = BLOOM_K,
 ) -> Column:
     """True iff all k bit positions of ``key`` are set (no false
-    negatives; false positives at the designed FPR). Absent words
-    read as 0 via coalesce, so the empty-map filter rejects all."""
+    negatives; false positives at the designed FPR). The dense word
+    array is indexed O(1) per position (1-based ``element_at``); an
+    all-zero (empty-build) array rejects everything."""
     cond = F.lit(True)
     for p in bloom_positions(key, m_bits, k):
         word = F.shiftright(p, 6).cast("int")
         mask = _bit_mask(p)
-        bits = F.coalesce(
-            F.element_at(bloom, word), F.lit(0).cast("bigint")
-        )
+        bits = F.element_at(bloom, word + F.lit(1))
         cond = cond & (bits.bitwiseAND(mask) != 0)
     return cond
 

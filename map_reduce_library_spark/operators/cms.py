@@ -1,0 +1,104 @@
+"""Count-Min sketch: a mergeable frequency sketch with bounded state.
+
+The scale story: exact per-item counts over a 100-TB token stream keep
+state proportional to the number of DISTINCT items (billions); a CMS
+keeps exactly ``d x w`` integer cells no matter how wide the stream
+gets, answers point frequency queries with a one-sided error
+(``est >= exact``, overshoot <= eN/w with probability 1-e^-d), and
+merges by cell-wise addition — the same partial-then-merge shape
+Spark's own partial aggregation uses, so sketches built per
+partition/day/shard combine by a groupBy-sum.
+
+Unlike HLL/approx_percentile (whose estimates are implementation-
+defined and therefore rows-only checked in this corpus), a CMS is
+DETERMINISTIC given its hash family: every cell is an exact integer
+sum. Hashing reuses the MinHash recipe (operators/dedup.py:44-53) —
+one md5 reduced to a 60-bit integer, then ``(a_j*x + b_j) mod P`` with
+P = 2^31-1, all products inside signed 64-bit — so DuckDB reproduces
+the whole sketch bit-for-bit and the driver hash-verifies the sketch
+construction itself, not just its envelope.
+
+Extension operator (SURVEY.md §2D approximate/sketches): map = per-
+occurrence (row, bucket) cell coordinates, group = cell, reduce = sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_P = 2_147_483_647  # 2^31 - 1, prime (same modulus as MinHash)
+CMS_W = 4_096  # buckets per hash row -> overshoot <= e*N/4096
+CMS_D = 4  # hash rows -> error-bound failure prob e^-4 < 2%
+# Distinct seed stream from the MinHash a/b constants (offset 101) so
+# the two hash families never coincide.
+CMS_A = [((j + 101) * 2_654_435_761 + 1) % CMS_P for j in range(CMS_D)]
+CMS_B = [((j + 101) * 1_013_904_223 + 12_345) % CMS_P for j in range(CMS_D)]
+
+
+def _x60(item):
+    """60-bit md5 base value, mod P (identical in DuckDB as
+    ``('0x' || substr(md5(item), 1, 15))::BIGINT % P``)."""
+    return (
+        F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint")
+        % CMS_P
+    )
+
+
+def _bucket(j: int, x):
+    return ((x * F.lit(CMS_A[j]) + F.lit(CMS_B[j])) % CMS_P) % CMS_W
+
+
+def cms_build(
+    df: DataFrame, item_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Sparse sketch relation [j, bucket, cnt] over the occurrences of
+    ``df[item_col]`` (one increment per row). At most d*w rows ever
+    exist; the (j, bucket) key domain is tiny, so map-side partial
+    aggregation collapses the shuffle to ~d*w rows per task
+    regardless of input size. Merge two sketches by unioning and
+    summing cnt per (j, bucket)."""
+    assert d <= CMS_D, "extend CMS_A/CMS_B for deeper sketches"
+    x = _x60(F.col(item_col))
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _bucket(j, x).alias("bucket")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    return cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_lookup(
+    cms: DataFrame, items: DataFrame, item_col: str, d: int = CMS_D
+) -> DataFrame:
+    """Point-frequency estimates for ``items[item_col]``: min over the
+    d cells each item hashes to (absent cell -> 0). The sketch is at
+    most d*w rows — broadcast it; the lookup is then a scan-side
+    broadcast join however many items are probed."""
+    x = _x60(F.col(item_col))
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _bucket(j, x).alias("bucket")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(item_col, "cell.j", "cell.bucket")
+    joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n")
+    )

@@ -4,6 +4,8 @@ built for, over the synthetic corpus.
 
     raw documents
       → quality gate        (text_stats: length/diversity/stopwords)
+      → perplexity gate     (bigram-LM NLL; drop the most surprising
+                             tail, CCNet-style)
       → exact dedup         (md5 full-text, min-id representative)
       → near-dedup          (MinHash-LSH candidates → connected
                              components → keep cluster representative)
@@ -42,6 +44,9 @@ from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
     observe_metrics,
     pack_sequences,
 )
+from map_reduce_library_spark.operators.lm import (  # noqa: E402
+    bigram_nll_scores,
+)
 from map_reduce_library_spark.operators.text import (  # noqa: E402
     text_stats,
     token_counts,
@@ -50,6 +55,7 @@ from map_reduce_library_spark.session import get_session  # noqa: E402
 from map_reduce_library_spark.tables import load_table  # noqa: E402
 
 QUALITY_MIN = 0.5
+PPL_DROP_PCT = 0.98  # drop docs above the 98th avg-NLL percentile
 PACK_BUDGET = 2048
 EVAL_SET_MAX_ID = 50  # held-out eval docs: doc_id < 50
 CLASS_CAP = 200
@@ -80,12 +86,29 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     gate = gate_obs.get  # filled by the count() action above
     n_raw = int(gate["rows"])
 
-    # 2. exact dedup (keep min-id representative)
+    # 2. perplexity gate: fit the bigram LM on the surviving corpus,
+    # drop the high-NLL tail (exact percentile over the per-doc score
+    # relation — one small holistic agg; unscored single-token docs
+    # pass through). The threshold comes from the data, so re-runs on
+    # the same corpus are deterministic.
+    scores = bigram_nll_scores(good)
+    cut = scores.agg(
+        F.percentile("avg_nll", F.lit(PPL_DROP_PCT)).alias("cut")
+    )
+    surprising = (
+        scores.crossJoin(F.broadcast(cut))
+        .where(F.col("avg_nll") > F.col("cut"))
+        .select("doc_id")
+    )
+    good = good.join(surprising, "doc_id", "left_anti")
+    n_ppl = good.count()
+
+    # 3. exact dedup (keep min-id representative)
     reps = exact_dedup(good).select(F.col("doc_id"))
     good = good.join(reps, "doc_id", "left_semi")
     n_exact = good.count()
 
-    # 3. near-dedup: LSH pairs → clusters → drop non-representatives
+    # 4. near-dedup: LSH pairs → clusters → drop non-representatives
     clusters = connected_components(minhash_lsh_pairs(good))
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
@@ -93,7 +116,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     good = good.join(drop, "doc_id", "left_anti")
     n_near = good.count()
 
-    # 4. decontamination: the eval set is held out entirely, and any
+    # 5. decontamination: the eval set is held out entirely, and any
     # surviving train doc sharing a word 8-gram with it is dropped
     eval_docs = good.where(F.col("doc_id") < EVAL_SET_MAX_ID)
     train_docs = good.where(F.col("doc_id") >= EVAL_SET_MAX_ID)
@@ -105,11 +128,11 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     good = train_docs.join(tainted, "doc_id", "left_anti")
     n_decon = good.count()
 
-    # 5. class balancing: cap every language at a stable hash-picked N
+    # 6. class balancing: cap every language at a stable hash-picked N
     good = class_balanced_topn(good, "lang", CLASS_CAP)
     n_balanced = good.count()
 
-    # 6. token accounting + 7. split + 8. packing
+    # 7. token accounting + 8. split + 9. packing
     toks = token_counts(good).select("doc_id", "ws_tokens")
     ready = (
         good.join(toks, "doc_id")
@@ -134,6 +157,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "raw": n_raw,
         "mean_quality": round(float(gate["mean_quality"]), 4),
         "after_quality": n_good,
+        "after_perplexity": n_ppl,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
         "after_decontamination": n_decon,

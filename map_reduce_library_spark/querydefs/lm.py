@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_library_spark.operators.lm import bigram_nll_scores
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.tables import load_table
 
@@ -76,53 +77,12 @@ PPL_TOP_DOCS = 50
 )
 def bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {PPL_TOP_DOCS} highest-perplexity documents under the
-    corpus's own add-one bigram LM (see module docstring for the model
-    and the decimal-sum determinism discipline)."""
+    corpus's own add-one bigram LM (``operators/lm.py`` holds the
+    scoring; see module docstring for the model and the decimal-sum
+    determinism discipline)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ", -1)
-    t = docs.select("doc_id", toks.alias("toks"))
-    pair = F.expr(
-        "explode(zip_with("
-        " slice(toks, 1, greatest(size(toks) - 1, 0)),"
-        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
-        " (a, b) -> named_struct('tok_a', a, 'bigram',"
-        "                        concat(a, ' ', b))))"
-    )
-    occ = t.select("doc_id", pair.alias("pr")).select(
-        "doc_id", "pr.tok_a", "pr.bigram"
-    )
-    uni = (
-        t.select(F.explode("toks").alias("tok_a"))
-        .groupBy("tok_a")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-    )
-    big = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
-    vsize = uni.agg(F.count(F.lit(1)).alias("vsize"))
-    nll = F.round(
-        F.log(
-            (F.col("c_a") + F.col("vsize"))
-            / (F.col("c_ab") + 1).cast("double")
-        ),
-        9,
-    )
-    terms = (
-        occ.join(uni, "tok_a")
-        .join(big, "bigram")
-        .crossJoin(F.broadcast(vsize))
-        .select("doc_id", nll.alias("nll"))
-    )
-    ag = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(F.col("nll").cast("decimal(20,9)")).alias("tot"),
-    )
     return (
-        ag.select(
-            "doc_id",
-            "n_bigrams",
-            F.round(
-                F.col("tot").cast("double") / F.col("n_bigrams"), 6
-            ).alias("avg_nll"),
-        )
+        bigram_nll_scores(docs)
         .orderBy(F.col("avg_nll").desc(), "doc_id")
         .limit(PPL_TOP_DOCS)
     )

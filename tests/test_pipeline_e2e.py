@@ -17,8 +17,15 @@ def test_training_data_pipeline(spark, tmp_path):
     assert counts["raw"] == 500
     # quality gate drops something but not most
     assert 400 <= counts["after_quality"] <= counts["raw"]
+    # perplexity gate trims the high-NLL tail (~2% of scored docs),
+    # never more than the configured tail share of the corpus
+    assert (
+        counts["after_quality"] * 0.95
+        <= counts["after_perplexity"]
+        < counts["after_quality"]
+    )
     # exact dedup: corpus has no full-text dups
-    assert counts["after_exact_dedup"] == counts["after_quality"]
+    assert counts["after_exact_dedup"] == counts["after_perplexity"]
     # near-dedup must collapse the planted clusters (25 pairs → >= 20
     # removed non-representatives)
     removed = counts["after_exact_dedup"] - counts["after_near_dedup"]

@@ -647,10 +647,19 @@ def connected_components(
     min of its own and its neighbors' labels; converges in O(graph
     diameter) rounds (near-dup clusters are shallow — duplicates of a
     common source — so this is typically 2-4 rounds). Each round is
-    one join + one groupBy; results are cached per round to truncate
-    lineage. This is the iterative-algorithm case the oracle covers
-    with a recursive CTE.
+    ONE Spark job: the propagate join/groupBy carries the previous
+    label through the aggregation (``old_label``, via a marker column
+    on the union — no extra join), the convergence count rides the
+    same job as an ``Observation`` on the checkpoint action, and
+    ``localCheckpoint`` cuts lineage. Fusing the probe halves the
+    per-round job count, which is what dominates CC wall time when
+    per-job scheduling overhead is large relative to the data (small
+    SFs locally; many-round graphs on a busy cluster scheduler).
+    This is the iterative-algorithm case the oracle covers with a
+    recursive CTE.
     """
+    from pyspark.sql import Observation
+
     und = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -662,20 +671,38 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
+
     def propagate(lbls: DataFrame) -> DataFrame:
+        # (node, label, old_label): own rows are marked so the
+        # aggregation can recover each node's previous label in the
+        # same pass (every node has exactly one own row, so
+        # min-over-marked IS the old label).
+        own = lbls.select(
+            "node", "label", F.lit(True).alias("is_own")
+        )
         neighbor_labels = und.join(
             lbls, und.dst == lbls.node
-        ).select(F.col("src").alias("node"), "label")
+        ).select(
+            F.col("src").alias("node"),
+            "label",
+            F.lit(False).alias("is_own"),
+        )
         return (
-            lbls.unionByName(neighbor_labels)
+            own.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
         )
 
     def compress(lbls: DataFrame) -> DataFrame:
         # Pointer jumping: each node also adopts its LABEL's label,
         # doubling the hop distance covered per round — O(log diameter)
-        # convergence on deep graphs.
+        # convergence on deep graphs.  old_label passes through so the
+        # fused convergence probe still sees the pre-round label.
         via = lbls.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
@@ -683,6 +710,7 @@ def connected_components(
             lbls.join(via, lbls.label == via.pnode, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("plabel", "label")
                 ).alias("label"),
@@ -703,20 +731,29 @@ def connected_components(
         new_labels = propagate(labels)
         if i >= compress_after:
             new_labels = compress(new_labels)
+        # Convergence count fused into the materialization job: the
+        # Observation's sum rides the same physical plan as the
+        # checkpoint (verified: metrics ARE published by the
+        # localCheckpoint action, including on empty relations), so a
+        # round is one job, not checkpoint + probe-join.
+        obs = Observation()
+        probed = new_labels.observe(
+            obs,
+            F.coalesce(
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_changed"),
+        )
         # localCheckpoint (not cache): compression references the
         # previous round TWICE, so the logical plan would double every
         # round — lineage must be CUT, not just the computation
         # memoized, or plan analysis itself OOMs after ~10 rounds.  On
         # a fault-tolerant cluster run, swap for reliable checkpoint()
         # with a checkpoint dir (localCheckpoint dies with an executor).
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_labels = probed.drop("old_label").localCheckpoint(eager=True)
+        changed = obs.get["n_changed"]
         labels.unpersist()
         labels = new_labels
         if changed == 0:

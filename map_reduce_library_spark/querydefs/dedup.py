@@ -835,8 +835,10 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LINEARLY (vs connected components' double reference), and the
         # lineage cut is a cost knob, not a correctness requirement.
         # Measured at sf0.1: checkpoint every round 8.9s (action
-        # overhead), never 10.0s (analyzing a 50-join plan), every 3
-        # rounds is the sweet spot.
+        # overhead), never 10.0s (analyzing a 50-join plan); re-measured
+        # round 5 on a VM with ~3x higher per-job overhead: cadence 3
+        # 4.9s, cadence 5 4.3s, cadence 10 4.3s — every 5 keeps the
+        # plan shallow at one fewer materialization job.
         ranks = deg.join(contribs, "node", "left").select(
             "node",
             "d",
@@ -845,7 +847,7 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
-        if it % 3 == 2:
+        if it % 5 == 4:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")

@@ -278,3 +278,71 @@ def pii_redact(
         F.regexp_count(after_ip, F.lit(PII_LONGNUM)).alias("n_longnums"),
         F.regexp_replace(after_ip, PII_LONGNUM, "<NUM>").alias("redacted"),
     )
+
+
+# ---- BM25 retrieval ------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counted: DataFrame | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag-of-terms query.
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))  — the
+               non-negative (+1) form Lucene uses.
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan shape for 100 TB: the (doc, tok, cnt) relation is filtered to
+    the query's terms BEFORE any join, so the candidate set is |docs
+    containing a query term|, not |corpus|; per-term document
+    frequencies are a tiny aggregate broadcast into the scoring join;
+    document lengths come from one groupBy over the token relation
+    (pass ``counted=`` to reuse a materialized token-count table — the
+    inverted-index-build-once pattern); the final top-k is
+    TakeOrderedAndProject, not a global sort. Scores are rounded to 9
+    decimals BEFORE ranking so the cut is reproducible across engines
+    and summation orders.
+    """
+    if counted is None:
+        from map_reduce_library_spark.operators.dedup import (
+            token_counts as _distinct_token_counts,
+        )
+
+        counted = _distinct_token_counts(df, text_col, id_col)
+    n_docs = df.count()  # scalar: drives the idf constant only
+    dl = counted.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
+    avg_rel = dl.agg(F.avg("dl").alias("avgdl"))
+    qt = counted.where(F.col("tok").isin(list(query_terms)))
+    dfreq = qt.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (F.col("cnt") * (k1 + 1.0)) / (
+        F.col("cnt")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        qt.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avg_rel))
+        .withColumn("w", w)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum("w"), 9).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_k)
+    )

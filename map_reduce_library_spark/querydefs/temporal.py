@@ -91,3 +91,81 @@ def range_join_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("p_user_id").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("e_ts")).alias("delay_us"),
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rns
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type AS state,
+             min(ts) AS valid_from,
+             min(event_id) AS first_event_id,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ordered GROUP BY user_id, event_type, rn - rns
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from, first_event_id, n_events,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, first_event_id)
+               AS valid_to
+      FROM islands
+    )
+    SELECT user_id, state, valid_from, valid_to, first_event_id,
+           n_events, (valid_to IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from an event
+    log: consecutive same-state runs per user collapse into validity
+    intervals [valid_from, valid_to) with an is_current flag on the
+    open interval — the gaps-and-islands pattern (run id = difference
+    of two row_numbers) every warehouse dimension build uses.
+
+    Plan shape: both row_numbers and the final lead() share the ONE
+    shuffle on user_id (sub-partitioning by (user_id, event_type)
+    and the island groupBy are prefix-compatible with it), so the
+    whole history build is a single exchange over the log — at 100 TB
+    the log is already bucketed by user/entity id and even that
+    exchange disappears."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    islands = (
+        ev.withColumn(
+            "grp",
+            F.row_number().over(w_user) - F.row_number().over(w_state),
+        )
+        .groupBy("user_id", F.col("event_type").alias("state"), "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_hist = Window.partitionBy("user_id").orderBy(
+        "valid_from", "first_event_id"
+    )
+    return islands.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+        "first_event_id",
+        "n_events",
+        F.lead("valid_from").over(w_hist).isNull().alias("is_current"),
+    )

@@ -42,6 +42,9 @@ ALLOWED_SCALAR_ATTACH = {
     "bloom_pruned_part_revenue",
     # single-row vocabulary-size constant attached to the NLL terms
     "bigram_perplexity_topk",
+    # single-row avgdl (mean document length) attached to the scoring
+    # join's candidate rows
+    "bm25_topk_docs",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -98,6 +101,8 @@ ALLOWED_SINGLE_PARTITION = {
     "bloom_pruned_part_revenue",
     # final merge of the single-row vocabulary-size aggregate
     "bigram_perplexity_topk",
+    # final merge of the single-row avgdl aggregate
+    "bm25_topk_docs",
 }
 
 

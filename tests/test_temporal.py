@@ -86,3 +86,33 @@ def test_asof_join_attaches_whole_row_not_mixed_columns(spark):
     ).collect()[0]
     assert row.tag_asof == "new"
     assert row.price_asof is None  # NOT 100.0 from the older row
+
+
+def test_scd2_oracle(spark):
+    assert_oracle_match(spark, "scd2_user_state_history")
+
+
+def test_scd2_semantics(spark):
+    """Intervals per user tile the timeline: exactly one open
+    interval per user, valid_to of each closed interval equals the
+    next interval's valid_from, and consecutive intervals never share
+    a state (runs are maximal)."""
+    import datetime as dt
+
+    from map_reduce_library_spark.queries import QUERIES
+    from conftest import SF_CORRECTNESS
+
+    rows = QUERIES["scd2_user_state_history"](
+        spark, SF_CORRECTNESS
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: (r.valid_from, r.first_event_id))
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev.valid_to == nxt.valid_from
+            assert prev.state != nxt.state  # maximal runs

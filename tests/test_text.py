@@ -72,3 +72,40 @@ def test_quality_filter_keep_iff_no_reasons(spark):
     assert kept, "some sf0.01 documents should pass the filter"
     for r in rows:
         assert r.keep == (r.fail_reasons == "")
+
+
+def test_bm25_oracle(spark):
+    assert_oracle_match(spark, "bm25_topk_docs")
+
+
+def test_bm25_semantics(spark):
+    """Higher tf of a rarer term must outrank lower tf of it, all
+    else equal; docs without any query term never appear."""
+    from map_reduce_library_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common filler filler"),
+            (2, "rare rare common filler filler"),
+            (3, "common filler filler filler filler"),
+            (4, "filler filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ("rare", "common"), top_k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert 4 not in by_id  # no query term -> not retrieved
+    assert by_id[2].bm25 > by_id[1].bm25 > by_id[3].bm25
+    assert by_id[1].n_hit_terms == 2 and by_id[3].n_hit_terms == 1
+
+
+def test_bm25_topk_cut_is_deterministic(spark):
+    """The k-cut orders by the ROUNDED score then doc_id, so ties at
+    the boundary resolve identically in Spark and the oracle."""
+    from map_reduce_library_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "term filler") for i in range(6)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, ("term",), top_k=3).collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2]  # identical scores -> id order

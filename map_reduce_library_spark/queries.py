@@ -44,6 +44,7 @@ from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401  (needs 
 from map_reduce_library_spark.querydefs import similarity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import streaming  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import temporal  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import eventsql  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import pipeline  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import multimodal  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import extensibility  # noqa: E402,F401

@@ -103,6 +103,11 @@ ALLOWED_SINGLE_PARTITION = {
     "bigram_perplexity_topk",
     # final merge of the single-row avgdl aggregate
     "bm25_topk_docs",
+    # unpartitioned window over the 3-row stage-count relation
+    "funnel_view_click_purchase",
+    # ordered running-sum window over the per-DAY aggregate (one row
+    # per calendar day, bounded by the report range), not raw events
+    "ewma_daily_revenue",
 }
 
 

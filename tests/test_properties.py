@@ -172,3 +172,149 @@ def test_band_or_genuinely_widens_candidates(spark):
         )
         others = set().union(*(p for u, p in enumerate(per_table) if u != t))
         assert tp - others, f"table {t} contributes no unique pairs"
+
+
+# ---- connected components vs union-find ----------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label CC (propagate + pointer jumping +
+    fused convergence probe) must agree with a sequential union-find
+    on arbitrary random graphs — including shapes the corpus never
+    produces (cycles, long chains, re-entrant edges)."""
+    from map_reduce_library_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    expected = {
+        node: min(members)
+        for members in comps.values()
+        for node in members
+    }
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+# ---- SCD2 islands vs sequential reference --------------------------------
+
+event_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.sampled_from(["a", "b", "c"]),  # state
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=event_logs)
+def test_scd2_matches_sequential_reference(spark, log):
+    """The gaps-and-islands SCD2 build must produce exactly the
+    intervals a sequential per-user scan produces: one interval per
+    maximal run, valid_to = next run's valid_from, open tail."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from map_reduce_library_spark.querydefs.temporal import (
+        scd2_user_state_history,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), user, state, 0.0, "{}")
+        for i, (user, state) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    # Sequential reference: per-user ordered scan collapsing runs.
+    expected = []
+    per_user: dict[int, list] = {}
+    for eid, ts, user, state, _v, _p in rows:
+        per_user.setdefault(user, []).append((ts, eid, state))
+    for user, evs in per_user.items():
+        evs.sort()
+        runs = []
+        for ts, eid, state in evs:
+            if runs and runs[-1]["state"] == state:
+                runs[-1]["n"] += 1
+            else:
+                runs.append(
+                    {"state": state, "from": ts, "first": eid, "n": 1}
+                )
+        for i, run in enumerate(runs):
+            nxt = runs[i + 1]["from"] if i + 1 < len(runs) else None
+            expected.append(
+                (
+                    user,
+                    run["state"],
+                    run["from"],
+                    nxt,
+                    run["first"],
+                    run["n"],
+                    nxt is None,
+                )
+            )
+
+    got = [
+        (
+            r.user_id,
+            r.state,
+            r.valid_from,
+            r.valid_to,
+            r.first_event_id,
+            r.n_events,
+            r.is_current,
+        )
+        for r in scd2_user_state_history(spark, d).collect()
+    ]
+    # Plain tuple sort is safe: (user, state, valid_from) is unique
+    # per interval, so comparison never reaches the None-able
+    # valid_to position.
+    assert sorted(got) == sorted(expected)

@@ -269,6 +269,60 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_lsh_pairs(
+    index_bands: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Ingest-time near-dup detection: candidate pairs touching a NEW
+    batch of documents, given the already-banded signature index of
+    the existing corpus.
+
+    This is the production dedup shape at 100 TB: the corpus signature
+    index is a persisted table written once and APPENDED per ingest
+    tick; each tick hashes only its own batch (O(|batch|) shingle/
+    minhash work, not a corpus rescan) and probes the index with a
+    band equi-join. With ``broadcast_new`` (the default — an ingest
+    tick is bounded, the corpus is not) the new batch's band relation
+    broadcasts, so the petabyte-scale index side is never shuffled:
+    the probe is a map-side join over the index scan. Set it False
+    when a backfill-sized batch should fall back to a shuffle join
+    (AQE will still demote it to broadcast if it turns out small).
+
+    Returns distinct (doc_a, doc_b), a < b, exactly the subset of the
+    full-corpus ``minhash_lsh_pairs`` whose pairs touch >= 1 new doc —
+    so running ticks in ANY order and unioning yields the batch
+    answer (cross-batch pairs appear when their later side arrives;
+    in-batch pairs come from the self-join). Pinned by
+    ``tests/test_incremental_dedup.py``.
+    """
+    new_bands = lsh_bands(
+        minhash_signature(shingles(incoming, text_col, id_col), id_col),
+        id_col,
+    )
+    probe = F.broadcast(new_bands) if broadcast_new else new_bands
+    vs_index = (
+        index_bands.select(
+            F.col(id_col).alias("doc_a"), "band_id", "band_sig"
+        )
+        .join(
+            probe.select(
+                F.col(id_col).alias("doc_b"), "band_id", "band_sig"
+            ),
+            ["band_id", "band_sig"],
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+    )
+    in_batch = lsh_candidate_pairs(new_bands, id_col)
+    return vs_index.unionByName(in_batch).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,

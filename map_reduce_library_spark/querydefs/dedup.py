@@ -275,6 +275,120 @@ def lsh_hot_buckets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental (ingest-time) dedup --------------------------------------
+# The production topology: the corpus signature index is a persisted
+# banded table, each ingest tick hashes only its own batch and probes
+# the index. Modeled here by a deterministic hash split of `documents`
+# into an "existing corpus" (90%) and an "incoming batch" (10%) — same
+# md5-bucket idiom as operators.pipeline.hash_bucket, so batch
+# membership is stable across engines and re-runs.
+INGEST_PCT = 10
+_NEW_DOC_PRED = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+    f" < {INGEST_PCT}"
+)
+
+
+def _ingest_split(spark: SparkSession, sf_dir: str):
+    from map_reduce_library_spark.operators.pipeline import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return docs.where(b < INGEST_PCT), docs.where(b >= INGEST_PCT)
+
+
+@register(
+    "incremental_dedup_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    nd AS (SELECT doc_id FROM documents WHERE {_NEW_DOC_PRED})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+      AND (a.doc_id IN (SELECT doc_id FROM nd)
+           OR b.doc_id IN (SELECT doc_id FROM nd))
+    """,
+)
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ingest tick of incremental LSH dedup: candidate pairs
+    touching the incoming 10% batch, probed against the banded index
+    of the other 90%. The oracle computes the SAME set the opposite
+    way — full-corpus pairs filtered to new-doc membership — so the
+    incremental plan's claim (tick union == batch answer) is what is
+    being differentially tested."""
+    from map_reduce_library_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    incoming, existing = _ingest_split(spark, sf_dir)
+    index_bands = lsh_bands(minhash_signature(shingles(existing)))
+    return incremental_lsh_pairs(index_bands, incoming)
+
+
+@register(
+    "ingest_dedup_verdict",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    nd AS (SELECT doc_id FROM documents WHERE {_NEW_DOC_PRED}),
+    m AS (
+      SELECT a.doc_id AS new_id, count(DISTINCT b.doc_id) AS c
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+      WHERE a.doc_id IN (SELECT doc_id FROM nd)
+        AND b.doc_id NOT IN (SELECT doc_id FROM nd)
+      GROUP BY 1
+    )
+    SELECT n.doc_id AS new_id,
+           CAST(coalesce(m.c, 0) AS BIGINT) AS n_corpus_matches,
+           coalesce(m.c, 0) > 0 AS is_dup_of_corpus
+    FROM nd n LEFT JOIN m ON n.doc_id = m.new_id
+    """,
+)
+def ingest_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing ingest decision: for every incoming doc, how
+    many existing-corpus docs it LSH-collides with and whether it
+    should be quarantined as a near-dup. Left join keeps clean docs
+    (the common case) with an explicit zero."""
+    from map_reduce_library_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    incoming, existing = _ingest_split(spark, sf_dir)
+    index = lsh_bands(minhash_signature(shingles(existing))).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_sig"
+    )
+    probe = lsh_bands(minhash_signature(shingles(incoming))).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_sig"
+    )
+    matches = (
+        index.join(F.broadcast(probe), ["band_id", "band_sig"])
+        .groupBy("new_id")
+        .agg(F.countDistinct("corpus_id").alias("n_corpus_matches"))
+    )
+    n = F.coalesce("n_corpus_matches", F.lit(0).cast("long"))
+    return (
+        incoming.select(F.col("doc_id").alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            "new_id",
+            n.alias("n_corpus_matches"),
+            (n > 0).alias("is_dup_of_corpus"),
+        )
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""

@@ -1,0 +1,125 @@
+"""Incremental (ingest-time) dedup: the batch operator and its
+streaming foreachBatch pipeline.
+
+Core claim under test (operators/dedup.py::incremental_lsh_pairs):
+feeding the corpus through the pipeline in ANY tick partitioning
+yields exactly the full-corpus batch ``minhash_lsh_pairs`` answer —
+cross-tick pairs arrive with their later side, in-tick pairs from the
+self-join, and no pair is emitted twice (each pair's later-arriving
+side fixes the unique tick that emits it).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.dedup import (
+    incremental_lsh_pairs,
+    lsh_bands,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingles,
+)
+from map_reduce_library_spark.operators.pipeline import hash_bucket
+from map_reduce_library_spark.streaming.ingest_dedup import (
+    dedup_pairs_table,
+    ingest_batch,
+    run_incremental_dedup_ingest,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_single_tick_equals_batch_restriction(spark):
+    """One tick vs the 90% index == full-corpus pairs touching the
+    incoming 10% (the same restriction the sf0.01 oracle states)."""
+    docs = _docs(spark)
+    b = hash_bucket("doc_id")
+    incoming = docs.where(b < 10)
+    existing = docs.where(b >= 10)
+    index = lsh_bands(minhash_signature(shingles(existing)))
+    got = _pairs_set(incremental_lsh_pairs(index, incoming))
+
+    new_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    full = _pairs_set(minhash_lsh_pairs(docs))
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == want
+    assert got, "fixture has no near-dup touching the batch; useless test"
+
+
+def test_ticks_union_to_batch_answer_and_are_disjoint(spark):
+    """Three-way split, processed tick by tick against a growing
+    index: union == batch answer, tick outputs pairwise disjoint."""
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 3)
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, band_id int, band_sig string"
+    )
+    index = empty
+    emitted: list[set] = []
+    for tick in range(3):
+        batch = docs.where(b == tick)
+        emitted.append(_pairs_set(incremental_lsh_pairs(index, batch)))
+        index = index.unionByName(
+            lsh_bands(minhash_signature(shingles(batch)))
+        )
+    union = set().union(*emitted)
+    assert union == _pairs_set(minhash_lsh_pairs(docs))
+    assert sum(len(e) for e in emitted) == len(union), (
+        "a pair was emitted by more than one tick"
+    )
+
+
+def test_streaming_ingest_converges_to_batch_answer(spark, tmp_path):
+    """End-to-end foreachBatch pipeline: 3 parquet files drained one
+    per micro-batch; the accumulated pairs table equals the batch
+    answer and the persisted band index covers the whole corpus."""
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 3)
+    chunks = tmp_path / "chunks"
+    for tick in range(3):
+        docs.where(b == tick).coalesce(1).write.mode("append").parquet(
+            str(chunks)
+        )
+    work = tmp_path / "work"
+    pairs_dir = run_incremental_dedup_ingest(
+        spark, str(chunks), str(work)
+    )
+    got = _pairs_set(dedup_pairs_table(spark, pairs_dir))
+    assert got == _pairs_set(minhash_lsh_pairs(docs))
+
+    # the persisted index covers every doc the batch pipeline would
+    # band (docs too short to shingle band to nothing on both paths)
+    index = spark.read.parquet(str(work / "index"))
+    assert (
+        index.select("doc_id").distinct().count()
+        == lsh_bands(minhash_signature(shingles(docs)))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def test_replayed_tick_is_idempotent_for_readers(spark, tmp_path):
+    """Failure-replay semantics: re-running a tick (foreachBatch
+    at-least-once delivery) appends duplicate rows, but the reader
+    view stays exactly the batch answer."""
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 3)
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    for tick in range(3):
+        ingest_batch(docs.where(b == tick), index_dir, pairs_dir)
+        if tick == 1:  # replay the middle tick
+            ingest_batch(docs.where(b == tick), index_dir, pairs_dir)
+    got = _pairs_set(dedup_pairs_table(spark, pairs_dir))
+    assert got == _pairs_set(minhash_lsh_pairs(docs))

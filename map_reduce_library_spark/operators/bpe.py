@@ -1,0 +1,178 @@
+"""BPE (byte-pair-encoding) vocabulary learning — the tokenizer-
+training step of an LLM data pipeline, as a fully declarative
+iterative Spark job.
+
+Standard BPE (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units"): start from characters (plus an
+end-of-word marker), repeatedly find the most frequent adjacent
+symbol pair across the corpus (weighted by word frequency) and merge
+it into a new symbol. The learned merge list IS the tokenizer.
+
+Design (vs the common driver-side dict-of-counts implementation):
+
+- State is the distinct-WORD symbol table (word, cnt, syms) — corpus
+  text is touched exactly once to build word frequencies; iterations
+  scale with |vocab| x avg word length, not corpus size. At 100 TB
+  the word table is the classic wordcount output (a few hundred
+  million rows at web scale), fine to iterate over.
+- Pair counting is one explode + groupBy per round (partial aggs
+  map-side); the winning pair is a LIMIT 1 relation, NOT a collected
+  scalar — it broadcasts into the merge step, so the whole learn loop
+  has zero driver-side data movement (only the fixed round count).
+- Merge application is a per-row ``aggregate()`` fold over the symbol
+  array: non-overlapping left-to-right (greedy) replacement, the
+  standard BPE application order. Zero shuffle — a scan projection.
+- Each round ends in an eager ``localCheckpoint`` (same pattern as
+  connected components / PageRank): without it round N's plan
+  re-executes rounds 1..N-1 per downstream action, and lineage depth
+  grows linearly.
+
+Reference parity note: the reference engine has no text pipeline at
+all (SURVEY.md §2D — extensions); BPE here is the north-star
+tokenizer-training workload. The per-round pair count is itself the
+reference's map→shuffle→reduce shape (emit pairs, group, sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+BPE_MERGES = 6
+
+
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt, syms): distinct words with corpus frequencies,
+    symbols initialized to characters + the end-of-word marker."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return words.withColumn(
+        "syms",
+        F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))),
+    )
+
+
+def pair_counts(symtab: DataFrame) -> DataFrame:
+    """(l, r, pair_count): adjacent-symbol pair frequencies weighted
+    by word count. The pair list per word is a zero-shuffle array
+    projection; the groupBy ships map-side partials."""
+    pairs = symtab.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(slice(syms, 1, size(syms)-1),"
+                " (s, i) -> struct(s AS l, syms[i+1] AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(
+        F.sum("cnt").alias("pair_count")
+    )
+
+
+def best_pair(counts: DataFrame) -> DataFrame:
+    """The winning merge as a ONE-ROW RELATION (count desc, then
+    lexicographic (l, r) — fully deterministic across engines and
+    partitionings). TakeOrderedAndProject, no global sort."""
+    return counts.orderBy(
+        F.desc("pair_count"), F.asc("l"), F.asc("r")
+    ).limit(1)
+
+
+def apply_merge(symtab: DataFrame, best: DataFrame) -> DataFrame:
+    """Merge the winning pair in every word: greedy non-overlapping
+    left-to-right fold over the symbol array, with the pair delivered
+    by a broadcast single-row cross join (no driver round-trip). The
+    fold's CASE guard relies on && short-circuiting so element_at
+    never sees an empty accumulator."""
+    merged = F.expr(
+        "aggregate(syms, cast(array() AS array<string>), (acc, x) ->"
+        " CASE WHEN size(acc) > 0 AND element_at(acc, -1) = __bl"
+        "           AND x = __br"
+        "      THEN concat(slice(acc, 1, size(acc)-1),"
+        "                  array(concat(__bl, __br)))"
+        "      ELSE concat(acc, array(x)) END)"
+    )
+    return (
+        symtab.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("l").alias("__bl"), F.col("r").alias("__br")
+                )
+            )
+        )
+        .withColumn("syms", merged)
+        .drop("__bl", "__br")
+    )
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (step, left_sym,
+    right_sym, pair_count), step 1-based in merge order."""
+    symtab = word_symbol_table(docs, text_col).localCheckpoint()
+    steps: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        best = best_pair(pair_counts(symtab)).localCheckpoint()
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+        )
+        if step < n_merges:
+            symtab = apply_merge(symtab, best).localCheckpoint()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: (id, token, syms) with
+    each token segmented into learned subword units. Merges MUST be
+    applied in learn order (step ascending) — BPE's defining
+    property. The merge list is tiny (the vocab budget), so it
+    collects to the driver once and unrolls into a fixed chain of
+    fold projections: still a zero-shuffle scan of the corpus."""
+    ordered = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("step").collect()
+    ]
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    syms = F.concat(F.split("token", ""), F.array(F.lit(END_OF_WORD)))
+    out = toks.withColumn("syms", syms)
+    for left, right in ordered:
+        l_lit, r_lit = left.replace("'", "\\'"), right.replace("'", "\\'")
+        out = out.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() AS array<string>),"
+                " (acc, x) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{l_lit}' AND x = '{r_lit}'"
+                " THEN concat(slice(acc, 1, size(acc)-1),"
+                f" array('{l_lit}{r_lit}'))"
+                " ELSE concat(acc, array(x)) END)"
+            ),
+        )
+    return out

@@ -67,6 +67,8 @@ from map_reduce_library_spark.querydefs import bloomq  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import variantq  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import lm  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import cmsq  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import bpe  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import retrieval  # noqa: E402,F401
 
 # Registry order = driver check order.  Rebuild the dicts so queries
 # with no trustworthy green come first (hash-oracled before rows-only),

@@ -1,0 +1,164 @@
+"""BPE tokenizer-training queries.
+
+The oracle unrolls the learn loop into chained CTEs — one block per
+merge round — using a DIFFERENT merge-application algorithm than the
+Spark operator: Spark applies the winning pair with a greedy
+left-to-right array fold (operators/bpe.py::apply_merge); the oracle
+derives the same non-overlapping semantics relationally, as
+gaps-and-islands over matching positions (within each run of
+consecutive matches, the 1st/3rd/5th... merge — exactly what the
+greedy fold does). Two independent formalizations of BPE's merge
+order agreeing per round, including on tie-breaks, is the point of
+the differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_library_spark.operators.bpe import (
+    BPE_MERGES,
+    END_OF_WORD,
+    bpe_learn,
+    bpe_segment,
+)
+from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.tables import load_table
+
+
+def _merge_round(i: int) -> str:
+    """CTE block for merge round i: pair counts over w{i-1}, winner,
+    match positions, greedy-selected (odd-rank-in-island) positions,
+    merged symbol table w{i}."""
+    return f"""
+    p{i} AS MATERIALIZED (
+      SELECT word, cnt, pos, syms[pos] AS sym, syms[pos+1] AS nxt
+      FROM (SELECT word, cnt, syms,
+                   unnest(generate_series(1, len(syms))) AS pos
+            FROM w{i - 1})
+    ),
+    best{i} AS MATERIALIZED (
+      SELECT sym AS l, nxt AS r, sum(cnt) AS pc
+      FROM p{i} WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
+    ),
+    mp{i} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rk
+        FROM (
+          SELECT word, pos,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS isl
+          FROM p{i}
+          WHERE sym = (SELECT l FROM best{i})
+            AND nxt = (SELECT r FROM best{i})
+        )
+      ) WHERE rk % 2 = 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT p.word, min(p.cnt) AS cnt,
+             list(CASE WHEN mp.pos IS NOT NULL THEN p.sym || p.nxt
+                       ELSE p.sym END ORDER BY p.pos) AS syms
+      FROM p{i} p
+        LEFT JOIN mp{i} mp ON p.word = mp.word AND p.pos = mp.pos
+        LEFT JOIN mp{i} prev ON p.word = prev.word AND p.pos = prev.pos + 1
+      WHERE prev.pos IS NULL
+      GROUP BY p.word
+    )"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    blocks = ",\n".join(_merge_round(i) for i in range(1, n_merges + 1))
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             list_append(string_split(word, ''), '{END_OF_WORD}') AS syms
+      FROM (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1
+      )
+    ),
+    {blocks}
+    {finals}
+    ORDER BY step
+    """
+
+
+# Learned merges are consumed by both queries; the learn loop is
+# 3 checkpoint jobs per round, so share one materialization per
+# (session, sf_dir) — the same one-write-many-reads pattern as the
+# dedup family's shared candidate graph (at scale: the merge list is
+# a tiny table written once by the training job, read by every
+# tokenization job).
+_SHARED_MERGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_MERGES.get(key)
+    if df is None:
+        df = bpe_learn(load_table(spark, sf_dir, "documents"))
+        df = df.localCheckpoint()
+        _SHARED_MERGES[key] = df
+    return df
+
+
+@register("bpe_learned_merges", oracle=_bpe_oracle(BPE_MERGES))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES merge rules on the documents corpus
+    (word-frequency-weighted, deterministic tie-breaks)."""
+    return shared_merges(spark, sf_dir)
+
+
+@register(
+    "bpe_segmented_sample",
+    oracle=f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             list_append(string_split(word, ''), '{END_OF_WORD}') AS syms
+      FROM (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1
+      )
+    ),
+    {",".join(_merge_round(i) for i in range(1, BPE_MERGES + 1))},
+    segs AS MATERIALIZED (
+      SELECT d.doc_id, t.word AS token, w.syms
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+        JOIN w{BPE_MERGES} w ON w.word = t.word
+      WHERE d.doc_id % 50 = 0 AND t.word <> ''
+    )
+    SELECT doc_id, token,
+           array_to_string(syms, ' ') AS subwords,
+           CAST(len(syms) AS INT) AS n_subwords
+    FROM segs
+    """,
+)
+def bpe_segmented_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize a deterministic 2% document sample with the learned
+    merges (applied in learn order — BPE's defining invariant). The
+    oracle reuses its own round-{BPE_MERGES} symbol table, while Spark
+    re-applies the merge chain per token: agreement proves
+    apply-in-order equals learn-time state."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = shared_merges(spark, sf_dir)
+    sample = docs.where(F.col("doc_id") % 50 == 0)
+    segmented = bpe_segment(sample, merges)
+    return segmented.select(
+        "doc_id",
+        "token",
+        F.array_join("syms", " ").alias("subwords"),
+        F.size("syms").alias("n_subwords"),
+    )

@@ -17,6 +17,8 @@ built for, over the synthetic corpus.
       → deterministic split (train/val/test, hash-stable)
       → packed shards       (sequence packing into token budgets,
                              written partitioned by split)
+      → tokenizer training  (BPE merge table learned on the train
+                             shard only, written beside the shards)
 
 Usage: python examples/training_data_pipeline.py OUT_DIR [SF_DIR]
 """
@@ -44,6 +46,7 @@ from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
     observe_metrics,
     pack_sequences,
 )
+from map_reduce_library_spark.operators.bpe import bpe_learn  # noqa: E402
 from map_reduce_library_spark.operators.lm import (  # noqa: E402
     bigram_nll_scores,
 )
@@ -147,6 +150,13 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "overwrite"
     ).partitionBy("split").parquet(out_dir)
 
+    # 10. tokenizer training: learn the BPE merge table on the TRAIN
+    # shard only (the tokenizer must never see val/test), written next
+    # to the shards — the artifact a trainer loads alongside the data.
+    merges = bpe_learn(packed.where(F.col("split") == "train"))
+    merges.write.mode("overwrite").parquet(f"{out_dir}_bpe_merges")
+    first_merge = merges.orderBy("step").limit(1).collect()[0]
+
     shard_stats = {
         (r.split, r.seq_bin): r.n
         for r in packed.groupBy("split", "seq_bin").count()
@@ -163,6 +173,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "after_decontamination": n_decon,
         "after_class_balance": n_balanced,
         "n_shards": len(shard_stats),
+        "bpe_first_merge": f"{first_merge.left_sym}+{first_merge.right_sym}",
     }
 
 

@@ -284,6 +284,9 @@ def pii_redact(
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+# The corpus's fixed bag-of-terms benchmark query (shared by the BM25
+# query and the hybrid-RRF fusion so both rank the same candidates).
+BM25_QUERY_TERMS = ("hash", "join", "scan")
 
 
 def bm25_topk(

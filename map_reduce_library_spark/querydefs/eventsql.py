@@ -257,3 +257,54 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (decay * F.col("num_scaled")) / (decay * F.col("den_scaled")), 6
         ).alias("ewma"),
     )
+
+
+Z_THRESHOLD = 1.5
+
+
+@register(
+    "daily_event_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n_events) AS mu,
+             stddev_samp(n_events) AS sd
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           round((d.n_events - s.mu) / s.sd, 6) AS z
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE abs(round((d.n_events - s.mu) / s.sd, 6)) >= {Z_THRESHOLD}
+    """,
+)
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count sits >=
+    {Z_THRESHOLD} sample standard deviations from that event type's
+    mean. One shuffle builds the daily series; the per-type moment
+    relation (|event types| rows) broadcasts back onto it. z is
+    rounded to 6 dp BEFORE thresholding so the cut is reproducible
+    across engines' streaming-variance implementations (ulp-level
+    divergence cannot flip membership)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sd"),
+    )
+    z = F.round(
+        (F.col("n_events") - F.col("mu")) / F.col("sd"), 6
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= Z_THRESHOLD)
+        .select("event_type", "day", "n_events", "z")
+    )

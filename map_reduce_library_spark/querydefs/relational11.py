@@ -253,3 +253,54 @@ def cume_dist_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+SKEW_REPORT_TOPN = 15
+
+
+@register(
+    "join_key_skew_report",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT avg(n) AS mean_n, CAST(sum(n) AS BIGINT) AS total FROM k
+    )
+    SELECT k.key, CAST(k.n AS BIGINT) AS n_rows,
+           round(k.n / CAST(s.total AS DOUBLE), 9) AS share,
+           round(k.n / s.mean_n, 6) AS skew_ratio
+    FROM k CROSS JOIN s
+    ORDER BY k.n DESC, k.key
+    LIMIT {SKEW_REPORT_TOPN}
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the report that decides whether a
+    join needs `operators.skew.salted_join` or an AQE skew split: the
+    top-{SKEW_REPORT_TOPN} heaviest values of a prospective join key
+    with their row share and ratio to the mean per-key load. One
+    partial-agg shuffle sized by |distinct keys|; the two global
+    moments ride a single-row broadcast; the cut is
+    TakeOrderedAndProject with a deterministic (count, key)
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = k.agg(
+        F.avg("n").alias("mean_n"), F.sum("n").alias("total")
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n") / F.col("total").cast("double"), 9).alias(
+                "share"
+            ),
+            F.round(F.col("n") / F.col("mean_n"), 6).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(SKEW_REPORT_TOPN)
+    )

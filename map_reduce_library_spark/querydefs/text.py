@@ -303,7 +303,8 @@ def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- BM25 retrieval ------------------------------------------------------
 
-BM25_QUERY_TERMS = ("hash", "join", "scan")
+from map_reduce_library_spark.operators.text import BM25_QUERY_TERMS  # noqa: E402
+
 BM25_TOPK = 10
 
 

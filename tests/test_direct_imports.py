@@ -18,21 +18,13 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
-MODULES = [
-    "mapreduce_parity",
-    "text",
-    "dedup",
-    "similarity",
-    "streaming",
-    "temporal",
-    "pipeline",
-    "multimodal",
-    "extensibility",
-    "cogroup",
-    "skewq",
-    "approx",
-    "wordcount",
-] + [f"relational{s}" for s in ["", "2", "3", "4", "5", "6", "7", "8", "9", "10"]]
+# Discover instead of enumerating: a new querydef module must pass
+# this gate the day it lands, not when someone remembers the list.
+MODULES = sorted(
+    p.stem
+    for p in (REPO / "map_reduce_library_spark" / "querydefs").glob("*.py")
+    if p.stem != "__init__"
+)
 
 
 @pytest.mark.parametrize("mod", MODULES)

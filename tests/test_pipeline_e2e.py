@@ -62,3 +62,13 @@ def test_training_data_pipeline(spark, tmp_path):
 
     kept_pairs = minhash_lsh_pairs(back.select("doc_id", "text")).count()
     assert kept_pairs == 0, "near-dup pairs survived dedup"
+
+    # the tokenizer artifact: a full merge table learned on the train
+    # shard only, usable by bpe_segment (step order intact)
+    merges = spark.read.parquet(f"{out}_bpe_merges")
+    from map_reduce_library_spark.operators.bpe import BPE_MERGES
+
+    rows = merges.orderBy("step").collect()
+    assert [r.step for r in rows] == list(range(1, BPE_MERGES + 1))
+    assert all(r.pair_count > 0 for r in rows)
+    assert counts["bpe_first_merge"] == f"{rows[0].left_sym}+{rows[0].right_sym}"

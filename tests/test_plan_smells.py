@@ -45,6 +45,9 @@ ALLOWED_SCALAR_ATTACH = {
     # single-row avgdl (mean document length) attached to the scoring
     # join's candidate rows
     "bm25_topk_docs",
+    # single-row (mean per-key load, total rows) moment relation
+    # attached to the per-key count aggregate
+    "join_key_skew_report",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -65,6 +68,9 @@ ALLOWED_BOUNDED_BROADCAST = {
     "ann_recall_at_k",
     "ivf_recall_at_k",
     "ivf_kmeans_recall_at_k",
+    # embeds cosine_topk (single pushed query vector) as its semantic
+    # ranker; the lexical side is BM25's audited term-filter plan
+    "hybrid_rrf_topk",
 }
 
 
@@ -108,6 +114,12 @@ ALLOWED_SINGLE_PARTITION = {
     # ordered running-sum window over the per-DAY aggregate (one row
     # per calendar day, bounded by the report range), not raw events
     "ewma_daily_revenue",
+    # rank windows + fusion join over each ranker's bounded top-50
+    # list (plus BM25's single-row avgdl merge), never corpus rows
+    "hybrid_rrf_topk",
+    # final merge of the single-row (mean, total) moment aggregate
+    # over the per-key counts
+    "join_key_skew_report",
 }
 
 
@@ -117,8 +129,11 @@ def _build_is_scalar(plan: str) -> bool:
 
 def _build_is_bounded_broadcast(plan: str) -> bool:
     # broadcast build (never a shuffled nested loop) over a
-    # filter-bounded scan of the query vectors
-    return "IdentityBroadcastMode" in plan and "LessThan(vec_id" in plan
+    # filter-bounded scan of the query vectors (a `vec_id < k` query
+    # set, or the single `vec_id = q` hybrid-retrieval query vector)
+    return "IdentityBroadcastMode" in plan and (
+        "LessThan(vec_id" in plan or "EqualTo(vec_id" in plan
+    )
 
 
 def test_corpus_wide_no_plan_smells(spark):

@@ -323,6 +323,73 @@ def incremental_lsh_pairs(
     return vs_index.unionByName(in_batch).distinct()
 
 
+def text_digests(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(md5, length, id) digest rows — the exact-dup index schema.
+    Fixed-width keys only; the text never leaves the scan."""
+    return df.select(
+        F.md5(F.col(text_col)).alias("d_md5"),
+        F.length(F.col(text_col)).alias("d_len"),
+        F.col(id_col),
+    )
+
+
+def incremental_exact_verdict(
+    index_digests: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time EXACT dedup against a persisted digest index — the
+    companion of ``incremental_lsh_pairs`` for byte-identical copies.
+
+    ``index_digests``: the corpus's (d_md5, d_len, doc_id) table
+    (built once by ``text_digests``, appended per tick). Each tick
+    digests only its own batch; the corpus-side index is probed with a
+    broadcast of the batch digests and never reshuffled.
+
+    Returns one row per incoming doc:
+      dup_of_corpus — min existing doc id with the same digest (NULL
+                      if the text is new to the corpus),
+      batch_rep     — min incoming doc id with the same digest (self
+                      when unique in the batch),
+      is_kept       — the ingest decision: not in the corpus AND this
+                      row is its batch's representative.
+    """
+    probe = text_digests(incoming, text_col, id_col)
+    batch_rep = probe.groupBy("d_md5", "d_len").agg(
+        F.min(id_col).alias("batch_rep")
+    )
+    # Prune the index scan FIRST (broadcast semi-join on the batch's
+    # digest set — map-side, no index shuffle), then aggregate the
+    # few surviving rows: the per-tick work is O(|batch| + matches),
+    # not O(|corpus|).
+    matched = (
+        index_digests.join(
+            F.broadcast(probe.select("d_md5", "d_len").distinct()),
+            ["d_md5", "d_len"],
+            "left_semi",
+        )
+        .groupBy("d_md5", "d_len")
+        .agg(F.min(id_col).alias("dup_of_corpus"))
+    )
+    return (
+        probe.select(F.col(id_col).alias("new_id"), "d_md5", "d_len")
+        .join(F.broadcast(matched), ["d_md5", "d_len"], "left")
+        .join(F.broadcast(batch_rep), ["d_md5", "d_len"])
+        .select(
+            "new_id",
+            "dup_of_corpus",
+            "batch_rep",
+            (
+                F.col("dup_of_corpus").isNull()
+                & (F.col("batch_rep") == F.col("new_id"))
+            ).alias("is_kept"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,

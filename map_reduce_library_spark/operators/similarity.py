@@ -465,3 +465,58 @@ def ivf_ann_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def filtered_cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int,
+    filter_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors per query
+    restricted to candidates sharing the query's ``filter_col`` value
+    (the "metadata filter + ANN" production pattern: tenant, language,
+    shard, permission tier).
+
+    Plan shape: the filter key turns the brute-force cross join into a
+    broadcast hash EQUI-join — queries pair only with their own
+    predicate partition, so work is |queries| x |matching candidates|,
+    and the per-group ranking window partitions by query. At index
+    scale the same shape runs per-partition over a label-partitioned
+    index layout (partition pruning does the filtering before any
+    distance math)."""
+    from pyspark.sql.window import Window
+
+    base = emb.select(
+        F.col(id_col),
+        F.col(filter_col),
+        _as_double(vec_col).alias("v"),
+    ).withColumn("nrm", F.expr(_norm("v")))
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col),
+        F.col("v").alias("vq"),
+        F.col("nrm").alias("nq"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, filter_col)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.expr(_dot("vq", "vc")) / (F.col("nq") * F.col("nc"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(filter_col), "neighbor_id", "rnk", "cosine")
+    )

@@ -390,6 +390,36 @@ def ingest_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_exact_verdict",
+    oracle=f"""
+    WITH nd AS (SELECT doc_id, text FROM documents WHERE {_NEW_DOC_PRED}),
+    ex AS (SELECT doc_id, text FROM documents WHERE NOT ({_NEW_DOC_PRED})),
+    corp AS (SELECT text, min(doc_id) AS dup_of_corpus FROM ex GROUP BY 1),
+    brep AS (SELECT text, min(doc_id) AS batch_rep FROM nd GROUP BY 1)
+    SELECT n.doc_id AS new_id, c.dup_of_corpus, b.batch_rep,
+           (c.dup_of_corpus IS NULL AND b.batch_rep = n.doc_id) AS is_kept
+    FROM nd n
+      LEFT JOIN corp c ON n.text = c.text
+      JOIN brep b ON n.text = b.text
+    """,
+)
+def incremental_exact_verdict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup vs the persisted digest index (the
+    byte-identical companion of `incremental_dedup_pairs`): the
+    oracle joins on raw text, the engine on (md5, length) digest keys
+    with the index pruned by a broadcast semi-join before any
+    aggregate — same verdicts, no corpus rescan, fixed-width shuffle
+    keys."""
+    from map_reduce_library_spark.operators.dedup import (
+        incremental_exact_verdict,
+        text_digests,
+    )
+
+    incoming, existing = _ingest_split(spark, sf_dir)
+    return incremental_exact_verdict(text_digests(existing), incoming)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},

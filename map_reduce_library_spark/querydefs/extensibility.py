@@ -154,3 +154,41 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 4)
         .load()
     )
+
+
+@register(
+    "pandas_udaf_median_chars",
+    oracle="""
+    SELECT lang, source, median(n_chars) AS med_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def pandas_udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDAF surface (the third Python
+    extension point next to @udtf and the DataSource API): a
+    SQL-registered Arrow-batched aggregate, exercised through
+    spark.sql so registration + codegen integration are both on the
+    path. Median keeps the differential float-free (integer inputs;
+    an even group midpoints to an exact .5). Per-group state is one
+    column batch — the same bounded-group contract as the
+    applyInPandas holistic reduce (mr_holistic_median), but callable
+    anywhere SQL aggregates go."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module's
+    # `from __future__ import annotations` turns type hints into
+    # strings, which the pandas_udf eval-type inferencer rejects.
+    median_chars = pandas_udf(
+        lambda v: float(v.median()),
+        "double",
+        PandasUDFType.GROUPED_AGG,
+    )
+
+    spark.udf.register("median_chars", median_chars)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udaf_docs_in"
+    )
+    return spark.sql(
+        "SELECT lang, source, median_chars(n_chars) AS med_chars "
+        "FROM udaf_docs_in GROUP BY lang, source"
+    )

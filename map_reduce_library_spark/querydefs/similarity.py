@@ -508,3 +508,45 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "filtered_ann_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM e q JOIN e c
+        ON q.label = c.label
+       AND q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, label, neighbor_id, rnk, cosine
+    FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-{TOPK} same-LABEL neighbors for the
+    first {N_QUERIES} query vectors — the metadata-filter + ANN
+    production pattern. The filter key converts the brute-force cross
+    join into a broadcast hash equi-join (no BNLJ): distance math runs
+    only inside each query's label partition."""
+    from map_reduce_library_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    return filtered_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        "label",
+    )

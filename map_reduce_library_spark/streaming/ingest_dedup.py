@@ -38,36 +38,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.dedup import (
+    incremental_exact_verdict,
     incremental_lsh_pairs,
     lsh_bands,
     minhash_signature,
     shingles,
+    text_digests,
 )
 
 _BAND_SCHEMA = "doc_id bigint, band_id int, band_sig string"
+_DIGEST_SCHEMA = "d_md5 string, d_len int, doc_id bigint"
 
 
 def _new_bands(batch: DataFrame) -> DataFrame:
     return lsh_bands(minhash_signature(shingles(batch)))
 
 
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
 def ingest_batch(
-    batch: DataFrame, index_dir: str, pairs_dir: str
+    batch: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    digest_dir: str | None = None,
+    verdict_dir: str | None = None,
 ) -> None:
-    """Process one ingest tick: emit pairs touching this batch, then
-    append the batch's bands to the index. Order matters — the probe
-    must see the index WITHOUT this batch (self-pairs come from the
-    in-batch join; probing an index that already contained the batch
-    would also work but double-computes every in-batch pair)."""
+    """Process one ingest tick: emit near-dup pairs touching this
+    batch, then append the batch's bands to the band index; with
+    ``digest_dir``/``verdict_dir`` set, also run exact dedup against
+    the digest index and append this tick's keep/drop verdicts. Order
+    matters — each probe must see its index WITHOUT this batch
+    (self-pairs come from the in-batch join; the exact verdict's
+    batch_rep handles in-batch copies)."""
     spark = batch.sparkSession
-    if os.path.isdir(index_dir):
-        index_bands = spark.read.schema(_BAND_SCHEMA).parquet(index_dir)
-    else:
-        index_bands = spark.createDataFrame([], _BAND_SCHEMA)
-    bands = _new_bands(batch)
+    index_bands = _read_or_empty(spark, index_dir, _BAND_SCHEMA)
     pairs = incremental_lsh_pairs(index_bands, batch)
     pairs.write.mode("append").parquet(pairs_dir)
-    bands.write.mode("append").parquet(index_dir)
+    _new_bands(batch).write.mode("append").parquet(index_dir)
+    if digest_dir is not None and verdict_dir is not None:
+        digests = _read_or_empty(spark, digest_dir, _DIGEST_SCHEMA)
+        verdict = incremental_exact_verdict(digests, batch)
+        verdict.write.mode("append").parquet(verdict_dir)
+        text_digests(batch).write.mode("append").parquet(digest_dir)
 
 
 def run_incremental_dedup_ingest(
@@ -81,6 +97,8 @@ def run_incremental_dedup_ingest(
     swapping the trigger."""
     index_dir = os.path.join(work_dir, "index")
     pairs_dir = os.path.join(work_dir, "pairs")
+    digest_dir = os.path.join(work_dir, "digests")
+    verdict_dir = os.path.join(work_dir, "verdicts")
     checkpoint = os.path.join(work_dir, "checkpoint")
     schema = spark.read.parquet(chunks_dir).schema
     stream = (
@@ -90,7 +108,9 @@ def run_incremental_dedup_ingest(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _bid: ingest_batch(bdf, index_dir, pairs_dir)
+            lambda bdf, _bid: ingest_batch(
+                bdf, index_dir, pairs_dir, digest_dir, verdict_dir
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

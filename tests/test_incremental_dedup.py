@@ -108,6 +108,15 @@ def test_streaming_ingest_converges_to_batch_answer(spark, tmp_path):
         .count()
     )
 
+    # the exact-dedup sidecar: one kept doc per distinct text across
+    # all ticks, and the digest index covers the whole corpus
+    verdicts = spark.read.parquet(str(work / "verdicts"))
+    n_texts = docs.select("text").distinct().count()
+    assert verdicts.where("is_kept").count() == n_texts
+    assert verdicts.count() == docs.count()
+    digests = spark.read.parquet(str(work / "digests"))
+    assert digests.select("doc_id").distinct().count() == docs.count()
+
 
 def test_replayed_tick_is_idempotent_for_readers(spark, tmp_path):
     """Failure-replay semantics: re-running a tick (foreachBatch
@@ -123,3 +132,61 @@ def test_replayed_tick_is_idempotent_for_readers(spark, tmp_path):
             ingest_batch(docs.where(b == tick), index_dir, pairs_dir)
     got = _pairs_set(dedup_pairs_table(spark, pairs_dir))
     assert got == _pairs_set(minhash_lsh_pairs(docs))
+
+
+def test_exact_verdict_keeps_exactly_one_doc_per_text(spark):
+    """Incremental exact dedup across ticks: every distinct text ends
+    with EXACTLY one kept doc (the first-arrived representative), no
+    matter how the corpus was split into batches."""
+    from map_reduce_library_spark.operators.dedup import (
+        incremental_exact_verdict,
+        text_digests,
+    )
+
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 3)
+    empty = spark.createDataFrame([], "d_md5 string, d_len int, doc_id bigint")
+    index = empty
+    kept_ids: list[int] = []
+    for tick in range(3):
+        batch = docs.where(b == tick)
+        verdict = incremental_exact_verdict(index, batch)
+        kept_ids.extend(
+            r.new_id for r in verdict.where("is_kept").collect()
+        )
+        index = index.unionByName(text_digests(batch))
+    kept = docs.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "doc_id bigint"),
+        "doc_id",
+        "left_semi",
+    )
+    n_texts = docs.select("text").distinct().count()
+    assert kept.count() == len(kept_ids) == n_texts
+    assert kept.select("text").distinct().count() == n_texts
+
+
+def test_compacted_index_preserves_verdicts(spark, tmp_path):
+    """Per-tick appends leave many small files; compacting the band
+    index must not change a later tick's candidate pairs."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 4)
+    index_dir = str(tmp_path / "index")
+    for tick in range(3):
+        lsh_bands(
+            minhash_signature(shingles(docs.where(b == tick)))
+        ).write.mode("append").parquet(index_dir)
+    compacted_dir = str(tmp_path / "compacted")
+    compact_parquet(spark, index_dir, compacted_dir)
+
+    last = docs.where(b == 3)
+    orig = _pairs_set(
+        incremental_lsh_pairs(spark.read.parquet(index_dir), last)
+    )
+    comp = _pairs_set(
+        incremental_lsh_pairs(spark.read.parquet(compacted_dir), last)
+    )
+    assert orig == comp and orig, "compaction changed the candidate set"

@@ -120,6 +120,9 @@ ALLOWED_SINGLE_PARTITION = {
     # final merge of the single-row (mean, total) moment aggregate
     # over the per-key counts
     "join_key_skew_report",
+    # final merge of the one-row expectations aggregate (every rule is
+    # a partial sum over the scan; the report itself is 6 rows)
+    "data_quality_report",
 }
 
 

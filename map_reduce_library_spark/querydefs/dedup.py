@@ -1068,3 +1068,56 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_rate"),
         )
     )
+
+
+# Bounded-depth reachability over the near-dup candidate DAG (edges
+# doc_a < doc_b, so recursion terminates structurally; the depth cap
+# additionally bounds path fan-out on complete subgraphs — exact-dup
+# template clusters are cliques, where unbounded path enumeration is
+# 2^|clique|).
+REACH_MAX_DEPTH = 3
+
+
+@register(
+    "dedup_reachability_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    seed AS (SELECT min(doc_a) AS doc_id FROM pairs),
+    r AS (
+      SELECT doc_id, 0 AS depth FROM seed
+      UNION ALL
+      SELECT p.doc_b, r.depth + 1
+      FROM r JOIN pairs p ON p.doc_a = r.doc_id
+      WHERE r.depth < {REACH_MAX_DEPTH}
+    )
+    SELECT doc_id, CAST(min(depth) AS INT) AS min_depth
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL RECURSIVE CTE surface (new in Spark 4): min-hop BFS
+    from the smallest near-dup doc over the candidate DAG. The engine
+    recursion runs on the shared checkpointed pairs relation via a
+    temp view; the oracle re-derives pairs and runs the textually
+    identical recursion — both engines' recursive-union semantics
+    must agree on depths, not just membership. (Unbounded set-union
+    recursion is `dedup_clusters`' connected-components operator; the
+    SQL form here is the surface parity check.)"""
+    pairs = shared_lsh_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("ndpairs_rcte")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE seed AS (
+          SELECT min(doc_a) AS doc_id FROM ndpairs_rcte
+        ),
+        r AS (
+          SELECT doc_id, 0 AS depth FROM seed
+          UNION ALL
+          SELECT p.doc_b, r.depth + 1
+          FROM r JOIN ndpairs_rcte p ON p.doc_a = r.doc_id
+          WHERE r.depth < {REACH_MAX_DEPTH}
+        )
+        SELECT doc_id, CAST(min(depth) AS INT) AS min_depth
+        FROM r GROUP BY doc_id
+        """
+    )

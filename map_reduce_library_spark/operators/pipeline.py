@@ -310,3 +310,39 @@ def chunk_hashes(
         F.col("c.idx").alias("chunk_idx"),
         F.col("c.h").alias("chunk_hash"),
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws an exponential jitter
+    key = -ln(u) / w from a HASH-derived uniform u (md5 of the id,
+    never rand()), and the sample is the n smallest keys — inclusion
+    probability proportional to weight, stable across re-runs,
+    retries, and partitionings, and an appended row cannot reshuffle
+    prior picks' keys (only displace the cut). One TakeOrdered, no
+    global sort.
+
+    The key is rounded to 9 dp BEFORE the cut so the ln() ulp spread
+    between engines/libms cannot flip the boundary (same convention
+    as the corpus's other float-ranked top-k cuts)."""
+    x = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+    )
+    u = (x + F.lit(1)).cast("double") / F.lit(1152921504606846977.0)
+    key = F.round(-F.log(u) / weight.cast("double"), 9)
+    return (
+        df.select(
+            id_col,
+            weight.cast("double").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").asc(), F.col(id_col))
+        .limit(n)
+    )

@@ -284,3 +284,34 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") >= 2)
     )
+
+
+WEIGHTED_SAMPLE_N = 20
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                     / 1152921504606846977.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS es_key
+    FROM documents
+    ORDER BY es_key, doc_id
+    LIMIT {WEIGHTED_SAMPLE_N}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (A-ES exponential-jitter
+    keys from md5 uniforms): longer documents are proportionally more
+    likely to be picked, picks are stable under re-runs and corpus
+    growth. TakeOrderedAndProject cut, key rounded before ranking."""
+    from map_reduce_library_spark.operators.pipeline import (
+        weighted_sample_topn,
+    )
+
+    return weighted_sample_topn(
+        load_table(spark, sf_dir, "documents"),
+        F.col("n_chars"),
+        WEIGHTED_SAMPLE_N,
+    )

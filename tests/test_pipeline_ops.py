@@ -89,3 +89,37 @@ def test_document_chunking_covers_all_tokens(spark):
         assert last_idx * 48 + last_n == n_toks[doc]
         # chunk idxs are contiguous from 0
         assert [i for i, _ in cs] == list(range(len(cs)))
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES sampling: stable under repartition; a row whose weight
+    dwarfs the rest is effectively always picked (its jitter key is
+    ~1000x smaller); appending rows never changes surviving keys."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.operators.pipeline import (
+        weighted_sample_topn,
+    )
+
+    rows = [(i, 10) for i in range(1, 200)] + [(500, 100000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = weighted_sample_topn(df, F.col("w"), 5)
+    picks = [r.doc_id for r in got.collect()]
+    assert 500 in picks, "heavyweight row missed the sample"
+
+    again = weighted_sample_topn(df.repartition(13), F.col("w"), 5)
+    assert [r.doc_id for r in again.collect()] == picks
+
+    # growth stability: adding rows can displace the cut but never
+    # re-keys existing rows — any prior pick still present kept its key
+    bigger = df.unionByName(
+        spark.createDataFrame([(1000 + i, 10) for i in range(50)],
+                              "doc_id bigint, w bigint")
+    )
+    keys1 = {r.doc_id: r.es_key for r in got.collect()}
+    keys2 = {
+        r.doc_id: r.es_key
+        for r in weighted_sample_topn(bigger, F.col("w"), 5).collect()
+    }
+    for d in set(keys1) & set(keys2):
+        assert keys1[d] == keys2[d]

@@ -162,8 +162,11 @@ def bpe_segment(
     ).where(F.col("token") != "")
     syms = F.concat(F.split("token", ""), F.array(F.lit(END_OF_WORD)))
     out = toks.withColumn("syms", syms)
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     for left, right in ordered:
-        l_lit, r_lit = left.replace("'", "\\'"), right.replace("'", "\\'")
+        l_lit, r_lit = _esc(left), _esc(right)
         out = out.withColumn(
             "syms",
             F.expr(

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -93,3 +94,69 @@ class JsonLinesSink(DataSource):
 
     def writer(self, schema, overwrite):
         return JsonLinesWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonLinesStreamWriter(self.options)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming variant of the sink: per-micro-batch commit
+    manifests. Each epoch's tasks write salted part files; the driver
+    commit stamps `_SUCCESS-<batchId>` naming that epoch's committed
+    parts. Re-delivered epochs (failure replay) overwrite their own
+    manifest, so readers that union the manifests' part lists get
+    effectively-once output even though task attempts may leave
+    orphan part files — the same manifest-is-truth contract as the
+    batch sink."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError(
+                "jsonlines_sink stream writer requires .option('path', dir)"
+            )
+
+    def write(self, iterator):
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                json.dump(row.asDict(), f, sort_keys=True, default=str)
+                f.write("\n")
+                n += 1
+        return PartFileCommit(path=path, rows=n)
+
+    def commit(self, messages, batchId):
+        os.makedirs(self.dir, exist_ok=True)
+        manifest = {
+            os.path.basename(m.path): m.rows for m in messages if m
+        }
+        with open(
+            os.path.join(self.dir, f"_SUCCESS-{batchId}"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "parts": manifest,
+                    "total_rows": sum(manifest.values()),
+                },
+                f,
+                sort_keys=True,
+            )
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_stream_manifests(out_dir: str) -> list[dict]:
+    """All committed epoch manifests, batchId-ordered. Readers union
+    the manifests' part lists — never glob *.jsonl."""
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("_SUCCESS-"):
+            with open(os.path.join(out_dir, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["batch_id"])

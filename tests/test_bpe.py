@@ -109,3 +109,16 @@ def test_pair_counts_sum_preserved(spark):
     ).collect()[0].s
     got = pair_counts(wt).select(F.sum("pair_count").alias("s")).collect()[0].s
     assert got == want
+
+
+def test_segment_with_quote_and_backslash_symbols(spark):
+    """Merge symbols containing SQL-literal metacharacters (quote,
+    backslash) must round-trip through the fold-expression chain."""
+    docs = _mk_docs(spark, ["a'b a'b a\\c a\\c a\\c"])
+    merges = bpe_learn(docs, 2)
+    seg = bpe_segment(docs, merges)
+    toks = {r.token for r in seg.collect()}
+    assert toks == {"a'b", "a\\c"}
+    # every token still reassembles to itself + the end marker
+    for r in seg.collect():
+        assert "".join(r.syms) == r.token + "</w>"

@@ -50,3 +50,48 @@ def test_tick_stream_single_start_reads_one_batch(spark, tmp_path):
     out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
     _drain_once(spark, out, cp)
     assert spark.read.parquet(out).count() == BATCH
+
+
+def test_python_stream_source_to_python_stream_sink(spark, tmp_path):
+    """Full-Python streaming pipeline: the tickstream SOURCE feeding
+    the jsonlines STREAM SINK — both ends of the connector surface in
+    one query. Epoch manifests are the read contract; union of their
+    part lists is the exactly-once output."""
+    import json
+    import os
+
+    from map_reduce_library_spark.sources.pysink import (
+        JsonLinesSink,
+        read_stream_manifests,
+    )
+
+    register_tick_stream(spark)
+    spark.dataSource.register(JsonLinesSink)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    for _ in range(LIMIT // BATCH):
+        q = (
+            spark.readStream.format("tickstream")
+            .option("batch", BATCH)
+            .option("limit", LIMIT)
+            .load()
+            .writeStream.format("jsonlines_sink")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    manifests = read_stream_manifests(out)
+    assert [m["batch_id"] for m in manifests] == sorted(
+        m["batch_id"] for m in manifests
+    )
+    rows = []
+    for m in manifests:
+        for part in m["parts"]:
+            with open(os.path.join(out, part)) as f:
+                rows.extend(json.loads(line) for line in f)
+    assert sorted((r["i"], r["payload"]) for r in rows) == [
+        (i, f"tick-{i:05d}") for i in range(LIMIT)
+    ]
+    assert sum(m["total_rows"] for m in manifests) == LIMIT

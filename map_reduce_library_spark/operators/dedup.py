@@ -275,6 +275,7 @@ def incremental_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_new: bool = True,
+    incoming_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time near-dup detection: candidate pairs touching a NEW
     batch of documents, given the already-banded signature index of
@@ -297,10 +298,20 @@ def incremental_lsh_pairs(
     answer (cross-batch pairs appear when their later side arrives;
     in-batch pairs come from the self-join). Pinned by
     ``tests/test_incremental_dedup.py``.
+
+    ``incoming_bands``: pass the batch's precomputed (and ideally
+    materialized) band relation to avoid re-deriving the shingle →
+    minhash pipeline — the probe and both self-join sides reference
+    it, so a caller that also persists the bands (the streaming
+    ingest tick) should hash the batch exactly once.
     """
-    new_bands = lsh_bands(
-        minhash_signature(shingles(incoming, text_col, id_col), id_col),
-        id_col,
+    new_bands = (
+        incoming_bands
+        if incoming_bands is not None
+        else lsh_bands(
+            minhash_signature(shingles(incoming, text_col, id_col), id_col),
+            id_col,
+        )
     )
     probe = F.broadcast(new_bands) if broadcast_new else new_bands
     vs_index = (
@@ -357,27 +368,50 @@ def incremental_exact_verdict(
       is_kept       — the ingest decision: not in the corpus AND this
                       row is its batch's representative.
     """
+    # All digest joins are NULL-SAFE (<=>): a NULL text digests to
+    # (NULL, NULL), and groupBy already groups NULL keys, so NULL-text
+    # docs dedup against each other like any other value instead of
+    # silently vanishing from the verdict (an equi-join would never
+    # match their rows, breaking the one-row-per-incoming-doc
+    # contract).
     probe = text_digests(incoming, text_col, id_col)
     batch_rep = probe.groupBy("d_md5", "d_len").agg(
         F.min(id_col).alias("batch_rep")
     )
+
+    def _ns(a_md5, a_len):
+        return F.col("d_md5").eqNullSafe(F.col(a_md5)) & F.col(
+            "d_len"
+        ).eqNullSafe(F.col(a_len))
+
     # Prune the index scan FIRST (broadcast semi-join on the batch's
     # digest set — map-side, no index shuffle), then aggregate the
     # few surviving rows: the per-tick work is O(|batch| + matches),
     # not O(|corpus|).
+    probe_keys = F.broadcast(
+        probe.select(
+            F.col("d_md5").alias("p_md5"), F.col("d_len").alias("p_len")
+        ).distinct()
+    )
     matched = (
-        index_digests.join(
-            F.broadcast(probe.select("d_md5", "d_len").distinct()),
-            ["d_md5", "d_len"],
-            "left_semi",
-        )
+        index_digests.join(probe_keys, _ns("p_md5", "p_len"), "left_semi")
         .groupBy("d_md5", "d_len")
         .agg(F.min(id_col).alias("dup_of_corpus"))
+        .select(
+            F.col("d_md5").alias("m_md5"),
+            F.col("d_len").alias("m_len"),
+            "dup_of_corpus",
+        )
+    )
+    reps = batch_rep.select(
+        F.col("d_md5").alias("b_md5"),
+        F.col("d_len").alias("b_len"),
+        "batch_rep",
     )
     return (
         probe.select(F.col(id_col).alias("new_id"), "d_md5", "d_len")
-        .join(F.broadcast(matched), ["d_md5", "d_len"], "left")
-        .join(F.broadcast(batch_rep), ["d_md5", "d_len"])
+        .join(F.broadcast(matched), _ns("m_md5", "m_len"), "left")
+        .join(F.broadcast(reps), _ns("b_md5", "b_len"))
         .select(
             "new_id",
             "dup_of_corpus",

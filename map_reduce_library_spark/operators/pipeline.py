@@ -329,7 +329,10 @@ def weighted_sample_topn(
 
     The key is rounded to 9 dp BEFORE the cut so the ln() ulp spread
     between engines/libms cannot flip the boundary (same convention
-    as the corpus's other float-ranked top-k cuts)."""
+    as the corpus's other float-ranked top-k cuts). Rows with
+    non-positive weight are EXCLUDED — A-ES is defined for w > 0
+    (w = 0 divides by zero under ANSI; w < 0 would produce a negative
+    key that always wins and corrupts the sample)."""
     x = (
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
@@ -338,7 +341,8 @@ def weighted_sample_topn(
     u = (x + F.lit(1)).cast("double") / F.lit(1152921504606846977.0)
     key = F.round(-F.log(u) / weight.cast("double"), 9)
     return (
-        df.select(
+        df.where(weight.cast("double") > 0)
+        .select(
             id_col,
             weight.cast("double").alias("weight"),
             key.alias("es_key"),

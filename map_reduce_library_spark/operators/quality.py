@@ -31,6 +31,11 @@ def expectations_report(
     null-safe). ``unique_keys``: column names that must be unique —
     violations = n_rows - n_distinct.
     """
+    if not violations and not unique_keys:
+        raise ValueError(
+            "expectations_report needs at least one violation rule "
+            "or unique key"
+        )
     aggs = [
         F.sum(pred.cast("long")).alias(name)
         for name, pred in violations.items()

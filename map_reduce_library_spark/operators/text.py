@@ -322,14 +322,18 @@ def bm25_topk(
         )
 
         counted = _distinct_token_counts(df, text_col, id_col)
-    n_docs = df.count()  # scalar: drives the idf constant only
+    # Corpus size rides a one-row broadcast relation (the corpus's
+    # scalar-attach convention — see lm.py's vsize, PMI's n_docs)
+    # rather than a driver-side count() action at plan-build time.
+    n_rel = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dl = counted.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
     avg_rel = dl.agg(F.avg("dl").alias("avgdl"))
     qt = counted.where(F.col("tok").isin(list(query_terms)))
     dfreq = qt.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
     )
     w = idf * (F.col("cnt") * (k1 + 1.0)) / (
         F.col("cnt")
@@ -340,6 +344,7 @@ def bm25_topk(
         qt.join(F.broadcast(dfreq), "tok")
         .join(dl, id_col)
         .crossJoin(F.broadcast(avg_rel))
+        .crossJoin(F.broadcast(n_rel))
         .withColumn("w", w)
         .groupBy(id_col)
         .agg(

@@ -110,3 +110,36 @@ def oracle_banded_sigs_cte(src: str = "e") -> str:
         f"FROM {src}"
         for t in range(ANN_TABLES)
     )
+
+
+def bm25_scores_ctes(terms: tuple[str, ...]) -> str:
+    """CTE chain ending in ``w`` = per-(doc, term) BM25 weights for a
+    fixed bag-of-terms query — shared by the ``bm25_topk_docs`` oracle
+    and the hybrid-RRF oracle so the scoring pipeline exists exactly
+    once (a formula change diverging the two copies would not be
+    caught by the differential, since the Spark side feeds both)."""
+    from map_reduce_library_spark.operators.text import BM25_B, BM25_K1
+
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""tokc AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(cnt) AS dl FROM tokc GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    qt AS (SELECT * FROM tokc WHERE tok IN ({terms_sql})),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    w AS (
+      SELECT qt.doc_id,
+             ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (qt.cnt * ({BM25_K1} + 1.0))
+               / (qt.cnt + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS w
+      FROM qt
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats CROSS JOIN n
+    )"""

@@ -101,13 +101,16 @@ _SHARED_MERGES: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_MERGES.get(key)
-    if df is None:
-        df = bpe_learn(load_table(spark, sf_dir, "documents"))
-        df = df.localCheckpoint()
-        _SHARED_MERGES[key] = df
-    return df
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+
+    return shared_checkpoint(
+        _SHARED_MERGES,
+        spark,
+        sf_dir,
+        lambda: bpe_learn(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @register("bpe_learned_merges", oracle=_bpe_oracle(BPE_MERGES))

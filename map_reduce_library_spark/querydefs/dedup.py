@@ -24,6 +24,7 @@ from map_reduce_library_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from map_reduce_library_spark.queries import register
+from map_reduce_library_spark.querydefs._shared import shared_checkpoint
 from map_reduce_library_spark.tables import load_table
 
 JACCARD_THRESHOLD = 0.8
@@ -55,14 +56,12 @@ def shared_wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table every SimHash consumer reads from parquet."""
     from map_reduce_library_spark.operators.dedup import simhash_wide
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_WIDE_FP.get(key)
-    if df is None:
-        df = simhash_wide(
-            counted=shared_token_counts(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-        _SHARED_WIDE_FP[key] = df
-    return df
+    return shared_checkpoint(
+        _SHARED_WIDE_FP,
+        spark,
+        sf_dir,
+        lambda: simhash_wide(counted=shared_token_counts(spark, sf_dir)),
+    )
 
 
 def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,25 +72,21 @@ def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet write read by every fingerprint variant."""
     from map_reduce_library_spark.operators.dedup import token_counts
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_TOKEN_COUNTS.get(key)
-    if df is None:
-        df = token_counts(
-            load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-        _SHARED_TOKEN_COUNTS[key] = df
-    return df
+    return shared_checkpoint(
+        _SHARED_TOKEN_COUNTS,
+        spark,
+        sf_dir,
+        lambda: token_counts(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_PAIRS.get(key)
-    if df is None:
-        df = minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-        _SHARED_PAIRS[key] = df
-    return df
+    return shared_checkpoint(
+        _SHARED_PAIRS,
+        spark,
+        sf_dir,
+        lambda: minhash_lsh_pairs(load_table(spark, sf_dir, "documents")),
+    )
 
 
 _SHARED_EMB_PAIRS: dict[tuple[str, str], DataFrame] = {}
@@ -111,30 +106,28 @@ def shared_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_banded_sigs,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_EMB_PAIRS.get(key)
-    if df is None:
-        df = embedding_dup_pairs_lsh(
+    return shared_checkpoint(
+        _SHARED_EMB_PAIRS,
+        spark,
+        sf_dir,
+        lambda: embedding_dup_pairs_lsh(
             load_table(spark, sf_dir, "embeddings"),
             COSINE_DUP_THRESHOLD,
             dim=EMB_DIM,
             sigs=shared_banded_sigs(spark, sf_dir),
-        ).localCheckpoint(eager=True)
-        _SHARED_EMB_PAIRS[key] = df
-    return df
+        ),
+    )
 
 
 def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.dedup import connected_components
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_CLUSTERS.get(key)
-    if df is None:
-        df = connected_components(
-            shared_lsh_pairs(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-        _SHARED_CLUSTERS[key] = df
-    return df
+    return shared_checkpoint(
+        _SHARED_CLUSTERS,
+        spark,
+        sf_dir,
+        lambda: connected_components(shared_lsh_pairs(spark, sf_dir)),
+    )
 
 # ---- shared SQL fragments (DuckDB dialect) --------------------------------
 
@@ -399,8 +392,8 @@ def ingest_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.doc_id AS new_id, c.dup_of_corpus, b.batch_rep,
            (c.dup_of_corpus IS NULL AND b.batch_rep = n.doc_id) AS is_kept
     FROM nd n
-      LEFT JOIN corp c ON n.text = c.text
-      JOIN brep b ON n.text = b.text
+      LEFT JOIN corp c ON n.text IS NOT DISTINCT FROM c.text
+      JOIN brep b ON n.text IS NOT DISTINCT FROM b.text
     """,
 )
 def incremental_exact_verdict_q(spark: SparkSession, sf_dir: str) -> DataFrame:

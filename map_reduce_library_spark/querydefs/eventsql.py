@@ -106,7 +106,13 @@ def funnel_view_click_purchase(
         "stage",
         "n_users",
         F.round(
-            F.col("n_users") / F.first("n_users").over(w).cast("double"), 9
+            # try_divide: an empty entry stage yields NULL pct rows
+            # (DuckDB's x/0.0 is NULL too) instead of an ANSI
+            # DIVIDE_BY_ZERO crash on a log with no entry events
+            F.try_divide(
+                F.col("n_users"), F.first("n_users").over(w).cast("double")
+            ),
+            9,
         ).alias("pct_of_entry"),
     )
 
@@ -299,8 +305,11 @@ def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_events").alias("mu"),
         F.stddev_samp("n_events").alias("sd"),
     )
+    # try_divide: a constant daily series has sd = 0.0; DuckDB's
+    # x/0.0 is NULL (fails the threshold filter), Spark ANSI would
+    # crash — try_divide gives the NULL the oracle computes
     z = F.round(
-        (F.col("n_events") - F.col("mu")) / F.col("sd"), 6
+        F.try_divide(F.col("n_events") - F.col("mu"), F.col("sd")), 6
     )
     return (
         daily.join(F.broadcast(stats), "event_type")

@@ -297,6 +297,7 @@ WEIGHTED_SAMPLE_N = 20
                      / 1152921504606846977.0)
                  / CAST(n_chars AS DOUBLE), 9) AS es_key
     FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
     ORDER BY es_key, doc_id
     LIMIT {WEIGHTED_SAMPLE_N}
     """,

@@ -20,11 +20,8 @@ from map_reduce_library_spark.operators.retrieval import (
     ranked,
     rrf_fuse,
 )
-from map_reduce_library_spark.operators.text import (
-    BM25_B,
-    BM25_K1,
-    BM25_QUERY_TERMS,
-)
+from map_reduce_library_spark.operators.text import BM25_QUERY_TERMS
+from map_reduce_library_spark.querydefs._fragments import bm25_scores_ctes
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.tables import load_table
 
@@ -32,31 +29,8 @@ CAND_K = 50  # each ranker contributes its top-50
 FUSED_K = 10
 SEM_QUERY_ID = 0  # the query vector: embedding of doc 0
 
-_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-
 _RRF_ORACLE = f"""
-    WITH tokc AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-      ) GROUP BY 1, 2
-    ),
-    dl AS (SELECT doc_id, sum(cnt) AS dl FROM tokc GROUP BY 1),
-    stats AS (SELECT avg(dl) AS avgdl FROM dl),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    qt AS (SELECT * FROM tokc WHERE tok IN ({_TERMS})),
-    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
-    w AS (
-      SELECT qt.doc_id,
-             ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * (qt.cnt * ({BM25_K1} + 1.0))
-               / (qt.cnt + {BM25_K1}
-                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS w
-      FROM qt
-        JOIN dfreq USING (tok)
-        JOIN dl USING (doc_id)
-        CROSS JOIN stats CROSS JOIN n
-    ),
+    WITH {bm25_scores_ctes(BM25_QUERY_TERMS)},
     lexs AS (
       SELECT doc_id, round(sum(w), 9) AS bm25 FROM w GROUP BY doc_id
     ),

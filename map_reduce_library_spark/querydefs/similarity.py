@@ -36,14 +36,18 @@ def shared_banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_signatures,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_BANDED_SIGS.get(key)
-    if df is None:
-        df = banded_signatures(
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+
+    return shared_checkpoint(
+        _SHARED_BANDED_SIGS,
+        spark,
+        sf_dir,
+        lambda: banded_signatures(
             load_table(spark, sf_dir, "embeddings"), EMB_DIM
-        ).localCheckpoint(eager=True)
-        _SHARED_BANDED_SIGS[key] = df
-    return df
+        ),
+    )
 
 
 @register(
@@ -300,16 +304,20 @@ def shared_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_KMEANS_CENTROIDS.get(key)
-    if df is None:
-        df = kmeans_centroids(
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+
+    return shared_checkpoint(
+        _SHARED_KMEANS_CENTROIDS,
+        spark,
+        sf_dir,
+        lambda: kmeans_centroids(
             load_table(spark, sf_dir, "embeddings"),
             N_CENTROIDS,
             iters=KMEANS_ITERS,
-        ).localCheckpoint(eager=True)
-        _SHARED_KMEANS_CENTROIDS[key] = df
-    return df
+        ),
+    )
 
 
 def _kmeans_cents_ctes(iters: int = KMEANS_ITERS) -> str:

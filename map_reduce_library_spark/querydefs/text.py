@@ -309,32 +309,12 @@ BM25_TOPK = 10
 
 
 def _bm25_oracle() -> str:
-    from map_reduce_library_spark.operators.text import BM25_B, BM25_K1
-
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    return f"""
-    WITH tokc AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-      ) GROUP BY 1, 2
-    ),
-    dl AS (SELECT doc_id, sum(cnt) AS dl FROM tokc GROUP BY 1),
-    stats AS (SELECT avg(dl) AS avgdl FROM dl),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    qt AS (SELECT * FROM tokc WHERE tok IN ({terms})),
-    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
-    w AS (
-      SELECT qt.doc_id,
-             ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * (qt.cnt * ({BM25_K1} + 1.0))
-               / (qt.cnt + {BM25_K1}
-                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS w
-      FROM qt
-        JOIN dfreq USING (tok)
-        JOIN dl USING (doc_id)
-        CROSS JOIN stats CROSS JOIN n
+    from map_reduce_library_spark.querydefs._fragments import (
+        bm25_scores_ctes,
     )
+
+    return f"""
+    WITH {bm25_scores_ctes(BM25_QUERY_TERMS)}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
            round(sum(w), 9) AS bm25
     FROM w GROUP BY doc_id

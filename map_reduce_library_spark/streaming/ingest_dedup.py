@@ -76,9 +76,15 @@ def ingest_batch(
     batch_rep handles in-batch copies)."""
     spark = batch.sparkSession
     index_bands = _read_or_empty(spark, index_dir, _BAND_SCHEMA)
-    pairs = incremental_lsh_pairs(index_bands, batch)
+    # Materialize the batch's bands ONCE: the pairs plan references
+    # them three times (index probe + both self-join sides) and the
+    # index append is a fourth consumer — without the checkpoint each
+    # consumer re-runs the shingle→minhash pipeline, the dominant
+    # per-tick cost.
+    bands = _new_bands(batch).localCheckpoint(eager=True)
+    pairs = incremental_lsh_pairs(index_bands, batch, incoming_bands=bands)
     pairs.write.mode("append").parquet(pairs_dir)
-    _new_bands(batch).write.mode("append").parquet(index_dir)
+    bands.write.mode("append").parquet(index_dir)
     if digest_dir is not None and verdict_dir is not None:
         digests = _read_or_empty(spark, digest_dir, _DIGEST_SCHEMA)
         verdict = incremental_exact_verdict(digests, batch)

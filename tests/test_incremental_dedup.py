@@ -190,3 +190,32 @@ def test_compacted_index_preserves_verdicts(spark, tmp_path):
         incremental_lsh_pairs(spark.read.parquet(compacted_dir), last)
     )
     assert orig == comp and orig, "compaction changed the candidate set"
+
+
+def test_exact_verdict_handles_null_text(spark):
+    """NULL-text docs must not vanish from the verdict: they dedup
+    against each other (null-safe digest joins), and match nothing
+    with real text."""
+    from map_reduce_library_spark.operators.dedup import (
+        incremental_exact_verdict,
+        text_digests,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id bigint, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, None), (11, None), (12, "hello"), (13, "fresh")],
+        "doc_id bigint, text string",
+    )
+    v = {
+        r.new_id: (r.dup_of_corpus, r.batch_rep, r.is_kept)
+        for r in incremental_exact_verdict(
+            text_digests(existing), incoming
+        ).collect()
+    }
+    assert set(v) == {10, 11, 12, 13}, "a doc vanished from the verdict"
+    assert v[10] == (2, 10, False)   # dup of corpus NULL-text doc 2
+    assert v[11] == (2, 10, False)
+    assert v[12] == (1, 12, False)   # dup of corpus 'hello'
+    assert v[13] == (None, 13, True)

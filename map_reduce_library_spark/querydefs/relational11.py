@@ -304,3 +304,66 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(SKEW_REPORT_TOPN)
     )
+
+
+# Equi-depth (decile) histogram WITHOUT a global sort: ntile() would
+# single-partition-sort the whole fact table (the exact smell the plan
+# audit forbids on raw rows); instead the 9 inner decile boundaries
+# come from one holistic percentile aggregate (single row), broadcast
+# back onto the scan, and each row counts boundaries below it — a
+# codegen'd array fold, no shuffle beyond the final 10-group agg.
+# Boundaries are rounded to 6dp on BOTH engines before comparison so
+# interpolation ulp differences cannot move a bucket edge.
+HIST_BUCKETS = 10
+
+
+@register(
+    "equi_depth_price_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT [round(x, 6) FOR x IN
+              quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                            [{", ".join(str(i / HIST_BUCKETS) for i in range(1, HIST_BUCKETS))}])]
+             AS bs
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(b.bs, x -> CAST(l_extendedprice AS DOUBLE) > x)) AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(max(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def equi_depth_price_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile histogram of extended price: ~equal row counts per
+    bucket with data-driven edges — the profiling shape that needs
+    quantiles, not fixed-width bins. Work: one percentile aggregate +
+    one broadcast + one 10-group agg; nothing globally sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    bounds = li.agg(
+        F.expr(
+            "transform("
+            f"percentile(CAST(l_extendedprice AS DOUBLE), array({', '.join(str(i / HIST_BUCKETS) for i in range(1, HIST_BUCKETS))})),"
+            " x -> round(x, 6))"
+        ).alias("bs")
+    )
+    bucket = F.expr(
+        "aggregate(bs, 0, (acc, x) -> acc + CASE WHEN"
+        " CAST(l_extendedprice AS DOUBLE) > x THEN 1 ELSE 0 END)"
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), price.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -48,6 +48,9 @@ ALLOWED_SCALAR_ATTACH = {
     # single-row (mean per-key load, total rows) moment relation
     # attached to the per-key count aggregate
     "join_key_skew_report",
+    # one-row decile-boundary relation (holistic percentile aggregate)
+    # attached to the price scan for the bucket fold
+    "equi_depth_price_histogram",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -120,6 +123,8 @@ ALLOWED_SINGLE_PARTITION = {
     # final merge of the single-row (mean, total) moment aggregate
     # over the per-key counts
     "join_key_skew_report",
+    # final merge of the one-row decile-boundary percentile aggregate
+    "equi_depth_price_histogram",
     # final merge of the one-row expectations aggregate (every rule is
     # a partial sum over the scan; the report itself is 6 rows)
     "data_quality_report",

@@ -107,3 +107,28 @@ def test_cume_dist_bounds(spark):
         for r in members:
             assert 0.0 <= r.pct_rank <= 1.0
             assert 0.0 < r.cume <= 1.0
+
+
+def test_equi_depth_histogram_invariants(spark):
+    """Buckets are contiguous (lo/hi ranges don't overlap), cover all
+    rows, and are approximately equal-depth (within interpolation
+    slack of n/10 each)."""
+    from map_reduce_library_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["equi_depth_price_histogram"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    li_n = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert [r.bucket for r in rows] == list(range(10))
+    assert sum(r.n_rows for r in rows) == li_n
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, "bucket ranges overlap"
+    target = li_n / 10
+    for r in rows:
+        assert 0.8 * target <= r.n_rows <= 1.2 * target, (
+            r.bucket,
+            r.n_rows,
+            target,
+        )

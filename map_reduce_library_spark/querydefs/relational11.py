@@ -342,7 +342,15 @@ def equi_depth_price_histogram(
     """Decile histogram of extended price: ~equal row counts per
     bucket with data-driven edges — the profiling shape that needs
     quantiles, not fixed-width bins. Work: one percentile aggregate +
-    one broadcast + one 10-group agg; nothing globally sorts."""
+    one broadcast + one 10-group agg; nothing globally sorts.
+
+    The exact percentile is HOLISTIC (buffers the column in one agg
+    buffer — the dominant cost here, ~3.5s at sf0.1); it is kept
+    exact so the DuckDB quantile_cont differential pins edge
+    semantics. At 100 TB swap `percentile` for `approx_percentile`
+    (KLL-sketch, mergeable partials, bounded memory) — every other
+    part of the plan is unchanged and the bucket-assignment fold is
+    agnostic to where the edges came from."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     bounds = li.agg(

@@ -51,20 +51,24 @@ PORTABLE = {
 
 
 def _check_type(qname: str, col: str, t) -> list[str]:
-    """Recursively validate a DuckDBPyType; return violation strings."""
+    """Validate a DuckDBPyType; return violation strings.
+
+    NESTED TYPES ARE REJECTED OUTRIGHT, whatever the leaf type: the
+    driver canonicalizes results through ``pandas.sort_values``, which
+    raises ``TypeError: unhashable type: 'list'`` on any list/struct/
+    map cell — so a nested OUTPUT column can never hash-verify. The
+    round-4 version of this gate recursed into nested types and
+    accepted portable leaves, and ``inverted_index_tokens``
+    (``postings array<string>``) fell straight through it into a
+    driver err in round 5 (VERDICT r5 item 2)."""
     tid = str(t.id).upper()
-    if tid == "LIST":
-        return _check_type(qname, col, t.child)
-    if tid == "STRUCT":
-        bad = []
-        for _, child in t.children:
-            bad.extend(_check_type(qname, col, child))
-        return bad
-    if tid == "MAP":
-        bad = []
-        for _, child in t.children:
-            bad.extend(_check_type(qname, col, child))
-        return bad
+    if tid in ("LIST", "STRUCT", "MAP", "ARRAY"):
+        return [
+            f"{qname}.{col}: DuckDB type {t} is nested - the driver "
+            f"canonicalizer cannot sort/hash list-valued cells; "
+            f"array_join me (Spark F.array_join / DuckDB "
+            f"array_to_string, or to_json for structs/maps)"
+        ]
     if str(t).upper() in PORTABLE:
         return []
     return [
@@ -108,4 +112,17 @@ def test_gate_catches_hugeint():
     for col, typ in zip(rel.columns, rel.types):
         bad.extend(_check_type("fixture", col, typ))
     assert bad and "HUGEINT" in bad[0]
+    c.close()
+
+
+def test_gate_catches_nested_list():
+    """The gate must flag the exact round-5 failure shape: a
+    list-typed output column with a perfectly portable leaf type
+    (``inverted_index_tokens``'s old ``postings array<string>``)."""
+    c = duckdb.connect()
+    rel = c.sql("SELECT ['a', 'b'] AS postings")
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        bad.extend(_check_type("fixture", col, typ))
+    assert bad and "array_join me" in bad[0]
     c.close()

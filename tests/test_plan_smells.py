@@ -48,9 +48,11 @@ ALLOWED_SCALAR_ATTACH = {
     # single-row (mean per-key load, total rows) moment relation
     # attached to the per-key count aggregate
     "join_key_skew_report",
-    # one-row decile-boundary relation (holistic percentile aggregate)
+    # one-row decile-boundary relation (approx_percentile sketch in
+    # the headline, holistic percentile in the sf0.01 oracle twin)
     # attached to the price scan for the bucket fold
     "equi_depth_price_histogram",
+    "equi_depth_price_histogram_exact",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -123,8 +125,10 @@ ALLOWED_SINGLE_PARTITION = {
     # final merge of the single-row (mean, total) moment aggregate
     # over the per-key counts
     "join_key_skew_report",
-    # final merge of the one-row decile-boundary percentile aggregate
+    # final merge of the one-row decile-boundary quantile aggregate
+    # (sketch headline / holistic oracle twin)
     "equi_depth_price_histogram",
+    "equi_depth_price_histogram_exact",
     # final merge of the one-row expectations aggregate (every rule is
     # a partial sum over the scan; the report itself is 6 rows)
     "data_quality_report",

@@ -149,9 +149,33 @@ def bpe_segment(
     """Apply a learned merge list to a corpus: (id, token, syms) with
     each token segmented into learned subword units. Merges MUST be
     applied in learn order (step ascending) — BPE's defining
-    property. The merge list is tiny (the vocab budget), so it
-    collects to the driver once and unrolls into a fixed chain of
-    fold projections: still a zero-shuffle scan of the corpus."""
+    property.
+
+    The merge list is tiny (the vocab budget: ≤ a few 10k rows), so
+    it collects to the driver once and ships to executors inside ONE
+    Arrow ``mapInPandas`` segmenter — a zero-shuffle corpus scan with
+    a FLAT plan whatever the merge count. (Rounds ≤5 unrolled one
+    interpolated ``aggregate()`` fold projection per merge; at a real
+    32k vocab that chain explodes Catalyst analysis/codegen and the
+    string interpolation is an injection-shaped footgun — VERDICT r5
+    item 5 / ADVICE r5.)
+
+    Per-token algorithm (exactly the old fold's semantics, pinned by
+    the ``bpe_segmented_sample`` differential and the property test):
+    merges in learn order, each applied as ONE greedy non-overlapping
+    left-to-right pass. A merge whose pair is absent from the current
+    symbol list is a provable no-op (the L→R pass merges iff the pair
+    occurs), so it costs one set lookup — total work per token is
+    O(n_merges + token_len²), not O(n_merges × token_len). A
+    per-partition memo keyed by token collapses repeated words (Zipf:
+    the bulk of any real corpus) to one dict hit."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     ordered = [
         (r["left_sym"], r["right_sym"])
         for r in merges.orderBy("step").collect()
@@ -160,22 +184,37 @@ def bpe_segment(
         id_col,
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
-    syms = F.concat(F.split("token", ""), F.array(F.lit(END_OF_WORD)))
-    out = toks.withColumn("syms", syms)
-    def _esc(s: str) -> str:
-        return s.replace("\\", "\\\\").replace("'", "\\'")
+    out_schema = StructType(
+        list(toks.schema.fields)
+        + [StructField("syms", ArrayType(StringType()), False)]
+    )
 
-    for left, right in ordered:
-        l_lit, r_lit = _esc(left), _esc(right)
-        out = out.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, cast(array() AS array<string>),"
-                " (acc, x) -> CASE WHEN size(acc) > 0"
-                f" AND element_at(acc, -1) = '{l_lit}' AND x = '{r_lit}'"
-                " THEN concat(slice(acc, 1, size(acc)-1),"
-                f" array('{l_lit}{r_lit}'))"
-                " ELSE concat(acc, array(x)) END)"
-            ),
-        )
-    return out
+    def _segment_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def seg(token: str) -> list[str]:
+            hit = cache.get(token)
+            if hit is not None:
+                return hit
+            syms = list(token) + [END_OF_WORD]
+            pairs = set(zip(syms, syms[1:]))
+            for a, b in ordered:
+                if (a, b) not in pairs:
+                    continue
+                merged: list[str] = []
+                for x in syms:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = a + b
+                    else:
+                        merged.append(x)
+                syms = merged
+                pairs = set(zip(syms, syms[1:]))
+            cache[token] = syms
+            return syms
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = pdf["token"].map(seg)
+            yield pdf
+
+    return toks.mapInPandas(_segment_batches, out_schema)

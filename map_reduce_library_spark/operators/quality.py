@@ -36,6 +36,19 @@ def expectations_report(
             "expectations_report needs at least one violation rule "
             "or unique key"
         )
+    # Rule names share an aggregation row with the internal aliases
+    # ('__n', '__d_<key>') and the generated '<key>_unique' rows; a
+    # colliding name would silently corrupt the report (duplicate
+    # rule rows or an AnalysisException on a duplicate alias), so
+    # reject the reserved shapes up front (ADVICE r5).
+    reserved = {f"{k}_unique" for k in unique_keys}
+    for name in violations:
+        if name.startswith("__") or name in reserved:
+            raise ValueError(
+                f"violation rule name {name!r} is reserved: names must"
+                " not start with '__' or equal '<key>_unique' for a"
+                " unique key"
+            )
     aggs = [
         F.sum(pred.cast("long")).alias(name)
         for name, pred in violations.items()

@@ -14,10 +14,28 @@ Topology (the production shape for continuous corpus ingestion):
 Why foreachBatch and not a stateful streaming operator: the band index
 is unbounded corpus state that must outlive the stream and be readable
 by other jobs (the batch dedup family reads the same table), so it
-belongs in a table, not in the state store. foreachBatch gives each
-tick transactional batch semantics over those tables — exactly the
-Structured Streaming idiom for "stream joined against a growing
-external table".
+belongs in a table, not in the state store — exactly the Structured
+Streaming idiom for "stream joined against a growing external table".
+
+Delivery semantics: foreachBatch is AT-LEAST-ONCE, not transactional —
+a crash between the parquet appends and the checkpoint commit
+redelivers the tick. The pipeline is replay-safe in two layers
+(pinned by the replay tests in tests/test_incremental_dedup.py):
+
+1. CONTENT idempotence: every probe excludes the batch's own doc_ids
+   from the probed index (an index entry with a probing doc's own id
+   is the doc itself, never a duplicate — a no-op join on first
+   delivery, and on replay it removes exactly the first attempt's
+   entries), so a replayed tick recomputes byte-identical pairs,
+   verdict, band, and digest rows. Without the exclusion a replayed
+   verdict probe would match every batch doc against its own
+   first-attempt digests and flip genuinely-new texts to
+   is_kept=False (ADVICE r5).
+2. READER idempotence: replay appends duplicate copies of those
+   identical rows; the reader views (``dedup_pairs_table``,
+   ``dedup_verdict_table``) deduplicate, and the index tables are
+   only consumed through min/groupBy aggregates that are
+   duplicate-idempotent.
 
 Convergence invariant (pinned by tests/test_incremental_dedup.py):
 after the stream drains, pairs/ holds EXACTLY the full-corpus batch
@@ -75,7 +93,17 @@ def ingest_batch(
     (self-pairs come from the in-batch join; the exact verdict's
     batch_rep handles in-batch copies)."""
     spark = batch.sparkSession
-    index_bands = _read_or_empty(spark, index_dir, _BAND_SCHEMA)
+    # Replay guard (foreachBatch is at-least-once): probe indexes
+    # WITHOUT the batch's own doc_ids. First delivery: no-op (the
+    # appends run after the probes). Redelivery: strips exactly the
+    # first attempt's entries, so the recomputed pairs/verdict rows
+    # are byte-identical and reader-side distinct absorbs the
+    # duplicate append. Broadcast anti-join — a tick is bounded, the
+    # index is not.
+    own_ids = F.broadcast(batch.select("doc_id").distinct())
+    index_bands = _read_or_empty(spark, index_dir, _BAND_SCHEMA).join(
+        own_ids, "doc_id", "left_anti"
+    )
     # Materialize the batch's bands ONCE: the pairs plan references
     # them three times (index probe + both self-join sides) and the
     # index append is a fourth consumer — without the checkpoint each
@@ -86,7 +114,9 @@ def ingest_batch(
     pairs.write.mode("append").parquet(pairs_dir)
     bands.write.mode("append").parquet(index_dir)
     if digest_dir is not None and verdict_dir is not None:
-        digests = _read_or_empty(spark, digest_dir, _DIGEST_SCHEMA)
+        digests = _read_or_empty(spark, digest_dir, _DIGEST_SCHEMA).join(
+            own_ids, "doc_id", "left_anti"
+        )
         verdict = incremental_exact_verdict(digests, batch)
         verdict.write.mode("append").parquet(verdict_dir)
         text_digests(batch).write.mode("append").parquet(digest_dir)
@@ -136,3 +166,12 @@ def dedup_pairs_table(spark: SparkSession, pairs_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_verdict_table(spark: SparkSession, verdict_dir: str) -> DataFrame:
+    """The accumulated keep/drop verdict table. A replayed tick
+    appends byte-identical verdict rows (the probe excluded the
+    batch's own first-attempt digests, so the recomputation sees the
+    same index state) — whole-row distinct restores
+    exactly-one-row-per-ingested-doc for readers."""
+    return spark.read.parquet(verdict_dir).distinct()

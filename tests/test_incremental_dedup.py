@@ -134,6 +134,43 @@ def test_replayed_tick_is_idempotent_for_readers(spark, tmp_path):
     assert got == _pairs_set(minhash_lsh_pairs(docs))
 
 
+def test_replayed_tick_is_idempotent_for_verdicts(spark, tmp_path):
+    """ADVICE r5 (medium): foreachBatch at-least-once redelivery of a
+    tick AFTER its digest append must not flip verdicts — without the
+    own-doc_id probe exclusion, every replayed doc matches its own
+    first-attempt digests and genuinely-new texts get a contradicting
+    is_kept=False row. The reader view must equal the no-replay run
+    row for row, with exactly one kept doc per distinct text."""
+    from map_reduce_library_spark.streaming.ingest_dedup import (
+        dedup_verdict_table,
+    )
+
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 3)
+
+    def run(root, replay_tick):
+        dirs = [str(root / d) for d in ("index", "pairs", "digests", "verdicts")]
+        for tick in range(3):
+            ingest_batch(docs.where(b == tick), *dirs)
+            if tick == replay_tick:
+                # crash-after-append redelivery: the digest index
+                # already holds this tick's own digests
+                ingest_batch(docs.where(b == tick), *dirs)
+        return dirs[3]
+
+    clean = run(tmp_path / "clean", replay_tick=None)
+    replayed = run(tmp_path / "replayed", replay_tick=1)
+
+    want = {tuple(r) for r in dedup_verdict_table(spark, clean).collect()}
+    got = {tuple(r) for r in dedup_verdict_table(spark, replayed).collect()}
+    assert got == want
+
+    n_texts = docs.select("text").distinct().count()
+    v = dedup_verdict_table(spark, replayed)
+    assert v.count() == docs.count()
+    assert v.where("is_kept").count() == n_texts
+
+
 def test_exact_verdict_keeps_exactly_one_doc_per_text(spark):
     """Incremental exact dedup across ticks: every distinct text ends
     with EXACTLY one kept doc (the first-arrived representative), no

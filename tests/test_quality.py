@@ -55,3 +55,22 @@ def test_empty_table_report(spark):
     # empty input: zero rows, zero violations, vacuously passing
     assert rep["v_positive"] == (0, 0, True)
     assert rep["id_unique"] == (0, 0, True)
+
+
+def test_reserved_rule_names_rejected(spark):
+    """Rule names colliding with internal aliases ('__*') or generated
+    uniqueness rows ('<key>_unique') are rejected up front instead of
+    corrupting the report (ADVICE r5)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 5)], "id bigint, v bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        expectations_report(df, {"__n": F.col("v") <= 0})
+    with pytest.raises(ValueError, match="reserved"):
+        expectations_report(df, {"__d_id": F.col("v") <= 0}, ("id",))
+    with pytest.raises(ValueError, match="reserved"):
+        expectations_report(
+            df, {"id_unique": F.col("v") <= 0}, unique_keys=("id",)
+        )
+    # same name is FINE when it doesn't collide (no 'id' unique key)
+    assert expectations_report(df, {"id_unique": F.col("v") <= 0}).count() == 1

@@ -187,6 +187,34 @@ def _load_verified() -> dict[str, int]:
 
 _VERIFIED = _load_verified()
 
+
+def _load_ever_sampled() -> set[str]:
+    """Names that have appeared in ANY committed CORRECTNESS_r*.json —
+    i.e. the driver has run them at least once (green, mismatch, or
+    err). Round 5 ended with 7 finished-but-never-sampled queries
+    because the 50-slot sample was consumed alphabetically by a queue
+    that mixed genuinely-new queries with staleness-demoted re-checks
+    (VERDICT r5 item 6); never-sampled entries now rank ahead of every
+    re-check so a first correctness signal is never crowded out by a
+    repeat one."""
+    import json
+    from pathlib import Path
+
+    names: set[str] = set()
+    for p in Path(__file__).resolve().parents[1].glob(
+        "CORRECTNESS_r*.json"
+    ):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            names.update(k for k in data if isinstance(k, str))
+    return names
+
+
+_EVER_SAMPLED = _load_ever_sampled()
+
 # Regression canaries: re-check the reference-parity flagship (C3-C6
 # wordcount) and the first relational queries ahead of other verified
 # re-checks whenever cap slots remain.
@@ -199,7 +227,16 @@ def _order_key(name: str) -> tuple:
     # Verified queries re-check oldest-green-first so no family's last
     # green ever drifts more than a couple of rounds stale.
     age = _VERIFIED.get(name, 0)
-    return (verified, name not in ORACLES, canary if verified else 0, age, name)
+    # Among unverified: never-driver-sampled first (they have NO
+    # correctness signal at all), staleness-demoted re-checks after.
+    never_sampled = 0 if name not in _EVER_SAMPLED else 1
+    return (
+        verified,
+        name not in ORACLES,
+        canary if verified else never_sampled,
+        age,
+        name,
+    )
 
 
 _order = sorted(QUERIES, key=_order_key)

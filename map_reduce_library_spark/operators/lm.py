@@ -23,13 +23,23 @@ from pyspark.sql import functions as F
 
 
 def bigram_nll_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """[id_col, n_bigrams, avg_nll] for every document with at least
     one bigram (single-token documents have no bigram evidence and are
-    not scored — callers treat them as pass-through)."""
-    toks = F.split(text_col, " ", -1)
-    t = docs.select(id_col, toks.alias("toks"))
+    not scored — callers treat them as pass-through).
+
+    ``token_arrays``: optionally pass a precomputed (id_col, toks)
+    relation (e.g. the shared tokenized-corpus checkpoint) — the
+    unigram and bigram count branches both consume it, so a caller
+    that already materialized the split saves two text scans."""
+    if token_arrays is not None:
+        t = token_arrays.select(id_col, "toks")
+    else:
+        t = docs.select(id_col, F.split(text_col, " ", -1).alias("toks"))
     pair = F.expr(
         "explode(zip_with("
         " slice(toks, 1, greatest(size(toks) - 1, 0)),"

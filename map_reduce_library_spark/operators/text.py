@@ -39,6 +39,23 @@ def _toks(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def doc_token_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks): whitespace token arrays, empty tokens kept (split
+    limit -1, the reference tokenizer contract). THE shared
+    tokenized-corpus relation: bigram_counts, inverted_index_tokens,
+    token_cooccurrence_pmi, tfidf_top_terms, and the bigram-LM
+    queries all derive from it instead of each re-running the
+    scan+split over the raw text (querydefs/text.py::
+    shared_doc_tokens materializes it once per session+sf — at scale,
+    the tokenized table is written to parquet once by an ingest job
+    and every downstream query reads it)."""
+    return docs.select(
+        id_col, F.split(F.col(text_col), " ", -1).alias("toks")
+    )
+
+
 def _hit_ratio(toks: str, words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return (

@@ -80,9 +80,13 @@ def bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's own add-one bigram LM (``operators/lm.py`` holds the
     scoring; see module docstring for the model and the decimal-sum
     determinism discipline)."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
     docs = load_table(spark, sf_dir, "documents")
     return (
-        bigram_nll_scores(docs)
+        bigram_nll_scores(
+            docs, token_arrays=shared_doc_tokens(spark, sf_dir)
+        )
         .orderBy(F.col("avg_nll").desc(), "doc_id")
         .limit(PPL_TOP_DOCS)
     )

@@ -83,17 +83,19 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, zero UDFs), then the same group-count-topk tail as
     ``wordcount``/``topk_expensive_orders`` (TakeOrderedAndProject,
     never a global sort). Empty-token split semantics preserved
-    (split limit -1, the reference tokenizer contract)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (split limit -1, the reference tokenizer contract). Token arrays
+    come from the shared tokenized-corpus checkpoint — the text is
+    scanned and split once for the whole token-query family."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    t = shared_doc_tokens(spark, sf_dir)
     bigrams = F.expr(
-        "zip_with(slice(split(text, ' ', -1), 1,"
-        "          greatest(size(split(text, ' ', -1)) - 1, 0)),"
-        "         slice(split(text, ' ', -1), 2,"
-        "          greatest(size(split(text, ' ', -1)) - 1, 0)),"
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
         "         (a, b) -> concat(a, ' ', b))"
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        t.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -134,10 +136,13 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas, which cannot hash list-typed cells (the round-5 err on
     this very query). The sorted CSV carries identical information
     and is hashable on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
-    ).dropDuplicates(["doc_id", "token"])
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    tok = (
+        shared_doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
     idx = (
         tok.groupBy("token")
         .agg(
@@ -197,10 +202,14 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     V(V-1)/2 regardless of corpus size; the pair count shuffle moves
     (tok_a, tok_b) keys only. PMI uses exact integer counts inside a
     single ln() rounded to 9 (both engines see the same rational)."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
-    ).dropDuplicates(["doc_id", "token"])
+    tok = (
+        shared_doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c_tok"))

@@ -1,0 +1,131 @@
+"""Span-level duplicate mining: content-defined chunk dedup (CDC)
+and boilerplate n-gram detection — the sub-document dedup layer of an
+LLM data pipeline (document-level dedup is the ``dedup`` family;
+these find SHARED SPANS inside otherwise-distinct documents, the
+boilerplate/citation/template mass that document dedup cannot see).
+
+Both derive from the shared tokenized-corpus checkpoint
+(``querydefs/text.py::shared_doc_tokens``) — no extra text scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.cdc import (
+    CDC_DIVISOR,
+    CDC_MIN_TOKENS,
+    cdc_duplicate_chunks,
+)
+from map_reduce_library_spark.queries import register
+
+BP_NGRAM = 5
+BP_MIN_DOCS = 2
+BP_TOP = 100
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(generate_series(1, len(toks))) AS pos
+          FROM t),
+    b AS (SELECT doc_id, pos, tok,
+                 CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                           % {CDC_DIVISOR} = 0
+                      THEN 1 ELSE 0 END AS isb
+          FROM p),
+    c AS (SELECT doc_id, pos, tok,
+                 COALESCE(SUM(isb) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cid
+          FROM b),
+    ch AS (SELECT doc_id, cid,
+                  string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+                  count(*) AS n_tok
+           FROM c GROUP BY 1, 2)
+    SELECT md5(chunk_text) AS chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           CAST(min(n_tok) AS BIGINT) AS n_tokens
+    FROM ch
+    WHERE n_tok >= {CDC_MIN_TOKENS}
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans via content-defined chunking:
+    a token cuts a chunk iff its portable hash lands in residue 0 mod
+    {CDC_DIVISOR}, so boundaries re-synchronize after insertions and
+    shared spans chunk identically wherever they sit (the rsync/LBFS
+    property fixed-size chunking lacks). Spark builds chunks in one
+    zero-shuffle fold projection (``operators/cdc.py``); the oracle
+    derives the SAME chunks relationally (position unnest + window
+    prefix-sum + ordered string_agg) — two independent
+    formalizations of the cut rule agreeing is the differential (the
+    BPE pattern). The report shuffles md5 chunk hashes only."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    return cdc_duplicate_chunks(
+        shared_doc_tokens(spark, sf_dir)
+    ).withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@register(
+    "boilerplate_ngram_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - {BP_NGRAM - 1}),
+                   i -> array_to_string(toks[i:i + {BP_NGRAM - 1}], ' ')))
+                 AS gram
+          FROM t)
+    SELECT gram, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM g GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ORDER BY n_docs DESC, n_occurrences DESC, gram
+    LIMIT {BP_TOP}
+    """,
+)
+def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BP_TOP} {BP_NGRAM}-gram spans shared across ≥{BP_MIN_DOCS}
+    documents — sliding-window boilerplate mining (headers, templates,
+    licence blocks). Unlike CDC chunks the window SLIDES, so it
+    catches spans that straddle chunk boundaries; unlike document
+    fingerprints it localizes WHICH span repeats. The n-gram relation
+    is a projection over the shared token checkpoint; the report is
+    the word-count shape at order {BP_NGRAM} with a
+    TakeOrderedAndProject tail, never a global sort."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    t = shared_doc_tokens(spark, sf_dir)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"IF(size(toks) >= {BP_NGRAM},"
+                f" transform(sequence(1, size(toks) - {BP_NGRAM - 1}),"
+                f"  i -> concat_ws(' ', slice(toks, i, {BP_NGRAM}))),"
+                " cast(array() AS array<string>))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= BP_MIN_DOCS)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gram"
+        )
+        .limit(BP_TOP)
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_library_spark.operators.text import (
     BPE_ISH_PATTERN,
+    doc_token_arrays,
     QF_LANG,
     QF_MAX_MEAN_TOK_LEN,
     QF_MAX_TOKENS,
@@ -28,6 +29,27 @@ from map_reduce_library_spark.querydefs._fragments import (
     TEXT_STATS_SQL,
 )
 from map_reduce_library_spark.tables import load_table
+
+
+# One corpus text scan+split shared by every token-derived query
+# (bigram_counts, inverted_index_tokens, token_cooccurrence_pmi,
+# tfidf_top_terms, bigram_perplexity_topk) — the shared_lsh_pairs
+# one-write-many-reads pattern. Consumers explode/zip the CHECKPOINTED
+# array column; the raw text is never re-scanned or re-split.
+_SHARED_TOKS: dict = {}
+
+
+def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+
+    return shared_checkpoint(
+        _SHARED_TOKS,
+        spark,
+        sf_dir,
+        lambda: doc_token_arrays(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @register("text_stats", oracle=TEXT_STATS_SQL)
@@ -170,8 +192,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    tok = shared_doc_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("tok").agg(

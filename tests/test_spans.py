@@ -1,0 +1,119 @@
+"""Span-level dedup: CDC chunking + boilerplate n-gram mining."""
+
+from __future__ import annotations
+
+from conftest import SF_CORRECTNESS, assert_oracle_match
+
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.cdc import (
+    CDC_DIVISOR,
+    cdc_chunk_arrays,
+    cdc_chunks,
+)
+from map_reduce_library_spark.operators.text import doc_token_arrays
+from map_reduce_library_spark.queries import QUERIES
+
+
+def test_cdc_chunk_dedup_oracle(spark):
+    assert_oracle_match(spark, "cdc_chunk_dedup")
+
+
+def test_boilerplate_ngram_spans_oracle(spark):
+    assert_oracle_match(spark, "boilerplate_ngram_spans")
+
+
+def test_cdc_chunks_partition_the_token_stream(spark):
+    """Chunks are a PARTITION of each doc's token sequence: joining
+    them back in order reconstructs the original text exactly."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rebuilt = (
+        cdc_chunk_arrays(doc_token_arrays(docs))
+        .select("doc_id", F.array_join("chunks", " ").alias("again"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    assert rebuilt.where(~F.col("again").eqNullSafe(F.col("text"))).count() == 0
+    assert rebuilt.count() == docs.count()
+
+
+def _chunks_of(spark, text: str) -> list[str]:
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    return [
+        r.chunk_text
+        for r in cdc_chunks(doc_token_arrays(df))
+        .orderBy("chunk_pos")
+        .collect()
+    ]
+
+
+def test_cdc_boundaries_resynchronize_after_insertion(spark):
+    """THE content-defined property (what fixed-size chunking lacks):
+    prepending a token only perturbs the first chunk — every chunk
+    after the first cut point is byte-identical, so shared spans
+    dedup wherever they sit in the document."""
+    from map_reduce_library_spark.operators.pipeline import hash_bucket
+
+    base = "the fast key order sort table scan merge part window small hash join batch stream"
+    a = _chunks_of(spark, base)
+    assert len(a) >= 2, "fixture too short to produce multiple chunks"
+
+    # find one cut token and one non-cut token to prepend
+    toks = ["alpha", "beta", "gamma", "delta", "zig", "zag", "qq", "zz"]
+    probe = spark.createDataFrame([(t,) for t in toks], "tok string")
+    cut_flags = {
+        r.tok: r.iscut
+        for r in probe.select(
+            "tok", (hash_bucket("tok", CDC_DIVISOR) == 0).alias("iscut")
+        ).collect()
+    }
+    noncut = next(t for t in toks if not cut_flags[t])
+    b = _chunks_of(spark, f"{noncut} {base}")
+    assert b[0] == f"{noncut} {a[0]}"
+    assert b[1:] == a[1:]
+
+    cut = next((t for t in toks if cut_flags[t]), None)
+    if cut is not None:  # a cut token becomes its own 1-token chunk
+        c = _chunks_of(spark, f"{cut} {base}")
+        assert c[0] == cut
+        assert c[1:] == a
+
+
+def test_cdc_chunking_is_a_flat_zero_shuffle_plan(spark):
+    """The chunk build must stay one fold projection over the scan:
+    no Exchange, no explode-then-window, no Python."""
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    plan = (
+        cdc_chunk_arrays(doc_token_arrays(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_short_docs_produce_no_grams(spark):
+    """Docs with fewer than BP_NGRAM tokens must contribute zero
+    grams (the sequence() guard — Spark's sequence(1, 0) counts DOWN
+    and would otherwise emit junk windows)."""
+    from map_reduce_library_spark.querydefs.spans import BP_NGRAM
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, " ".join(["w"] * BP_NGRAM))],
+        "doc_id bigint, text string",
+    )
+    grams = df.select(
+        F.explode(
+            F.expr(
+                f"IF(size(split(text, ' ', -1)) >= {BP_NGRAM},"
+                f" transform(sequence(1, size(split(text, ' ', -1)) - {BP_NGRAM - 1}),"
+                f"  i -> concat_ws(' ', slice(split(text, ' ', -1), i, {BP_NGRAM}))),"
+                " cast(array() AS array<string>))"
+            )
+        ).alias("gram")
+    )
+    rows = grams.collect()
+    assert len(rows) == 1 and rows[0].gram == " ".join(["w"] * BP_NGRAM)

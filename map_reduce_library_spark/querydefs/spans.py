@@ -102,7 +102,16 @@ def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints it localizes WHICH span repeats. The n-gram relation
     is a projection over the shared token checkpoint; the report is
     the word-count shape at order {BP_NGRAM} with a
-    TakeOrderedAndProject tail, never a global sort."""
+    TakeOrderedAndProject tail, never a global sort.
+
+    100 TB note: the gram relation is ~{BP_NGRAM}× the token mass and
+    most grams are singletons, so the exact-df shuffle is the cost
+    ceiling (map-side partial aggregation collapses in-partition
+    repeats; singletons shuffle once each). The production cut is a
+    CMS prefilter (``operators/cms.py``) dropping grams whose
+    estimated count < {BP_MIN_DOCS} before the exact pass — CMS
+    over-counts only, so the prefilter is recall-lossless for the
+    df ≥ {BP_MIN_DOCS} report."""
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
     t = shared_doc_tokens(spark, sf_dir)

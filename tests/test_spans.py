@@ -95,6 +95,66 @@ def test_cdc_chunking_is_a_flat_zero_shuffle_plan(spark):
     assert "EvalPython" not in plan
 
 
+def _py_cdc(tokens: list[str], cut: dict[str, bool]) -> list[str]:
+    """Pure-Python reference chunker: a cut token ends its chunk."""
+    out, cur = [], []
+    for t in tokens:
+        cur.append(t)
+        if cut[t]:
+            out.append(" ".join(cur))
+            cur = []
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+def test_cdc_matches_python_reference_on_random_corpora(spark):
+    """Hypothesis differential: the Spark fold chunker == the textbook
+    sequential chunker on random small-alphabet token streams (small
+    alphabets force frequent cut tokens, chunk boundaries at position
+    0, at the end, and back-to-back cuts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_library_spark.operators.pipeline import hash_bucket
+
+    alphabet = ["a", "b", "c", "dd", "ee", "ff", "ggg", "hh"]
+    probe = spark.createDataFrame([(t,) for t in alphabet], "tok string")
+    cut = {
+        r.tok: r.c
+        for r in probe.select(
+            "tok", (hash_bucket("tok", CDC_DIVISOR) == 0).alias("c")
+        ).collect()
+    }
+    assert any(cut.values()), "fixture alphabet has no cut token"
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(alphabet), min_size=1, max_size=30),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.doc_id: list(r.chunks)
+            for r in cdc_chunk_arrays(doc_token_arrays(df)).collect()
+        }
+        want = {i: _py_cdc(toks, cut) for i, toks in enumerate(docs)}
+        assert got == want
+
+    run()
+
+
 def test_boilerplate_short_docs_produce_no_grams(spark):
     """Docs with fewer than BP_NGRAM tokens must contribute zero
     grams (the sequence() guard — Spark's sequence(1, 0) counts DOWN

@@ -9,6 +9,10 @@ built for, over the synthetic corpus.
       → exact dedup         (md5 full-text, min-id representative)
       → near-dedup          (MinHash-LSH candidates → connected
                              components → keep cluster representative)
+      → span-dedup gate     (content-defined chunks; drop docs whose
+                             duplicated-span token mass exceeds 50% —
+                             the CCNet duplicated-paragraph gate,
+                             insertion-robust via CDC boundaries)
       → decontamination     (drop train docs sharing an 8-gram with
                              the held-out eval set)
       → class balancing     (cap every language at a stable
@@ -47,6 +51,10 @@ from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
     pack_sequences,
 )
 from map_reduce_library_spark.operators.bpe import bpe_learn  # noqa: E402
+from map_reduce_library_spark.operators.cdc import (  # noqa: E402
+    cdc_chunks,
+    cdc_duplicate_chunks,
+)
 from map_reduce_library_spark.operators.lm import (  # noqa: E402
     bigram_nll_scores,
 )
@@ -119,6 +127,30 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     good = good.join(drop, "doc_id", "left_anti")
     n_near = good.count()
 
+    # 4b. span-dedup gate: token mass inside content-defined chunks
+    # whose text repeats across >= 2 surviving docs, per doc; drop
+    # docs more than half made of duplicated spans (boilerplate /
+    # templated bodies that survive doc-level dedup because the rest
+    # of the doc differs)
+    from map_reduce_library_spark.operators.text import doc_token_arrays
+
+    tokarr = doc_token_arrays(good)
+    ch = cdc_chunks(tokarr).withColumn("chunk_hash", F.md5("chunk_text"))
+    dup_hashes = cdc_duplicate_chunks(tokarr).select("chunk_hash")
+    mass = ch.groupBy("doc_id").agg(F.sum("n_tokens").alias("tot"))
+    dup_mass = (
+        ch.join(dup_hashes, "chunk_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("dup_tok"))
+    )
+    spammy = (
+        mass.join(dup_mass, "doc_id")
+        .where(F.col("dup_tok") * 2 > F.col("tot"))
+        .select("doc_id")
+    )
+    good = good.join(spammy, "doc_id", "left_anti")
+    n_span = good.count()
+
     # 5. decontamination: the eval set is held out entirely, and any
     # surviving train doc sharing a word 8-gram with it is dropped
     eval_docs = good.where(F.col("doc_id") < EVAL_SET_MAX_ID)
@@ -170,6 +202,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "after_perplexity": n_ppl,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "after_span_dedup": n_span,
         "after_decontamination": n_decon,
         "after_class_balance": n_balanced,
         "n_shards": len(shard_stats),

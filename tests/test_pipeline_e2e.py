@@ -30,9 +30,16 @@ def test_training_data_pipeline(spark, tmp_path):
     # removed non-representatives)
     removed = counts["after_exact_dedup"] - counts["after_near_dedup"]
     assert removed >= 20, counts
+    # span-dedup gate: monotone, and with doc-level near-dedup already
+    # done it should drop at most a few spammy outliers
+    assert (
+        counts["after_near_dedup"] - 10
+        <= counts["after_span_dedup"]
+        <= counts["after_near_dedup"]
+    )
     # decontamination holds out eval docs (id < 50) and drops tainted
     # train docs; class balancing can only shrink further
-    assert counts["after_decontamination"] <= counts["after_near_dedup"] - 40
+    assert counts["after_decontamination"] <= counts["after_span_dedup"] - 40
     assert counts["after_class_balance"] <= counts["after_decontamination"]
     assert counts["n_shards"] >= 3
 

@@ -63,17 +63,25 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     # with '#' comments running to end-of-line; pixel data starts after
     # the single whitespace byte following maxval.
     fields: list[int] = []
-    i = 2
+    i, n = 2, len(payload)
     while len(fields) < 3:
+        if i >= n:  # truncated header must RAISE, never loop: one
+            # corrupt blob would otherwise hang its executor task
+            raise ValueError("truncated netpbm header")
         c = payload[i : i + 1]
         if c == b"#":
-            i = payload.index(b"\n", i) + 1
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated netpbm header")
+            i = nl + 1
         elif c.isspace():
             i += 1
         else:
             j = i
-            while not payload[j : j + 1].isspace():
+            while j < n and not payload[j : j + 1].isspace():
                 j += 1
+            if j == n:  # maxval must be followed by a whitespace byte
+                raise ValueError("truncated netpbm header")
             fields.append(int(payload[i:j]))
             i = j
     i += 1  # the single whitespace separating maxval from pixel data

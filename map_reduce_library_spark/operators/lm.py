@@ -35,7 +35,12 @@ def bigram_nll_scores(
     ``token_arrays``: optionally pass a precomputed (id_col, toks)
     relation (e.g. the shared tokenized-corpus checkpoint) — the
     unigram and bigram count branches both consume it, so a caller
-    that already materialized the split saves two text scans."""
+    that already materialized the split saves two text scans.
+    WHEN GIVEN, ``docs``/``text_col`` ARE IGNORED ENTIRELY: the LM is
+    fit on ``token_arrays``' rows, so it must be built from the same
+    (identically filtered) relation the caller wants scored — passing
+    a filtered ``docs`` with an unfiltered corpus checkpoint would
+    silently train on and score the wrong corpus."""
     if token_arrays is not None:
         t = token_arrays.select(id_col, "toks")
     else:

@@ -46,6 +46,25 @@ def test_decoder_rejects_compressed_formats():
         decode_netpbm(b"\xff\xd8\xff\xe0JFIF")
 
 
+def test_decoder_raises_on_truncated_headers():
+    """A corrupt/truncated blob must RAISE, never loop — a hang here
+    stalls an executor task forever (code-review r6 finding)."""
+    for bad in (
+        b"P6",
+        b"P6 ",
+        b"P6\n5",
+        b"P6\n5 4",
+        b"P6\n5 4 255",      # maxval not followed by whitespace
+        b"P6\n# only a comment",
+        b"P6\nx y z\n",      # non-numeric fields
+    ):
+        with pytest.raises(ValueError):
+            decode_netpbm(bad)
+    # pixel data shorter than header promises also raises (frombuffer)
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6\n5 4\n255\n\x00\x01")
+
+
 def test_box_resize_is_block_mean():
     a = np.arange(16, dtype=np.uint8).reshape(4, 4)
     small = box_resize(a, 2)

@@ -52,8 +52,8 @@ from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
 )
 from map_reduce_library_spark.operators.bpe import bpe_learn  # noqa: E402
 from map_reduce_library_spark.operators.cdc import (  # noqa: E402
-    CDC_MIN_TOKENS,
     cdc_chunks,
+    cdc_duplicate_chunks,
 )
 from map_reduce_library_spark.operators.lm import (  # noqa: E402
     bigram_nll_scores,
@@ -145,13 +145,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .drop("chunk_text")
         .localCheckpoint()
     )
-    dup_hashes = (
-        ch.where(F.col("n_tokens") >= CDC_MIN_TOKENS)
-        .groupBy("chunk_hash")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("chunk_hash")
-    )
+    dup_hashes = cdc_duplicate_chunks(chunks=ch).select("chunk_hash")
     mass = ch.groupBy("doc_id").agg(F.sum("n_tokens").alias("tot"))
     dup_mass = (
         ch.join(dup_hashes, "chunk_hash", "left_semi")

@@ -96,20 +96,43 @@ def cdc_chunks(
 
 
 def cdc_duplicate_chunks(
-    token_arrays: DataFrame,
+    token_arrays: DataFrame | None = None,
     id_col: str = "doc_id",
     divisor: int = CDC_DIVISOR,
     min_tokens: int = CDC_MIN_TOKENS,
     min_docs: int = 2,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated spans: chunks (≥ min_tokens tokens)
     whose text occurs in ≥ min_docs distinct documents — boilerplate
     and shared-span detection that survives insertions. Groups on the
-    md5 of the chunk text so the shuffle moves fixed-width keys."""
-    ch = cdc_chunks(token_arrays, id_col, divisor)
+    md5 of the chunk text so the shuffle moves fixed-width keys.
+
+    ``chunks``: optionally pass a precomputed (and ideally
+    checkpointed) ``cdc_chunks`` relation instead of
+    ``token_arrays`` — a caller that also consumes the chunk rows
+    (e.g. the duplicated-span-mass gate in
+    examples/training_data_pipeline.py) then runs the fold exactly
+    once. A precomputed ``chunk_hash`` column is honored (so callers
+    may drop the chunk text after hashing); otherwise the hash is
+    derived from ``chunk_text`` here."""
+    if (token_arrays is None) == (chunks is None):
+        raise ValueError(
+            "pass exactly one of token_arrays or chunks"
+        )
+    ch = (
+        chunks
+        if chunks is not None
+        else cdc_chunks(token_arrays, id_col, divisor)
+    )
+    key = (
+        F.col("chunk_hash")
+        if "chunk_hash" in ch.columns
+        else F.md5("chunk_text").alias("chunk_hash")
+    )
     return (
         ch.where(F.col("n_tokens") >= min_tokens)
-        .groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .groupBy(key)
         .agg(
             F.count_distinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -86,10 +86,16 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
             i = j
     i += 1  # the single whitespace separating maxval from pixel data
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        # np.frombuffer treats a negative count as read-everything and
+        # reshape(-1) infers the dimension — a corrupt header would
+        # silently fabricate an image (or a 0-pixel one whose mean is
+        # NaN) instead of failing
+        raise ValueError(f"invalid netpbm dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
-    n = w * h * (3 if rgb else 1)
-    a = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    n_px = w * h * (3 if rgb else 1)
+    a = np.frombuffer(payload, dtype=np.uint8, count=n_px, offset=i)
     return a.reshape((h, w, 3) if rgb else (h, w))
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 def bigram_nll_scores(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     token_arrays: DataFrame | None = None,
@@ -32,15 +32,15 @@ def bigram_nll_scores(
     one bigram (single-token documents have no bigram evidence and are
     not scored — callers treat them as pass-through).
 
-    ``token_arrays``: optionally pass a precomputed (id_col, toks)
-    relation (e.g. the shared tokenized-corpus checkpoint) — the
-    unigram and bigram count branches both consume it, so a caller
-    that already materialized the split saves two text scans.
-    WHEN GIVEN, ``docs``/``text_col`` ARE IGNORED ENTIRELY: the LM is
-    fit on ``token_arrays``' rows, so it must be built from the same
-    (identically filtered) relation the caller wants scored — passing
-    a filtered ``docs`` with an unfiltered corpus checkpoint would
-    silently train on and score the wrong corpus."""
+    Pass EXACTLY ONE of ``docs`` (raw text, split here) or
+    ``token_arrays`` (a precomputed (id_col, toks) relation, e.g. the
+    shared tokenized-corpus checkpoint — saves the two text scans the
+    unigram and bigram branches would otherwise each run). Passing
+    both is an error rather than a silent choice: a filtered ``docs``
+    next to an unfiltered corpus checkpoint would train on and score
+    the wrong corpus, so the API refuses to express it."""
+    if (docs is None) == (token_arrays is None):
+        raise ValueError("pass exactly one of docs or token_arrays")
     if token_arrays is not None:
         t = token_arrays.select(id_col, "toks")
     else:

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.lm import bigram_nll_scores
 from map_reduce_library_spark.queries import register
-from map_reduce_library_spark.tables import load_table
 
 PPL_TOP_DOCS = 50
 
@@ -82,11 +81,8 @@ def bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism discipline)."""
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     return (
-        bigram_nll_scores(
-            docs, token_arrays=shared_doc_tokens(spark, sf_dir)
-        )
+        bigram_nll_scores(token_arrays=shared_doc_tokens(spark, sf_dir))
         .orderBy(F.col("avg_nll").desc(), "doc_id")
         .limit(PPL_TOP_DOCS)
     )

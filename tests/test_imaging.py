@@ -63,6 +63,12 @@ def test_decoder_raises_on_truncated_headers():
     # pixel data shorter than header promises also raises (frombuffer)
     with pytest.raises(ValueError):
         decode_netpbm(b"P6\n5 4\n255\n\x00\x01")
+    # negative/zero dimensions must raise, not fabricate an image
+    # (np.frombuffer reads everything on a negative count and
+    # reshape(-1) infers the width) or return NaN-mean empty pixels
+    for bad in (b"P6\n-1 4\n255\n" + b"\x00" * 12, b"P6\n0 4\n255\n"):
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_netpbm(bad)
 
 
 def test_box_resize_is_block_mean():

@@ -351,6 +351,7 @@ def incremental_exact_verdict(
     incoming: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    incoming_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time EXACT dedup against a persisted digest index — the
     companion of ``incremental_lsh_pairs`` for byte-identical copies.
@@ -374,7 +375,16 @@ def incremental_exact_verdict(
     # silently vanishing from the verdict (an equi-join would never
     # match their rows, breaking the one-row-per-incoming-doc
     # contract).
-    probe = text_digests(incoming, text_col, id_col)
+    # ``incoming_digests``: pass the batch's precomputed (and ideally
+    # materialized) digest relation — the probe, batch_rep, and
+    # probe_keys branches all reference it, so a caller that also
+    # persists the digests (the streaming ingest tick) should md5 the
+    # batch exactly once (the incoming_bands pattern).
+    probe = (
+        incoming_digests
+        if incoming_digests is not None
+        else text_digests(incoming, text_col, id_col)
+    )
     batch_rep = probe.groupBy("d_md5", "d_len").agg(
         F.min(id_col).alias("batch_rep")
     )

@@ -14,8 +14,12 @@ globally, abort removes orphans) in miniature.
 
 Scale notes: one file per partition, names salted with uuid4 so
 speculative/retried tasks never collide; ``abort`` deletes the files
-its failed attempt reported. Rows are serialized with sorted keys so
-output bytes are schema-order-independent.
+its failed attempt reported. Rows are serialized with sorted keys
+(recursively — nested structs keep their field names) so output bytes
+are schema-order-independent. Manifests are written via
+temp-file-plus-atomic-rename: a crash mid-commit can never leave a
+torn ``_SUCCESS`` for readers to choke on, and a replayed streaming
+epoch atomically replaces its own manifest.
 
 Reader contract: consume the ``_SUCCESS`` manifest's part list, NOT a
 ``*.jsonl`` glob. A task attempt that wrote its part file but died
@@ -24,6 +28,14 @@ before returning its commit message leaves an orphan that neither
 message the task never produced) — the manifest is the single source
 of truth for which parts are committed, exactly as with Hadoop-style
 ``_SUCCESS`` + committed-file protocols.
+
+Save modes: ``append`` merges the new parts into the existing
+manifest (prior committed rows stay visible); ``overwrite`` replaces
+the manifest AND deletes the previously committed part files it
+named. The first version of this sink ignored the mode and always
+rewrote the manifest with only the current job's parts — an
+append-mode writer silently dropped every previously committed row
+from the read contract (code-review r6 finding).
 """
 
 from __future__ import annotations
@@ -47,37 +59,70 @@ class PartFileCommit(WriterCommitMessage):
     rows: int
 
 
+def _write_part(out_dir: str, iterator) -> PartFileCommit:
+    """Task-side part writer shared by the batch and stream sinks (one
+    body — a serialization fix cannot silently miss one of them).
+    ``asDict(recursive=True)``: Row is a tuple subclass, so the
+    non-recursive form serialized nested structs as positional arrays,
+    dropping field names."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(path, "w") as f:
+        for row in iterator:
+            json.dump(
+                row.asDict(recursive=True), f, sort_keys=True, default=str
+            )
+            f.write("\n")
+            n += 1
+    return PartFileCommit(path=path, rows=n)
+
+
+def _write_manifest_atomic(path: str, payload: dict) -> None:
+    """Temp-file + os.replace: readers see the old manifest or the new
+    one, never a torn write."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 class JsonLinesWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
+        self.overwrite = overwrite
         if not self.dir:
             raise ValueError("jsonlines_sink requires .option('path', dir)")
 
     def write(self, iterator):
-        os.makedirs(self.dir, exist_ok=True)
-        path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                json.dump(row.asDict(), f, sort_keys=True, default=str)
-                f.write("\n")
-                n += 1
-        return PartFileCommit(path=path, rows=n)
+        return _write_part(self.dir, iterator)
 
     def commit(self, messages):
         # A zero-partition DataFrame runs no write tasks, so no task
         # ever makedirs'd the target — commit must create it or the
         # (empty) manifest write crashes with FileNotFoundError.
         os.makedirs(self.dir, exist_ok=True)
-        manifest = {
+        new_parts = {
             os.path.basename(m.path): m.rows for m in messages if m
         }
-        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
-            json.dump(
-                {"parts": manifest, "total_rows": sum(manifest.values())},
-                f,
-                sort_keys=True,
-            )
+        manifest_path = os.path.join(self.dir, "_SUCCESS")
+        stale: list[str] = []
+        parts = new_parts
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f).get("parts", {})
+            if self.overwrite:
+                stale = [p for p in prior if p not in new_parts]
+            else:  # append: prior committed rows stay visible
+                parts = {**prior, **new_parts}
+        _write_manifest_atomic(
+            manifest_path,
+            {"parts": parts, "total_rows": sum(parts.values())},
+        )
+        for name in stale:  # only after the new manifest is live
+            p = os.path.join(self.dir, name)
+            if os.path.exists(p):
+                os.remove(p)
 
     def abort(self, messages):
         for m in messages:
@@ -93,7 +138,7 @@ class JsonLinesSink(DataSource):
         return "jsonlines_sink"
 
     def writer(self, schema, overwrite):
-        return JsonLinesWriter(self.options)
+        return JsonLinesWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
         return JsonLinesStreamWriter(self.options)
@@ -103,11 +148,11 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     """Streaming variant of the sink: per-micro-batch commit
     manifests. Each epoch's tasks write salted part files; the driver
     commit stamps `_SUCCESS-<batchId>` naming that epoch's committed
-    parts. Re-delivered epochs (failure replay) overwrite their own
-    manifest, so readers that union the manifests' part lists get
-    effectively-once output even though task attempts may leave
-    orphan part files — the same manifest-is-truth contract as the
-    batch sink."""
+    parts. Re-delivered epochs (failure replay) atomically replace
+    their own manifest, so readers that union the manifests' part
+    lists get effectively-once output even though task attempts may
+    leave orphan part files — the same manifest-is-truth contract as
+    the batch sink."""
 
     def __init__(self, options):
         self.dir = options.get("path")
@@ -117,33 +162,21 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
             )
 
     def write(self, iterator):
-        os.makedirs(self.dir, exist_ok=True)
-        path = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                json.dump(row.asDict(), f, sort_keys=True, default=str)
-                f.write("\n")
-                n += 1
-        return PartFileCommit(path=path, rows=n)
+        return _write_part(self.dir, iterator)
 
     def commit(self, messages, batchId):
         os.makedirs(self.dir, exist_ok=True)
         manifest = {
             os.path.basename(m.path): m.rows for m in messages if m
         }
-        with open(
-            os.path.join(self.dir, f"_SUCCESS-{batchId}"), "w"
-        ) as f:
-            json.dump(
-                {
-                    "batch_id": batchId,
-                    "parts": manifest,
-                    "total_rows": sum(manifest.values()),
-                },
-                f,
-                sort_keys=True,
-            )
+        _write_manifest_atomic(
+            os.path.join(self.dir, f"_SUCCESS-{batchId}"),
+            {
+                "batch_id": batchId,
+                "parts": manifest,
+                "total_rows": sum(manifest.values()),
+            },
+        )
 
     def abort(self, messages, batchId):
         for m in messages:
@@ -156,7 +189,7 @@ def read_stream_manifests(out_dir: str) -> list[dict]:
     the manifests' part lists — never glob *.jsonl."""
     out = []
     for name in sorted(os.listdir(out_dir)):
-        if name.startswith("_SUCCESS-"):
+        if name.startswith("_SUCCESS-") and ".tmp-" not in name:
             with open(os.path.join(out_dir, name)) as f:
                 out.append(json.load(f))
     return sorted(out, key=lambda m: m["batch_id"])

@@ -48,7 +48,12 @@ class _TickStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         i = int(start["i"])
-        end = min(i + self._batch, self._limit)
+        # Never regress the committed offset: if a restart lowered the
+        # configured limit below an already-committed cursor, emitting
+        # nothing is correct — committing min(i+batch, limit) < i
+        # would re-deliver rows [limit, i) after a later limit raise,
+        # breaking the exactly-once contract (code-review r6 finding).
+        end = max(i, min(i + self._batch, self._limit))
         return iter([self._row(j) for j in range(i, end)]), {"i": end}
 
     def readBetweenOffsets(self, start, end):

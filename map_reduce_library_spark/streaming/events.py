@@ -30,10 +30,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_library_spark.tables import _ensure_nanos_conf, table_path
+    from map_reduce_library_spark.tables import (
+        _ensure_nanos_conf,
+        normalize_event_ts,
+        table_path,
+    )
 
     _ensure_nanos_conf(spark)
     # Streaming file sources require an explicit schema. The testdata
@@ -43,21 +45,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-construction time) instead of hardcoding either layout.
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # The file source wants a directory; select just events.parquet
-    # out of the sf_dir with a glob filter.
+    # out of the sf_dir with a glob filter. ts normalization is the
+    # SAME helper the batch loader uses — batch/stream parity by
+    # construction.
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(batch_schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) as int64: floor-divide to micros, the same
-        # ns→µs truncation DuckDB applies.
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(batch_schema["ts"].dataType, TimestampNTZType):
-        # TIMESTAMP(MICROS) reads as NTZ; watermarks need TIMESTAMP_LTZ.
-        # Session zone is pinned UTC, so the cast is value-preserving.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_event_ts(raw, batch_schema["ts"].dataType)
 
 
 def streaming_hourly_stats(
@@ -108,9 +104,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly twice); the surviving rows must equal the original table.
     Append mode: first occurrence is emitted immediately, later
     duplicates are dropped against state."""
-    doubled = read_events_stream(spark, sf_dir).unionAll(
-        read_events_stream(spark, sf_dir)
-    )
+    s = read_events_stream(spark, sf_dir)  # probe the footer once
+    doubled = s.unionAll(s)
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -211,13 +206,21 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # Last update per user wins across micro-batches.
+    # Last update per user wins across micro-batches. n_events is
+    # monotone per user (each update only appends rows), so max of the
+    # (n_events, value_micros) STRUCT selects the true latest update —
+    # max-ing the columns independently returned a stale value_micros
+    # whenever a later update LOWERED the total (negative values:
+    # refunds/adjustments; code-review r6 finding).
+    last = F.max(F.struct("n_events", "value_micros")).alias("last")
     return (
         spark.table(sink)
         .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("value_micros").alias("value_micros"),
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("last.n_events").alias("n_events"),
+            F.col("last.value_micros").alias("value_micros"),
         )
     )
 

@@ -73,9 +73,19 @@ def _new_bands(batch: DataFrame) -> DataFrame:
 
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    """First-tick bootstrap: empty relation when the index table does
+    not exist yet. Existence is probed by ATTEMPTING the read, not by
+    a driver-local os.path check — on s3://-style work dirs isdir is
+    always False and every tick would silently probe an empty index
+    (code-review r6 finding)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.schema  # force path resolution now, inside the try
+        return df
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 def ingest_batch(
@@ -117,9 +127,15 @@ def ingest_batch(
         digests = _read_or_empty(spark, digest_dir, _DIGEST_SCHEMA).join(
             own_ids, "doc_id", "left_anti"
         )
-        verdict = incremental_exact_verdict(digests, batch)
+        # Digest the batch ONCE (the bands pattern above): the verdict
+        # references the digest relation three times and the index
+        # append is a fourth consumer.
+        batch_digests = text_digests(batch).localCheckpoint(eager=True)
+        verdict = incremental_exact_verdict(
+            digests, batch, incoming_digests=batch_digests
+        )
         verdict.write.mode("append").parquet(verdict_dir)
-        text_digests(batch).write.mode("append").parquet(digest_dir)
+        batch_digests.write.mode("append").parquet(digest_dir)
 
 
 def run_incremental_dedup_ingest(

@@ -58,28 +58,35 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
+    Spark's reader unless nanosAsLong reads it as int64) and as plain
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize either layout
+    to TIMESTAMP_LTZ under the pinned UTC session zone so
+    watermarks/windows downstream see one type and the values match
+    DuckDB's timezone-naive micros exactly. ONE definition shared by
+    the batch loader and the streaming reader
+    (streaming/events.py::read_events_stream) — the two copies this
+    replaces could drift apart and make batch and stream read
+    different values from the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(ts_type, LongType):
+        # nanos as int64: floor-divide to micros (DuckDB's ns→µs).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
-        # Spark's reader unless nanosAsLong reads it as int64) and as
-        # plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize
-        # either layout to TIMESTAMP_LTZ under the pinned UTC session
-        # zone so watermarks/windows downstream see one type and the
-        # values match DuckDB's timezone-naive micros exactly.
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # nanos as int64: floor-divide to micros (DuckDB's ns→µs).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(df, df.schema["ts"].dataType)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

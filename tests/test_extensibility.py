@@ -62,7 +62,68 @@ def test_python_datasource_sink_commit_without_writes(tmp_path):
     from map_reduce_library_spark.sources.pysink import JsonLinesWriter
 
     out = tmp_path / "emptydir"
-    writer = JsonLinesWriter({"path": str(out)})
+    writer = JsonLinesWriter({"path": str(out)}, overwrite=False)
     writer.commit([])  # no write task ever ran; dir must not exist yet
     manifest = json.loads((out / "_SUCCESS").read_text())
     assert manifest == {"parts": {}, "total_rows": 0}
+
+
+def test_sink_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    """Save modes must be honored in the manifest protocol: append
+    merges the new parts into the existing _SUCCESS (prior rows stay
+    in the read contract); overwrite replaces the manifest and deletes
+    the stale committed parts it named (code-review r6 finding: the
+    old commit always rewrote the manifest with only the current job's
+    parts, silently dropping every previously appended row)."""
+    import json
+    import os
+
+    from map_reduce_library_spark.sources.pysink import JsonLinesSink
+
+    spark.dataSource.register(JsonLinesSink)
+    out = str(tmp_path / "modes")
+
+    def save(lo, hi, mode):
+        spark.range(lo, hi).coalesce(1).write.format(
+            "jsonlines_sink"
+        ).option("path", out).mode(mode).save()
+
+    def manifest():
+        return json.loads((tmp_path / "modes" / "_SUCCESS").read_text())
+
+    save(0, 40, "append")
+    save(40, 100, "append")
+    m = manifest()
+    assert m["total_rows"] == 100 and len(m["parts"]) == 2
+    committed = [os.path.join(out, p) for p in m["parts"]]
+    assert spark.read.json(committed).count() == 100
+
+    save(0, 10, "overwrite")
+    m2 = manifest()
+    assert m2["total_rows"] == 10 and len(m2["parts"]) == 1
+    # stale parts named by the old manifest are gone from disk
+    for p in m["parts"]:
+        assert not os.path.exists(os.path.join(out, p))
+    committed = [os.path.join(out, p) for p in m2["parts"]]
+    assert spark.read.json(committed).count() == 10
+
+
+def test_sink_serializes_nested_structs_with_field_names(spark, tmp_path):
+    """Row is a tuple subclass: non-recursive asDict() serialized
+    nested structs as positional arrays, dropping field names
+    (code-review r6 finding)."""
+    import json
+
+    from map_reduce_library_spark.sources.pysink import JsonLinesSink
+
+    spark.dataSource.register(JsonLinesSink)
+    out = tmp_path / "nested"
+    spark.sql(
+        "SELECT 1 AS id, named_struct('x', 10, 'y', 'z') AS s"
+    ).coalesce(1).write.format("jsonlines_sink").option(
+        "path", str(out)
+    ).mode("append").save()
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    (part,) = manifest["parts"]
+    row = json.loads((out / part).read_text().strip())
+    assert row["s"] == {"x": 10, "y": "z"}

@@ -95,3 +95,18 @@ def test_python_stream_source_to_python_stream_sink(spark, tmp_path):
         (i, f"tick-{i:05d}") for i in range(LIMIT)
     ]
     assert sum(m["total_rows"] for m in manifests) == LIMIT
+
+
+def test_tick_reader_never_regresses_committed_offset():
+    """If a restart lowers the configured limit below an
+    already-committed cursor, the reader must emit nothing and HOLD
+    the offset — committing a lower offset would re-deliver rows
+    after a later limit raise (code-review r6 finding)."""
+    from map_reduce_library_spark.sources.pystream import (
+        _TickStreamReader,
+    )
+
+    r = _TickStreamReader(batch=10, limit=30)
+    rows, offset = r.read({"i": 50})
+    assert list(rows) == []
+    assert offset == {"i": 50}

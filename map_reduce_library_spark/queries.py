@@ -189,19 +189,22 @@ def _load_verified() -> dict[str, int]:
 _VERIFIED = _load_verified()
 
 
-def _load_ever_sampled() -> set[str]:
-    """Names that have appeared in ANY committed CORRECTNESS_r*.json —
-    i.e. the driver has run them at least once (green, mismatch, or
-    err). Round 5 ended with 7 finished-but-never-sampled queries
-    because the 50-slot sample was consumed alphabetically by a queue
-    that mixed genuinely-new queries with staleness-demoted re-checks
-    (VERDICT r5 item 6); never-sampled entries now rank ahead of every
-    re-check so a first correctness signal is never crowded out by a
-    repeat one."""
+def _load_ever_green() -> set[str]:
+    """Names with at least one GREEN row in any committed
+    CORRECTNESS_r*.json (hash-green, or rows-only green for the
+    oracle-less sketches — the same criteria tools/update_ledger.py
+    uses). Unverified queries WITHOUT any green ever — brand-new ones
+    the driver has never sampled AND ones whose every sampled row was
+    an err/mismatch — rank ahead of staleness-demoted re-checks:
+    round 5 ended with 7 finished-but-never-sampled queries because
+    the 50-slot sample was consumed alphabetically (VERDICT r5 item
+    6), and the red `source_lang_mix` kept losing its slot the same
+    way. A first-ever correctness signal must never be crowded out by
+    a repeat one."""
     import json
     from pathlib import Path
 
-    names: set[str] = set()
+    green: set[str] = set()
     for p in Path(__file__).resolve().parents[1].glob(
         "CORRECTNESS_r*.json"
     ):
@@ -209,12 +212,27 @@ def _load_ever_sampled() -> set[str]:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            names.update(k for k in data if isinstance(k, str))
-    return names
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            hash_green = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+            )
+            rows_only_green = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if hash_green or rows_only_green:
+                green.add(name)
+    return green
 
 
-_EVER_SAMPLED = _load_ever_sampled()
+_EVER_GREEN = _load_ever_green()
 
 # Regression canaries: re-check the reference-parity flagship (C3-C6
 # wordcount) and the first relational queries ahead of other verified
@@ -228,13 +246,14 @@ def _order_key(name: str) -> tuple:
     # Verified queries re-check oldest-green-first so no family's last
     # green ever drifts more than a couple of rounds stale.
     age = _VERIFIED.get(name, 0)
-    # Among unverified: never-driver-sampled first (they have NO
-    # correctness signal at all), staleness-demoted re-checks after.
-    never_sampled = 0 if name not in _EVER_SAMPLED else 1
+    # Among unverified: never-green first (no trustworthy correctness
+    # signal EVER — never sampled, or every sampled row was red),
+    # staleness-demoted re-checks after.
+    never_green = 0 if name not in _EVER_GREEN else 1
     return (
         verified,
         name not in ORACLES,
-        canary if verified else never_sampled,
+        canary if verified else never_green,
         age,
         name,
     )

@@ -532,7 +532,15 @@ def _simhash_sums(
 ) -> DataFrame:
     """(id, s0..s{bits-1}) signed bit votes — the shared prefix of the
     string and integer SimHash forms. ``counted`` (a precomputed
-    ``token_counts`` relation) skips the tokenize+count stage."""
+    ``token_counts`` relation) skips the tokenize+count stage.
+
+    bits ≤ 32 is a HARD limit: bit j votes by hex digit j of
+    md5(token), and md5 has exactly 32 hex chars — substring past
+    them returns '' whose ascii() is 0, so bits 32+ would silently
+    vote -1 always and every fingerprint would share a constant
+    suffix, halving apparent hamming distances (code-review r6)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"simhash bits must be in [1, 32], got {bits}")
     if counted is None:
         counted = token_counts(df, text_col, id_col)
     counted = counted.withColumn("h", F.md5("tok"))
@@ -618,7 +626,14 @@ def simhash_wide(
     4) — consuming 4 bits per hex char instead of the string form's
     1-bit-per-char parity, so fingerprints wide enough for fine
     banding still fit one md5. Pass ``counted`` to share the
-    tokenize+count prefix across the SimHash family."""
+    tokenize+count prefix across the SimHash family.
+
+    bits ≤ 62: the fingerprint packs into a signed bigint
+    (2^(bits-1) must fit a long), and 62 × 4-bit reads stay inside
+    md5's 32 hex chars. Unvalidated, bits=64 silently overflowed the
+    F.lit power (code-review r6)."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"simhash_wide bits must be in [1, 62], got {bits}")
     n_digits = (bits + 3) // 4
     if counted is None:
         counted = token_counts(df, text_col, id_col)

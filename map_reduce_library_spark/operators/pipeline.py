@@ -15,13 +15,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def hash_bucket(col: str | Column, buckets: int = 100) -> Column:
+def hash_bucket(
+    col: str | Column, buckets: int = 100, salt: str = ""
+) -> Column:
     """Deterministic uniform bucket in [0, buckets): top 60 bits of
-    md5(id) mod buckets. Identical in DuckDB:
-    ``('0x' || substr(md5(x), 1, 15))::BIGINT % buckets``."""
+    md5(id || salt) mod buckets. Identical in DuckDB:
+    ``('0x' || substr(md5(x || salt), 1, 15))::BIGINT % buckets``.
+
+    ``salt`` makes INDEPENDENT selections composable: every sampling/
+    split operator in this module hashes the same id, so without
+    per-purpose salts their selections are perfectly correlated —
+    e.g. a 10% unsalted sample keeps exactly buckets 0-9, and a
+    downstream unsalted 80/10/10 split then lands EVERY sampled row
+    in 'train' (code-review r6 finding). Each operator below bakes in
+    its own salt; the default empty salt keeps ad-hoc bucketing (test
+    tick splits etc.) byte-stable with prior rounds."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        )
         .cast("bigint")
         % buckets
     )
@@ -33,8 +48,10 @@ def deterministic_split(
     train: int = 80,
     val: int = 10,
 ) -> DataFrame:
-    """Stable train/val/test assignment (train/val/100-train-val)."""
-    b = hash_bucket(id_col)
+    """Stable train/val/test assignment (train/val/100-train-val).
+    Salted ':split' so composition with the sampling operators stays
+    independent (see hash_bucket)."""
+    b = hash_bucket(id_col, salt=":split")
     return df.withColumn(
         "split",
         F.when(b < train, "train")
@@ -52,8 +69,9 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling: keep a row iff its hash
     bucket falls under the stratum's percentage. No shuffle at all —
-    a pure filter, the only sane sampling at 100 TB."""
-    b = hash_bucket(id_col)
+    a pure filter, the only sane sampling at 100 TB. Salted ':strat'
+    for independence from the other hash-derived selections."""
+    b = hash_bucket(id_col, salt=":strat")
     pct = F.lit(default_pct)
     expr = None
     for value, p in rates.items():
@@ -77,9 +95,12 @@ def class_balanced_topn(
     the content hash, not arrival order. Note: corpus growth can still
     evict prior picks — a new row whose md5 ranks inside the top-n
     displaces the old rank-n row; only identical inputs guarantee
-    identical outputs."""
+    identical outputs. Salted ':class': unsalted, 'smallest md5'
+    preferentially keeps the same rows every other unsalted selection
+    keeps (see hash_bucket)."""
     w = Window.partitionBy(class_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":class"))),
+        F.col(id_col),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -137,7 +158,14 @@ def pack_sequences(
     the contiguous-stream packing used for LLM pretraining shards.
 
     One window cumsum = one shuffle on the group key; bins never span
-    groups, so shards can be written partitioned by (group, bin)."""
+    groups, so shards can be written partitioned by (group, bin).
+
+    SCALE WARNING: ``group_col=None`` (and any low-cardinality group)
+    plans an UNPARTITIONED window — the whole dataset (or group)
+    funnels through one task. That is fine for a bounded relation; at
+    corpus scale pass a real sharding key (e.g. a hash_bucket-derived
+    shard id, salted) so each window task holds one shard, and treat
+    (shard, seq_bin) as the bin identity."""
     w = (
         Window.partitionBy(group_col) if group_col else Window.partitionBy()
     ).orderBy(order_col)
@@ -327,19 +355,36 @@ def weighted_sample_topn(
     prior picks' keys (only displace the cut). One TakeOrdered, no
     global sort.
 
-    The key is rounded to 9 dp BEFORE the cut so the ln() ulp spread
-    between engines/libms cannot flip the boundary (same convention
-    as the corpus's other float-ranked top-k cuts). Rows with
-    non-positive weight are EXCLUDED — A-ES is defined for w > 0
-    (w = 0 divides by zero under ANSI; w < 0 would produce a negative
-    key that always wins and corrupts the sample)."""
+    The ranking key is the LOG of the A-ES key: ln(-ln(u)) - ln(w),
+    a strictly monotone transform (same sample), rounded to 9 dp
+    BEFORE the cut so the ln() ulp spread between engines/libms
+    cannot flip the boundary. Rounding in the log domain keeps
+    RELATIVE precision: the raw key -ln(u)/w is bounded by ~41.6/w,
+    so with large weights (byte counts ~1e9) absolute 9-dp rounding
+    collapsed all keys onto a handful of grid values and the 'sample'
+    degenerated to the id tiebreaker (code-review r6 finding); the
+    log key spans ~[-42, 4] at any weight scale. The uniform is
+    salted ':wsample' for independence from the other hash-derived
+    selections. Rows with non-positive weight are EXCLUDED — A-ES is
+    defined for w > 0 (w = 0 divides by zero under ANSI; w < 0 would
+    produce a key that always wins and corrupts the sample)."""
     x = (
         F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            F.substring(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(":wsample"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
         ).cast("bigint")
     )
     u = (x + F.lit(1)).cast("double") / F.lit(1152921504606846977.0)
-    key = F.round(-F.log(u) / weight.cast("double"), 9)
+    key = F.round(
+        F.log(-F.log(u)) - F.log(weight.cast("double")), 9
+    )
     return (
         df.where(weight.cast("double") > 0)
         .select(

@@ -138,10 +138,21 @@ def banded_signatures(
 
 
 def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return emb.select(
-        F.col(id_col),
-        _as_double(vec_col).alias("v"),
-    ).withColumn("nrm", F.expr(_norm("v")))
+    """(id, v, nrm) with ZERO-NORM VECTORS DROPPED: cosine divides by
+    the norm, so an all-zero embedding (padding row, failed
+    featurization) either throws DIVIDE_BY_ZERO under ANSI mode or
+    silently fills trailing top-k ranks with NULL cosines. A zero
+    vector has no direction — it is not 'near' anything — so
+    excluding it is the semantics, not a workaround (code-review r6
+    finding)."""
+    return (
+        emb.select(
+            F.col(id_col),
+            _as_double(vec_col).alias("v"),
+        )
+        .withColumn("nrm", F.expr(_norm("v")))
+        .where(F.col("nrm") > 0)
+    )
 
 
 def cosine_topk(
@@ -368,6 +379,10 @@ def kmeans_centroids(
                 ).alias("vc")
             )
             .withColumn("nc", F.expr(_norm("vc")))
+            # a cell mean CAN be the zero vector (opposing members);
+            # such a centroid has no direction to assign against, so
+            # drop it rather than divide by zero next round
+            .where(F.col("nc") > 0)
             .localCheckpoint(eager=True)
         )
     return cents
@@ -489,11 +504,15 @@ def filtered_cosine_topk(
     distance math)."""
     from pyspark.sql.window import Window
 
-    base = emb.select(
-        F.col(id_col),
-        F.col(filter_col),
-        _as_double(vec_col).alias("v"),
-    ).withColumn("nrm", F.expr(_norm("v")))
+    base = (
+        emb.select(
+            F.col(id_col),
+            F.col(filter_col),
+            _as_double(vec_col).alias("v"),
+        )
+        .withColumn("nrm", F.expr(_norm("v")))
+        .where(F.col("nrm") > 0)  # zero-norm: no direction (see _prep)
+    )
     q = base.where(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(filter_col),

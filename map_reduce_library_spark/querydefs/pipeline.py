@@ -19,7 +19,16 @@ from map_reduce_library_spark.operators.pipeline import (
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.tables import load_table
 
-_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+# Salted per purpose, mirroring operators/pipeline.py::hash_bucket —
+# unsalted, every hash-derived selection correlates perfectly.
+_SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))"
+    "::BIGINT % 100)"
+)
+_STRAT_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15))"
+    "::BIGINT % 100)"
+)
 
 SAMPLE_RATES = {"en": 50, "de": 20, "es": 10}
 PACK_BUDGET = 2048
@@ -29,8 +38,8 @@ PACK_BUDGET = 2048
     "deterministic_split_counts",
     oracle=f"""
     SELECT split, count(*) AS n FROM (
-      SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
-                  WHEN {_BUCKET_SQL} < 90 THEN 'val'
+      SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     ) GROUP BY split
@@ -51,8 +60,8 @@ def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample_docs",
     oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
-                                    WHEN 'es' THEN 10 ELSE 0 END
+    WHERE {_STRAT_BUCKET_SQL} < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                                          WHEN 'es' THEN 10 ELSE 0 END
     """,
 )
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +112,8 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':class'),
+                                         doc_id)
                AS rn
       FROM documents
     ) WHERE rn <= {BALANCE_N}
@@ -293,9 +303,9 @@ WEIGHTED_SAMPLE_N = 20
     "weighted_sample_docs",
     oracle=f"""
     SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-           round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-                     / 1152921504606846977.0)
-                 / CAST(n_chars AS DOUBLE), 9) AS es_key
+           round(ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15))::BIGINT + 1)
+                        / 1152921504606846977.0))
+                 - ln(CAST(n_chars AS DOUBLE)), 9) AS es_key
     FROM documents
     WHERE CAST(n_chars AS DOUBLE) > 0
     ORDER BY es_key, doc_id

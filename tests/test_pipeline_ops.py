@@ -123,3 +123,57 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     }
     for d in set(keys1) & set(keys2):
         assert keys1[d] == keys2[d]
+
+
+def test_sample_then_split_selections_are_independent(spark):
+    """Code-review r6: unsalted, every hash-derived selection used the
+    same md5(doc_id), so a 10% stratified sample kept exactly buckets
+    0-9 and a following 80/10/10 split put EVERY sampled row in
+    'train' (buckets 0-9 < 80). With per-purpose salts the composed
+    pipeline must produce all three splits in roughly the configured
+    proportions."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.operators.pipeline import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    docs = spark.range(5000).selectExpr("id AS doc_id", "'en' AS lang")
+    sampled = stratified_sample(docs, {"en": 10}, "lang")
+    n_sampled = sampled.count()
+    assert 350 <= n_sampled <= 650  # ~10%
+    counts = {
+        r.split: r.n
+        for r in deterministic_split(sampled)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.04 <= counts["val"] / n_sampled <= 0.20
+    assert 0.04 <= counts["test"] / n_sampled <= 0.20
+
+
+def test_weighted_sample_keys_resolve_at_large_weights(spark):
+    """Code-review r6: the raw A-ES key -ln(u)/w is <= ~41.6/w, so
+    with ~1e9 weights absolute 9-dp rounding collapsed all keys onto
+    a handful of grid values and the 'sample' degenerated to the id
+    tiebreaker. The log-domain key must stay fully resolved."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_library_spark.operators.pipeline import (
+        weighted_sample_topn,
+    )
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "CAST(1000000000 + id AS DOUBLE) AS w"
+    )
+    picked = weighted_sample_topn(docs, F.col("w"), 50).collect()
+    keys = [r.es_key for r in picked]
+    assert len(set(keys)) == len(keys), "key grid collapsed"
+    # degenerate selection would be doc_ids 0..49; a resolved one is
+    # spread across the id range
+    ids = sorted(r.doc_id for r in picked)
+    assert ids != list(range(50))
+    assert max(ids) > 1000

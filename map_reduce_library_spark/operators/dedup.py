@@ -276,6 +276,7 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     broadcast_new: bool = True,
     incoming_bands: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Ingest-time near-dup detection: candidate pairs touching a NEW
     batch of documents, given the already-banded signature index of
@@ -304,6 +305,11 @@ def incremental_lsh_pairs(
     minhash pipeline — the probe and both self-join sides reference
     it, so a caller that also persists the bands (the streaming
     ingest tick) should hash the batch exactly once.
+
+    ``max_bucket``: hot-bucket cap for viral boilerplate (see the
+    inline block) — set it in production exactly as on
+    ``minhash_lsh_pairs``; None keeps full-answer parity with the
+    uncapped batch pipeline.
     """
     new_bands = (
         incoming_bands
@@ -313,6 +319,34 @@ def incremental_lsh_pairs(
             id_col,
         )
     )
+    if max_bucket is not None:
+        # Hot-bucket cap for the INGEST path (the full-corpus path has
+        # it via lsh_candidate_pairs; without one here a viral
+        # boilerplate band_sig with B index members × b batch members
+        # yields B·b probe rows EVERY tick, forever). Semantics match
+        # the capped batch variant: a bucket whose COMBINED
+        # (index + batch) membership exceeds the cap contributes no
+        # pairs from this tick. Computing combined counts scans the
+        # index once — the same order of work as the probe join
+        # itself; a production deployment persists per-bucket counts
+        # next to the band index and feeds them here instead. Batch
+        # self-join buckets need no second cap: combined ≤ cap implies
+        # batch-only ≤ cap. The caller still appends the UNCAPPED
+        # bands to the index — the cap drops pairs, never membership.
+        hot = F.broadcast(
+            index_bands.select("band_id", "band_sig")
+            .unionByName(new_bands.select("band_id", "band_sig"))
+            .groupBy("band_id", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("band_id", "band_sig")
+        )
+        index_bands = index_bands.join(
+            hot, ["band_id", "band_sig"], "left_anti"
+        )
+        new_bands = new_bands.join(
+            hot, ["band_id", "band_sig"], "left_anti"
+        )
     probe = F.broadcast(new_bands) if broadcast_new else new_bands
     vs_index = (
         index_bands.select(
@@ -440,6 +474,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with
     |A∩B| / |A∪B| >= threshold. Without ``candidates`` this meets every
@@ -452,8 +487,17 @@ def ngram_jaccard_pairs(
     alternative (score every co-shingle pair, then semi-join the
     candidates) re-opens the quadratic hot-shingle blowup LSH exists
     to avoid: one boilerplate trigram shared by 1e5 docs yields 1e10
-    join rows before the filter ever runs."""
-    ds = shingles(df, text_col, id_col)
+    join rows before the filter ever runs.
+
+    ``shingle_df``: pass a precomputed (ideally materialized) shingle
+    relation — ``ds`` feeds three plan branches (sizes + both join
+    sides), so without it the tokenize→explode→distinct pipeline runs
+    up to three times per call (the ``counted=``/``sigs=`` pattern)."""
+    ds = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(df, text_col, id_col)
+    )
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # Normalize the precondition instead of assuming it: duplicate

@@ -176,6 +176,18 @@ def pack_sequences(
     )
 
 
+def _window_transform(stride: int, struct_fields: str) -> str:
+    """The ONE definition of the overlapping-window start sequence
+    shared by ``chunk_documents`` and ``chunk_hashes`` — their
+    chunk_idx correspondence (joining hashes back onto chunk
+    metadata) depends on both using byte-identical windowing, so the
+    bound/stride expression must not be able to drift between them."""
+    return (
+        f"transform(sequence(0, greatest(size(toks)-1, 0), {stride}), "
+        f"s -> named_struct({struct_fields}))"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     size: int,
@@ -192,11 +204,12 @@ def chunk_documents(
     (id, chunk_idx, chunk_tokens, first_token)."""
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
     chunks = F.expr(
-        f"transform(sequence(0, greatest(size(toks)-1, 0), {stride}), "
-        f"s -> named_struct("
-        f"'idx', s div {stride}, "
-        f"'n', least({size}, size(toks) - s), "
-        f"'first', toks[s]))"
+        _window_transform(
+            stride,
+            f"'idx', s div {stride}, "
+            f"'n', least({size}, size(toks) - s), "
+            f"'first', toks[s]",
+        )
     )
     return toks.select(
         id_col, F.explode(chunks).alias("c")
@@ -328,10 +341,11 @@ def chunk_hashes(
     boilerplate sweep line-level dedup pipelines run)."""
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
     chunks = F.expr(
-        f"transform(sequence(0, greatest(size(toks)-1, 0), {stride}), "
-        f"s -> named_struct("
-        f"'idx', s div {stride}, "
-        f"'h', md5(concat_ws(' ', slice(toks, s + 1, {size})))))"
+        _window_transform(
+            stride,
+            f"'idx', s div {stride}, "
+            f"'h', md5(concat_ws(' ', slice(toks, s + 1, {size})))",
+        )
     )
     return toks.select(id_col, F.explode(chunks).alias("c")).select(
         id_col,

@@ -441,6 +441,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine top-k restricted to the cells the query
     probes. Corpus vectors are indexed ONCE in their home cell
@@ -450,13 +451,21 @@ def ivf_ann_topk(
     ``n_centroids`` (cell granularity) and ``n_probe`` (probe width),
     at n_probe× the candidate volume. A neighbor has exactly one home
     cell, so no pair ever appears twice and no distinct is needed
-    (unlike LSH band-OR). Complements the hyperplane-LSH variant."""
+    (unlike LSH band-OR). Complements the hyperplane-LSH variant.
+
+    ``assigned``: pass a precomputed (ideally materialized)
+    ``ivf_assign_cells`` relation — the query and neighbor sides both
+    reference it, and as separate plan branches the O(n×centroids)
+    assignment pipeline otherwise executes twice per call (the
+    ``sigs=`` pattern of ``ann_lsh_topk``; at 100 TB the assignment
+    IS the IVF index, written once and read by every query)."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign_cells(
-        emb, n_centroids, id_col, vec_col, n_probe=n_probe,
-        centroids=centroids,
-    )
+    if assigned is None:
+        assigned = ivf_assign_cells(
+            emb, n_centroids, id_col, vec_col, n_probe=n_probe,
+            centroids=centroids,
+        )
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("vq"),

@@ -256,3 +256,43 @@ def test_exact_verdict_handles_null_text(spark):
     assert v[11] == (2, 10, False)
     assert v[12] == (1, 12, False)   # dup of corpus 'hello'
     assert v[13] == (None, 13, True)
+
+
+def test_incremental_cap_drops_viral_bucket_pairs(spark):
+    """The ingest path's hot-bucket cap (code-review r6: the
+    'production dedup shape' had no defense against a viral band_sig
+    paying B×b probe rows every tick). Capped: buckets whose COMBINED
+    index+batch membership exceeds the cap contribute no pairs;
+    normal near-dup pairs still flow. Uncapped stays the full
+    answer."""
+    viral = "the same viral boilerplate text repeated everywhere always"
+    near = "a perfectly normal document body with enough tokens to shingle"
+    rows = []
+    for i in range(30):  # index side: 30 viral docs + 2 near-dups
+        rows.append((i, viral))
+    rows += [(100, near), (101, near + " extra")]
+    existing = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(
+        [(200, viral), (201, viral), (202, near)],
+        "doc_id bigint, text string",
+    )
+    index = lsh_bands(minhash_signature(shingles(existing)))
+
+    uncapped = _pairs_set(incremental_lsh_pairs(index, batch))
+    capped = _pairs_set(
+        incremental_lsh_pairs(index, batch, max_bucket=8)
+    )
+    viral_ids = set(range(30)) | {200, 201}
+    assert any(a in viral_ids and b in viral_ids for a, b in uncapped)
+    assert not any(
+        a in viral_ids and b in viral_ids for a, b in capped
+    ), "viral-bucket pairs survived the cap"
+    # the normal near-dup family is untouched by the cap
+    normal_uncapped = {
+        p for p in uncapped if p[0] not in viral_ids and p[1] not in viral_ids
+    }
+    normal_capped = {
+        p for p in capped if p[0] not in viral_ids and p[1] not in viral_ids
+    }
+    assert normal_capped == normal_uncapped and normal_capped
+    assert capped <= uncapped

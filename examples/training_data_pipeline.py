@@ -60,7 +60,7 @@ from map_reduce_library_spark.operators.lm import (  # noqa: E402
 )
 from map_reduce_library_spark.operators.text import (  # noqa: E402
     text_stats,
-    token_counts,
+    token_accounting,
 )
 from map_reduce_library_spark.session import get_session  # noqa: E402
 from map_reduce_library_spark.tables import load_table  # noqa: E402
@@ -177,7 +177,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     n_balanced = good.count()
 
     # 7. token accounting + 8. split + 9. packing
-    toks = token_counts(good).select("doc_id", "ws_tokens")
+    toks = token_accounting(good).select("doc_id", "ws_tokens")
     ready = (
         good.join(toks, "doc_id")
         .transform(deterministic_split)

@@ -46,6 +46,10 @@ class Stage(IntEnum):
 class JobState:
     stage: Stage
     percentage: float
+    # Extension beyond the reference's {stage, percentage} shape: a
+    # job that failed or was cancelled must not report REDUCE/100%
+    # to a monitor that never calls wait_for_job (code-review r6).
+    failed: bool = False
 
 
 class JobHandle:
@@ -64,11 +68,20 @@ class JobHandle:
         self._result: Any = None
         self._error: BaseException | None = None
         self._done = threading.Event()
+        self._cancelled = threading.Event()
         self._closed = False
 
         def _run() -> None:
             try:
                 self._sc.setJobGroup(self._group, "map_reduce_library_spark job", True)
+                # cancel() before the action submits any Spark job
+                # would otherwise be a silent no-op: cancelJobGroup
+                # only cancels ACTIVE jobs, so the action would run to
+                # completion (code-review r6). The flag closes the
+                # pre-start window; an in-flight action is killed by
+                # cancelJobGroup itself.
+                if self._cancelled.is_set():
+                    raise RuntimeError("job cancelled before start")
                 self._result = action()
             except BaseException as e:  # surfaced on wait_for_job
                 self._error = e
@@ -99,7 +112,13 @@ class JobHandle:
         return result
 
     def cancel(self) -> None:
-        """Spark-native extension: cancel every stage in this job group."""
+        """Spark-native extension: cancel every stage in this job
+        group, plus a pre-start flag so a cancel issued before the
+        daemon thread submits its first Spark job still takes effect
+        (a narrow race remains between the thread's flag check and
+        its first submission — PySpark exposes no
+        cancel-future-jobs-in-group API to close it fully)."""
+        self._cancelled.set()
         self._sc.cancelJobGroup(self._group)
 
     @property
@@ -108,8 +127,12 @@ class JobHandle:
 
     # -- progress ----------------------------------------------------
     def get_job_state(self) -> JobState:
-        """Decode StatusTracker into the reference's JobState shape."""
+        """Decode StatusTracker into the reference's JobState shape.
+        A finished-with-error (or cancelled) job reports
+        UNDEFINED/0%/failed=True, never REDUCE/100%."""
         if self._done.is_set():
+            if self._error is not None:
+                return JobState(Stage.UNDEFINED, 0.0, failed=True)
             return JobState(Stage.REDUCE, 100.0)
         tracker = self._sc.statusTracker()
         job_ids = tracker.getJobIdsForGroup(self._group)

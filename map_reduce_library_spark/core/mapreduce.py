@@ -184,33 +184,57 @@ def map_reduce_df(
     def reduce_partition(batches):
         import pandas as pd
 
-        carry = None
+        # The carried (batch-spanning) group accumulates as a LIST of
+        # fragments, concatenated ONCE when the group completes: the
+        # old concat-carry-into-every-batch version copied the whole
+        # accumulated group per batch, O(G²/B) row copies for a
+        # G-row skewed key — exactly the hot-key case this path
+        # exists for (code-review r6). NULL keys form a real group
+        # after the sort, and `== NaN` is always False, so key
+        # matching is null-safe throughout or a null-key group
+        # spanning a boundary would be reduced twice.
+        frags: list = []
+        frag_key: tuple | None = None
+
+        def same_key(pdf, key):
+            m = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, key):
+                if pd.isna(v):
+                    m &= pdf[k].isna()
+                else:
+                    m &= pdf[k] == v
+            return m
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if frags:
+                # Peel the prefix continuing the carried group (equal
+                # keys are contiguous after the sort).
+                cont = same_key(pdf, frag_key)
+                prefix = pdf[cont]
+                if len(prefix):
+                    frags.append(prefix)
+                pdf = pdf[~cont]
+                if len(pdf) == 0:
+                    continue  # group still open; fragments held
+                yield reduce_group(pd.concat(frags, ignore_index=True))
+                frags, frag_key = [], None
             # Rows with the final key value may continue in the next
-            # batch — hold them back. NULL keys form a real group after
-            # the sort, and `== NaN` is always False, so match them
-            # null-safely or a null-key group spanning a batch boundary
-            # would be reduced twice (once per fragment).
+            # batch — hold them back as the new carried group.
             last_key = tuple(pdf[k].iloc[-1] for k in keys)
-            is_tail = pd.Series(True, index=pdf.index)
-            for k, v in zip(keys, last_key):
-                if pd.isna(v):
-                    is_tail &= pdf[k].isna()
-                else:
-                    is_tail &= pdf[k] == v
-            carry = pdf[is_tail]
+            is_tail = same_key(pdf, last_key)
             done = pdf[~is_tail]
             if len(done):
                 # dropna=False: a NULL key is a real group (Spark's
                 # groupBy keeps it); pandas' default would drop it.
                 for _, group in done.groupby(keys, sort=False, dropna=False):
                     yield reduce_group(group)
-        if carry is not None and len(carry):
-            yield reduce_group(carry)
+            frags, frag_key = [pdf[is_tail]], last_key
+        if frags:
+            carried = pd.concat(frags, ignore_index=True)
+            if len(carried):
+                yield reduce_group(carried)
 
     return (
         intermediate.repartition(*keys)

@@ -26,17 +26,29 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _local_dir_bytes(path: str) -> int:
-    p = urlparse(path)
-    root = p.path if p.scheme in ("", "file") else None
-    if root is None or not os.path.isdir(root):
-        return 0
-    total = 0
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(dirpath, f))
-    return total
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` on WHATEVER filesystem backs it
+    — the Hadoop FileSystem API works for s3a://, hdfs://, and local
+    paths alike (code-review r6: the old local-only os.walk returned 0
+    on object storage, so the fallback wrote the scan's partitioning
+    as-is and 'compaction' compacted nothing). Local-stat fallback
+    kept for environments where the JVM gateway call fails."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        p = urlparse(path)
+        root = p.path if p.scheme in ("", "file") else None
+        if root is None or not os.path.isdir(root):
+            return 0
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
 
 
 def compact_parquet(
@@ -47,32 +59,68 @@ def compact_parquet(
 ) -> DataFrame:
     """Rewrite a parquet directory into ~target_file_bytes files.
 
-    File count is derived from the *source bytes on disk* (compressed
-    columnar size — the right estimator for the compacted output,
-    unlike row counts). On non-local filesystems where the cheap local
-    stat is unavailable, falls back to a single output file per
-    shuffle partition via AQE coalescing.
+    File count is derived from the *source bytes on storage*
+    (compressed columnar size — the right estimator for the compacted
+    output, unlike row counts), measured through the Hadoop FileSystem
+    API so the same call works on local disk, HDFS, and object
+    stores. If the size probe fails entirely, a keyless single-round
+    repartition(1) guarantees the output is still compacted (one
+    file) rather than silently preserving the source fragmentation.
     """
     df = spark.read.parquet(src_dir)
-    total = _local_dir_bytes(src_dir)
-    if total > 0:
-        n = max(1, math.ceil(total / target_file_bytes))
-        df = df.repartition(n)
-    df.write.mode("overwrite").parquet(dst_dir)
+    total = _dir_bytes(spark, src_dir)
+    n = max(1, math.ceil(total / target_file_bytes)) if total > 0 else 1
+    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir)
 
 
 def snapshot_upsert(
-    base: DataFrame, updates: DataFrame, key_cols: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    latest_by: str | None = None,
 ) -> DataFrame:
     """MERGE semantics on plain DataFrames: rows of ``updates`` replace
     base rows sharing the same key; unmatched update rows are inserts.
 
-    Plan: anti-join the base against the update keys (delta keys are
-    small → broadcast; the base is never shuffled), then union the
-    updates back in. Equivalent to
-    ``MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for
-    whole-row updates."""
+    A delta batch MAY carry several rows for one key (a CDC stream
+    usually does). Unioning them all back would corrupt the
+    snapshot's one-row-per-key invariant (code-review r6 finding —
+    real MERGE errors on multiple matches), so the updates side is
+    resolved FIRST: with ``latest_by`` the highest value per key wins
+    (ties broken arbitrarily but deterministically by that column's
+    window order); without it, duplicate update keys are a caller bug
+    and raise.
+
+    Plan: per-key resolution is a window over the DELTA only (small),
+    then anti-join the base against the update keys (delta keys are
+    small → broadcast; the base is never shuffled), then union.
+    Equivalent to ``MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT`` for whole-row updates."""
+    from pyspark.sql.window import Window
+
+    if latest_by is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(latest_by).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = tuple(dup[0][k] for k in key_cols)
+            raise ValueError(
+                f"updates contain multiple rows for key {key!r}; pass "
+                "latest_by=<ordering column> to resolve, or dedup the "
+                "delta first"
+            )
     survivors = base.join(
         updates.select(*key_cols).dropDuplicates(key_cols),
         key_cols,

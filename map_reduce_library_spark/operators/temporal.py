@@ -94,7 +94,17 @@ def range_join(
     right.ts). Bucketed: each left row probes its own and the previous
     bucket only, so join fan-out stays O(rows-per-bucket), not O(n·m).
     Output columns are prefixed ``{left_alias}_`` / ``{right_alias}_``.
+
+    ``tolerance_seconds`` must be positive: 0 divides the bucket
+    width away (DIVIDE_BY_ZERO under Spark 4's default ANSI mode —
+    code-review r6); 'at most 0 seconds apart' is an equi-join on
+    (by, ts), which needs no range machinery.
     """
+    if tolerance_seconds <= 0:
+        raise ValueError(
+            "tolerance_seconds must be > 0; for exact-timestamp "
+            f"matches join on ({by}, {ts}) directly"
+        )
     bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / (tolerance_seconds * 1_000_000))  # noqa: E731
     lt = left.select(
         F.col(by).alias("__by"),

@@ -135,11 +135,15 @@ def lang_id(
     ).select(id_col, *[f"score_{lang}" for lang in STOPWORDS], "pred_lang")
 
 
-def token_counts(
+def token_accounting(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Token accounting: whitespace tokens, BPE-ish pretokens, chars —
-    the unit economics of an LLM data pipeline."""
+    the unit economics of an LLM data pipeline. (Named
+    ``token_accounting`` because ``operators.dedup.token_counts`` is a
+    DIFFERENT public relation — (id, tok, cnt), the one BM25's
+    ``counted=`` consumes; two same-named functions with incompatible
+    shapes was an import trap, code-review r6.)"""
     return df.select(
         id_col,
         F.size(_toks(text_col)).cast("bigint").alias("ws_tokens"),
@@ -181,10 +185,23 @@ def repetition_stats(
                 - F.size(F.array_distinct("toks"))
                 / F.col("n_tokens").cast("double")
             ).alias("dup_token_ratio"),
+            # mode count via adjacent-run max over the SORTED array:
+            # O(n log n) per row. The transform(distinct, d ->
+            # filter(...)) form is O(distinct × n) — quadratic on
+            # mostly-distinct crawl docs (code-review r6); the sf0.01
+            # oracle keeps that form, so the two different algorithms
+            # computing the same mode count is itself a differential.
             F.expr(
-                "array_max(transform(array_distinct(toks), "
-                "d -> size(filter(toks, t -> t = d)))) "
-                "/ cast(size(toks) AS double)"
+                "aggregate(array_sort(toks),"
+                " named_struct('prev', cast(null AS string),"
+                "              'run', 0, 'best', 0),"
+                " (acc, x) -> named_struct("
+                "   'prev', x,"
+                "   'run', IF(acc.prev <=> x, acc.run + 1, 1),"
+                "   'best', greatest(acc.best,"
+                "                    IF(acc.prev <=> x, acc.run + 1, 1))),"
+                " acc -> acc.best)"
+                " / cast(size(toks) AS double)"
             ).alias("top_token_ratio"),
             F.expr(
                 "CASE WHEN size(g3) = 0 THEN 0.0 ELSE "

@@ -21,7 +21,7 @@ from map_reduce_library_spark.operators.text import (
     quality_filter,
     repetition_stats,
     text_stats,
-    token_counts,
+    token_accounting,
 )
 from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.querydefs._fragments import (
@@ -77,7 +77,7 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token accounting."""
-    return token_counts(load_table(spark, sf_dir, "documents"))
+    return token_accounting(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -169,12 +169,14 @@ def _load_verified() -> dict[str, int]:
         if name not in QUERIES or not isinstance(entry, dict):
             continue
         if entry.get("oracle_md5") != md5(ORACLES.get(name)):
+            _STALE_SELF.add(name)
             continue  # oracle changed since green -> stale
         try:
             fn_md5 = md5(inspect.getsource(QUERIES[name]))
         except (OSError, TypeError):
             fn_md5 = None
         if entry.get("fn_md5") != fn_md5:
+            _STALE_SELF.add(name)
             continue  # querydef changed since green -> stale
         # Legacy entries lack deps_md5; only entries that recorded one
         # are held to it (update_ledger stamps it from this function).
@@ -186,6 +188,12 @@ def _load_verified() -> dict[str, int]:
     return out
 
 
+# Stale entries whose OWN oracle or querydef source changed (vs
+# deps-only demotions, where an operator module the querydef merely
+# references was edited). When demotions outnumber the driver's
+# 50-slot cap, the self-changed ones carry the most re-verification
+# risk and must be sampled first.
+_STALE_SELF: set[str] = set()
 _VERIFIED = _load_verified()
 
 
@@ -247,13 +255,20 @@ def _order_key(name: str) -> tuple:
     # green ever drifts more than a couple of rounds stale.
     age = _VERIFIED.get(name, 0)
     # Among unverified: never-green first (no trustworthy correctness
-    # signal EVER — never sampled, or every sampled row was red),
-    # staleness-demoted re-checks after.
-    never_green = 0 if name not in _EVER_GREEN else 1
+    # signal EVER — never sampled, or every sampled row was red), then
+    # re-checks whose OWN querydef/oracle changed (semantic edits —
+    # highest re-verification risk), then deps-only demotions (an
+    # operator module the querydef references was edited).
+    if name not in _EVER_GREEN:
+        tier = 0
+    elif name in _STALE_SELF:
+        tier = 1
+    else:
+        tier = 2
     return (
         verified,
         name not in ORACLES,
-        canary if verified else never_green,
+        canary if verified else tier,
         age,
         name,
     )

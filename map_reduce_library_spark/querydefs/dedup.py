@@ -119,6 +119,29 @@ def shared_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARED_EXACT_EMB: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_exact_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUADRATIC exact all-pairs cosine relation (ground truth for
+    the LSH path), materialized once per (session, sf_dir): both
+    ``embedding_cosine_dups`` and ``emb_dedup_recall`` consume it, and
+    the blocked matmul is the most expensive single relation in the
+    family — it must not run twice (code-review r6)."""
+    from map_reduce_library_spark.operators.dedup import (
+        embedding_dup_pairs,
+    )
+
+    return shared_checkpoint(
+        _SHARED_EXACT_EMB,
+        spark,
+        sf_dir,
+        lambda: embedding_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+        ),
+    )
+
+
 def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.dedup import connected_components
 
@@ -551,6 +574,13 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard, mirroring operators/similarity._prep: 0/0
+         cosine is NaN, and DuckDB orders NaN ABOVE every float, so an
+         unguarded oracle would pass 'NaN >= threshold' and emit pairs
+         the engine (numpy/Spark, NaN comparisons false) never makes.
+         Line comments are unusable here: register() collapses the
+         SQL to one line. */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS cosine
@@ -564,10 +594,9 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUND-TRUTH-ONLY: quadratic in the corpus however well blocked —
     the production path is ``embedding_cosine_dups_lsh`` below, and
     this variant is excluded from the bench headline exactly like
-    ``ngram_jaccard_pairs``."""
-    return embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
-    )
+    ``ngram_jaccard_pairs``. Checkpoint-shared with
+    ``emb_dedup_recall`` (one blocked matmul per session+sf)."""
+    return shared_exact_emb_pairs(spark, sf_dir)
 
 
 def _emb_lsh_oracle() -> str:
@@ -580,6 +609,13 @@ def _emb_lsh_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard, mirroring operators/similarity._prep: 0/0
+         cosine is NaN, and DuckDB orders NaN ABOVE every float, so an
+         unguarded oracle would pass 'NaN >= threshold' and emit pairs
+         the engine (numpy/Spark, NaN comparisons false) never makes.
+         Line comments are unusable here: register() collapses the
+         SQL to one line. */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     sigd AS (
       {_oracle_banded_sigs_cte('e')}
@@ -610,7 +646,8 @@ def _emb_recall_oracle() -> str:
     WITH exact_pairs AS ({ORACLES["embedding_cosine_dups"]}),
     lsh_pairs AS ({ORACLES["embedding_cosine_dups_lsh"]})
     SELECT count(*) AS n_exact, count(l.vec_a) AS n_hits,
-           count(l.vec_a) / CAST(count(*) AS DOUBLE) AS recall
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE count(l.vec_a) / CAST(count(*) AS DOUBLE) END AS recall
     FROM exact_pairs e LEFT JOIN lsh_pairs l
       ON e.vec_a = l.vec_a AND e.vec_b = l.vec_b
     """
@@ -624,14 +661,22 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing's miss rate is MEASURED, not assumed (its oracle alone
     only proves implementation parity). Contains the quadratic
     ground-truth side, so it is bench-excluded with the other
-    ground-truth variants; the driver checks it at sf0.01."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact = embedding_dup_pairs(emb, COSINE_DUP_THRESHOLD).select(
+    ground-truth variants; the driver checks it at sf0.01.
+
+    An empty ground-truth set yields recall NULL on BOTH engines (the
+    unguarded 0/0 was an ANSI DIVIDE_BY_ZERO on Spark and NaN on
+    DuckDB — divergent either way; code-review r6). The quadratic
+    exact relation is checkpoint-shared with
+    ``embedding_cosine_dups`` so a session running both computes the
+    blocked matmul once."""
+    exact = shared_exact_emb_pairs(spark, sf_dir).select(
         "vec_a", "vec_b"
     )
     lsh = shared_emb_dup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("la"), F.col("vec_b").alias("lb")
     )
+    n_exact = F.count(F.lit(1))
+    n_hits = F.count("la")
     return (
         exact.join(
             lsh,
@@ -639,11 +684,10 @@ def emb_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("la").alias("n_hits"),
-            (F.count("la") / F.count(F.lit(1)).cast("double")).alias(
-                "recall"
-            ),
+            n_exact.alias("n_exact"),
+            n_hits.alias("n_hits"),
+            F.when(n_exact > 0, n_hits / n_exact.cast("double"))
+            .alias("recall"),
         )
     )
 
@@ -661,6 +705,13 @@ def _emb_clusters_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard, mirroring operators/similarity._prep: 0/0
+         cosine is NaN, and DuckDB orders NaN ABOVE every float, so an
+         unguarded oracle would pass 'NaN >= threshold' and emit pairs
+         the engine (numpy/Spark, NaN comparisons false) never makes.
+         Line comments are unusable here: register() collapses the
+         SQL to one line. */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     sigd AS (
       {_oracle_banded_sigs_cte('e')}
@@ -957,6 +1008,13 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n = deg.count()
+    if n == 0:
+        # Empty candidate graph (no band collisions at this sf):
+        # degrade to the empty result like the oracle does instead of
+        # raising ZeroDivisionError on the driver (code-review r6).
+        return spark.createDataFrame(
+            [], "doc_id bigint, pagerank double"
+        )
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
     for it in range(_PR_ITERS):
         contribs = (

@@ -420,13 +420,11 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and returned lines from other suppliers — one aggregate each
     # side of a self-join on the order key.
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("n_ret"),
     )
     per_o = per_os.groupBy("l_orderkey").agg(
-        F.sum("n_lines").alias("o_lines"),
         F.sum("n_ret").alias("o_ret"),
         F.count(F.lit(1)).alias("o_supps"),
     )
@@ -553,17 +551,22 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an uncorrelated NOT-IN supplier exclusion), adapted to this
     schema: lineitem is the part↔supplier bridge (no partsupp table)
     and the excluded set is negative-balance suppliers (no comment
-    column). Spark-first: the exclusion list is a broadcast
-    left-anti join (s_suppkey is non-null, so NOT IN ≡ anti-join
-    here), the part dimension broadcasts into the fact scan with the
-    p_size IN filter pushed down, and the distinct count shuffles
-    (brand, type, size, suppkey) partial-deduped map-side."""
+    column). Spark-first: the exclusion list is a broadcast left-anti
+    join plus the FULL three-valued NOT IN semantics (an anti-join
+    alone keeps NULL-suppkey rows that SQL's NOT IN drops whenever
+    the exclusion list is non-empty — code-review r6; the one-row
+    list-size scalar broadcast makes the empty-list case, where NOT
+    IN is vacuously true even for NULL, exact too). The part
+    dimension broadcasts into the fact scan with the p_size IN filter
+    pushed down, and the distinct count shuffles (brand, type, size,
+    suppkey) partial-deduped map-side."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = (
         _t(spark, sf_dir, "supplier")
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    n_bad = bad.agg(F.count(F.lit(1)).alias("__n_bad"))
     p = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_size").isin(1, 5, 9, 13))
@@ -571,6 +574,8 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .crossJoin(F.broadcast(n_bad))
+        .where(F.col("l_suppkey").isNotNull() | (F.col("__n_bad") == 0))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -53,6 +53,9 @@ ALLOWED_SCALAR_ATTACH = {
     # attached to the price scan for the bucket fold
     "equi_depth_price_histogram",
     "equi_depth_price_histogram_exact",
+    # one-row NOT-IN-list-size scalar for exact three-valued NOT IN
+    # (empty exclusion list keeps NULL-key rows)
+    "parts_supplier_relationship",
 }
 
 # Brute-force similarity baselines: a BOUNDED query-vector set (pushed
@@ -129,6 +132,8 @@ ALLOWED_SINGLE_PARTITION = {
     # (sketch headline / holistic oracle twin)
     "equi_depth_price_histogram",
     "equi_depth_price_histogram_exact",
+    # final merge of the one-row NOT-IN-list-size aggregate
+    "parts_supplier_relationship",
     # final merge of the one-row expectations aggregate (every rule is
     # a partial sum over the scan; the report itself is 6 rows)
     "data_quality_report",

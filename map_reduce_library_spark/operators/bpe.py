@@ -118,12 +118,21 @@ def apply_merge(symtab: DataFrame, best: DataFrame) -> DataFrame:
 def bpe_learn(
     docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
 ) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns (step, left_sym,
-    right_sym, pair_count), step 1-based in merge order."""
+    """Learn up to ``n_merges`` BPE merges; returns (step, left_sym,
+    right_sym, pair_count), step 1-based in merge order. Stops EARLY
+    (fewer rows) when the corpus runs out of adjacent pairs — every
+    word collapsed to one symbol — matching the pure-Python reference
+    and the oracle, which both stop emitting; without the emptiness
+    check the empty winner's crossJoin silently WIPED the symbol
+    table (code-review r6)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     symtab = word_symbol_table(docs, text_col).localCheckpoint()
     steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         best = best_pair(pair_counts(symtab)).localCheckpoint()
+        if best.isEmpty():
+            break  # fully merged: no pair left anywhere in the corpus
         steps.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -134,6 +143,11 @@ def bpe_learn(
         )
         if step < n_merges:
             symtab = apply_merge(symtab, best).localCheckpoint()
+    if not steps:  # zero learnable merges (e.g. all 1-char words)
+        return docs.sparkSession.createDataFrame(
+            [],
+            "step int, left_sym string, right_sym string, pair_count long",
+        )
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
@@ -189,6 +203,12 @@ def bpe_segment(
         + [StructField("syms", ArrayType(StringType()), False)]
     )
 
+    # Zipf: frequent tokens arrive early, so a simple insert-until-full
+    # cap keeps the memo's hit rate while bounding Python-worker memory
+    # on high-cardinality partitions (an unbounded dict grows with
+    # distinct tokens for the task's lifetime; code-review r6).
+    memo_cap = 1 << 20
+
     def _segment_batches(batches):
         cache: dict[str, list[str]] = {}
 
@@ -209,7 +229,8 @@ def bpe_segment(
                         merged.append(x)
                 syms = merged
                 pairs = set(zip(syms, syms[1:]))
-            cache[token] = syms
+            if len(cache) < memo_cap:
+                cache[token] = syms
             return syms
 
         for pdf in batches:

@@ -43,6 +43,18 @@ def bucketed_join(
 
 
 def exchanges_in_plan(df: DataFrame) -> int:
-    """Count shuffle exchanges in the executed plan (AQE-resolved)."""
+    """Count SHUFFLE exchanges of any partitioning (hash, range,
+    round-robin, single-partition) in the physical plan.
+    BroadcastExchange is deliberately excluded — it ships a small
+    build side, not a shuffle. (The old literal
+    'Exchange hashpartitioning' count let a rangepartitioning sort
+    shuffle 'prove' a plan exchange-free; code-review r6.)
+
+    Note: before the query has executed, AQE plans print their
+    INITIAL shape (isFinalPlan=false) — runtime re-optimization can
+    only remove exchanges, so the pre-execution count is an upper
+    bound."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange hashpartitioning")
+    return len(re.findall(r"(?<![A-Za-z])Exchange ", plan))

@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bigram_zip_expr(body: str) -> str:
+    """zip_with over the two adjacent slices of a ``toks`` array — THE
+    corpus definition of adjacent-token bigrams, shared by this LM
+    scorer and ``bigram_counts`` (querydefs/relational11.py) so the
+    bigram key (separator, empty-token guard) cannot drift between
+    the count table and the model scored against it."""
+    return (
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        f" (a, b) -> {body})"
+    )
+
+
 def bigram_nll_scores(
     docs: DataFrame | None = None,
     text_col: str = "text",
@@ -46,11 +59,11 @@ def bigram_nll_scores(
     else:
         t = docs.select(id_col, F.split(text_col, " ", -1).alias("toks"))
     pair = F.expr(
-        "explode(zip_with("
-        " slice(toks, 1, greatest(size(toks) - 1, 0)),"
-        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
-        " (a, b) -> named_struct('tok_a', a, 'bigram',"
-        "                        concat(a, ' ', b))))"
+        "explode("
+        + bigram_zip_expr(
+            "named_struct('tok_a', a, 'bigram', concat(a, ' ', b))"
+        )
+        + ")"
     )
     occ = t.select(id_col, pair.alias("pr")).select(
         id_col, "pr.tok_a", "pr.bigram"

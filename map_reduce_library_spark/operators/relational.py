@@ -35,8 +35,12 @@ def dsum(col: str | Column, alias: str) -> Column:
 
 
 def davg(col: str | Column, alias: str) -> Column:
-    """Deterministic AVG: exact decimal sum / count, double division."""
-    return (F.sum(dec(col)).cast("double") / F.count(F.lit(1))).alias(alias)
+    """Deterministic AVG: exact decimal sum / count of NON-NULL values
+    (F.count(col), matching SQL AVG's null semantics — dividing by
+    the row count diverges the moment the column is nullable;
+    code-review r6), double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
 
 
 def topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:

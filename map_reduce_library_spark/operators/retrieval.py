@@ -49,6 +49,8 @@ def rrf_fuse(
     sum is bit-identical across engines evaluating the same fixed
     expression. Rounded to 9 dp before the final cut (the corpus-wide
     reproducible-ranking convention, see bm25_topk)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     fused: DataFrame | None = None
     for name, r in rankings.items():
         part = r.select(
@@ -57,7 +59,6 @@ def rrf_fuse(
         fused = part if fused is None else fused.join(
             part, id_col, "full_outer"
         )
-    assert fused is not None, "need at least one ranking"
     score = None
     for name in rankings:
         term = F.coalesce(

@@ -13,7 +13,7 @@ equivalents row-for-row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,11 +32,19 @@ def salted_join(
     side, which is exactly the trade you want when right ≪ left.
 
     Left-row salt derives from xxhash64 of ALL left columns (not a
-    random() — deterministic retries matter at scale).
+    random() — deterministic retries matter at scale). Limitation:
+    rows BYTE-IDENTICAL in every column share one salt, so a hot key
+    whose rows are full duplicates (the same bot row repeated 10⁹
+    times) does not spread — run exact dedup first, or add a
+    discriminating column (ingest offset, file name) before salting.
+    Distinct-content rows under one hot key (the common case) spread
+    uniformly.
 
     Only ``how`` in {'inner', 'left', 'left_semi'} is legal: the right
     side is replicated ``salt`` times, so right/full outer joins would
     emit each unmatched right row ``salt`` times."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, got {how!r}: "
@@ -58,13 +66,20 @@ def two_phase_agg(
     key: str,
     value: str,
     salt: int = 16,
+    value_type: str = "decimal(28,2)",
 ) -> DataFrame:
     """SUM aggregation immune to hot keys: phase 1 aggregates on
     (key, salt) — hot keys split across ``salt`` partial groups —
     phase 2 merges the partials per key. Spark's own partial
     aggregation already does this per-task; explicit salting adds the
     cross-task split for keys hot enough to overwhelm single reducers.
-    Decimal accumulation keeps the result bit-equal to a direct sum.
+    Decimal accumulation makes the result independent of partial
+    order AND bit-equal to an unsalted decimal sum — but each value is
+    first CAST to ``value_type``, so inputs with more fractional
+    digits than its scale are rounded before summing (the 2dp default
+    fits money columns; pass e.g. 'decimal(28,9)' for finer data —
+    code-review r6: the old docstring claimed bit-equality to a
+    direct sum unconditionally).
 
     The salt hashes ALL columns (row content), never
     monotonically_increasing_id(): a nondeterministic expression
@@ -73,11 +88,13 @@ def two_phase_agg(
     dropping rows (SPARK-23207). Content-hashing keeps every retry
     bit-identical; rows identical in all columns land in the same
     (key, salt) partial, which is harmless for sum/count."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
     )
     partial = salted.groupBy(key, "__salt").agg(
-        F.sum(F.col(value).cast("decimal(28,2)")).alias("__psum"),
+        F.sum(F.col(value).cast(value_type)).alias("__psum"),
         F.count(F.lit(1)).alias("__pcnt"),
     )
     return partial.groupBy(key).agg(

@@ -86,14 +86,11 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split limit -1, the reference tokenizer contract). Token arrays
     come from the shared tokenized-corpus checkpoint — the text is
     scanned and split once for the whole token-query family."""
+    from map_reduce_library_spark.operators.lm import bigram_zip_expr
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
     t = shared_doc_tokens(spark, sf_dir)
-    bigrams = F.expr(
-        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))"
-    )
+    bigrams = F.expr(bigram_zip_expr("concat(a, ' ', b)"))
     return (
         t.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

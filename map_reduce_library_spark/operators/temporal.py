@@ -37,7 +37,12 @@ def asof_join(
     Returns ``left`` plus ``{c}{suffix}`` for each of ``right_cols``
     (NULL when no prior right row exists). Ties on ``ts`` resolve to
     the right row (right sorts before left at equal ts), matching
-    at-or-before semantics.
+    at-or-before semantics. Among MULTIPLE right rows at the same
+    (by, ts), the greatest ``right_cols`` tuple wins — an explicit
+    total order; without it the window sort was tie-ambiguous and the
+    attached row could vary per run/partitioning (code-review r6;
+    DuckDB's native ASOF picks arbitrarily on such ties, so oracle
+    differentials need tie-free data — pinned by test).
 
     The attached columns are carried as ONE struct filled with a
     single last(ignorenulls) — filling each column independently
@@ -65,7 +70,9 @@ def asof_join(
     unioned = lt.unionByName(rt.select(*lt.columns))
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts).asc(), F.col("__side").asc(), F.col("__asof").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

@@ -289,7 +289,7 @@ Z_THRESHOLD = 1.5
 )
 def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: days whose event count sits >=
-    {Z_THRESHOLD} sample standard deviations from that event type's
+    Z_THRESHOLD (1.5) sample standard deviations from that event type's
     mean. One shuffle builds the daily series; the per-type moment
     relation (|event types| rows) broadcasts back onto it. z is
     rounded to 6 dp BEFORE thresholding so the cut is reproducible

@@ -86,16 +86,9 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    sink = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    from map_reduce_library_spark.streaming.events import run_to_memory
+
+    return run_to_memory(agg, "sliding", "complete")
 
 
 @register(
@@ -147,16 +140,9 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    sink = f"streamstatic_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    from map_reduce_library_spark.streaming.events import run_to_memory
+
+    return run_to_memory(agg, "streamstatic", "complete")
 
 
 @register(
@@ -218,7 +204,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+                  > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
       FROM events
     ),
     s AS (
@@ -239,11 +225,14 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE dynamic session windows (``F.session_window``)
     in batch mode: one groupBy does the gap-merge and the aggregate —
     no window-function pass, no island bookkeeping.  Boundary
-    semantics: an event exactly ``gap`` after its predecessor starts a
-    NEW session (window ends are exclusive), hence the ``>=`` in the
-    lag-based oracle — one tick stricter than ``sessionize_events``'s
-    ``>``.  session_end = last event + gap (union of half-open
-    per-event windows)."""
+    semantics (EMPIRICALLY pinned on Spark 4.1.2, code-review r6): an
+    event exactly ``gap`` after its predecessor MERGES into the same
+    session — Spark merges touching per-event windows, not just
+    overlapping ones — so the lag-based oracle splits strictly on
+    ``>`` (same tick as ``sessionize_events``; the old ``>=`` claimed
+    exclusive-end splitting Spark does not do, a latent red waiting
+    for two events exactly 30 min apart).  session_end = last event +
+    gap."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -273,7 +262,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+                  > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
       FROM events
     ),
     s AS (
@@ -317,8 +306,12 @@ def foreach_batch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming lacks natively; checkpointed, exactly-once per batch
     id), then the landed files are read back and aggregated — the
     totals must equal the batch answer, proving no batch was lost,
-    duplicated, or partially written. A fresh checkpoint/output dir
-    per invocation keeps the query idempotent."""
+    duplicated, or partially written. The landed aggregate is
+    materialized (localCheckpoint) so the scratch dir — a full copy
+    of the events table plus checkpoint state — can be REMOVED before
+    returning; repeated driver/bench invocations previously grew /tmp
+    without bound (code-review r6)."""
+    import shutil
     import tempfile
 
     from map_reduce_library_spark.streaming.events import (
@@ -326,14 +319,20 @@ def foreach_batch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = tempfile.mkdtemp(prefix="mrls_febc_")
-    stream_events_to_parquet(spark, sf_dir, f"{base}/out", f"{base}/ckpt")
-    return (
-        spark.read.parquet(f"{base}/out")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("value_sum"),
+    try:
+        stream_events_to_parquet(
+            spark, sf_dir, f"{base}/out", f"{base}/ckpt"
         )
-    )
+        return (
+            spark.read.parquet(f"{base}/out")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -46,15 +46,38 @@ def get_session(
     cluster pass ``None`` and set the master through ``spark-submit``
     (an existing session is reused as-is).
     """
+    from pyspark import SparkConf
+
     par = _default_parallelism()
     if master is None:
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        if SparkConf().contains("spark.master"):
+            # spark-submit --master governs: calling .master() here
+            # would override it and silently run the job single-node
+            # on the driver (code-review r6).
+            master = None
+        else:
+            # SPARK_GRAFT_CPUS is validated like _default_parallelism
+            # does — a malformed value interpolated raw into the URL
+            # fails session creation ('local[abc]') or hangs it
+            # ('local[0]').
+            cpus = os.environ.get("SPARK_GRAFT_CPUS")
+            n = None
+            if cpus:
+                try:
+                    n = int(cpus)
+                except ValueError:
+                    n = None
+                if n is not None and n < 1:
+                    n = None
+            master = f"local[{n}]" if n else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = max(par, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -80,7 +103,12 @@ def get_session(
         # real 100-TB scans.
         .config("spark.sql.files.minPartitionNum", str(par))
     )
-    if master.startswith("local"):
+    effective_master = (
+        master
+        if master is not None
+        else SparkConf().get("spark.master", "")
+    )
+    if effective_master.startswith("local"):
         # The 4 MB default openCostInBytes models remote-FS open
         # latency and caps MB-scale local files at ~3 splits; local
         # SSD opens are ~free, so lower it to actually reach the

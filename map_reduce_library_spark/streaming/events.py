@@ -30,6 +30,32 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Drain a bounded stream (availableNow) through a uuid-named
+    in-memory sink and return the MATERIALIZED result. ONE definition
+    of the sink/trigger/await/read-back block that was copy-pasted
+    seven times across the streaming family (code-review r6) — and
+    the result is eagerly localCheckpoint'ed so the sink's temp view
+    can be DROPPED: without the drop, every invocation (driver round,
+    bench pass) left a uuid-named view holding its full result on the
+    driver heap for the session lifetime."""
+    spark = df.sparkSession
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.tables import (
         _ensure_nanos_conf,
@@ -80,16 +106,7 @@ def streaming_hourly_stats(
             "value_sum",
         )
     )
-    sink = f"hourly_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory(agg, "hourly_stats", "complete")
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,16 +126,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory(deduped, "dedup", "append")
 
 
 def stream_events_to_parquet(
@@ -128,11 +136,19 @@ def stream_events_to_parquet(
     the escape hatch for sinks Structured Streaming lacks natively
     (JDBC upserts, multi-table writes...). Here each micro-batch is
     appended to a parquet directory; the checkpoint makes the whole
-    pipeline restartable (exactly-once per batch id)."""
+    pipeline restartable. foreachBatch delivery is AT-LEAST-ONCE, so
+    each batch writes to its own batchId-keyed partition directory
+    with overwrite — a retried batch replaces its own partial output
+    instead of appending a duplicate copy (the old blind append was
+    only at-least-once while the docstring claimed exactly-once;
+    code-review r6). Readers of ``out_dir`` see partition column
+    ``batch_id`` alongside the event columns."""
     stream = read_events_stream(spark, sf_dir)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").parquet(out_dir)
+        bdf.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
@@ -197,15 +213,7 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
-    sink = f"tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    drained = run_to_memory(out, "tws", "update")
     # Last update per user wins across micro-batches. n_events is
     # monotone per user (each update only appends rows), so max of the
     # (n_events, value_micros) STRUCT selects the true latest update —
@@ -214,7 +222,7 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refunds/adjustments; code-review r6 finding).
     last = F.max(F.struct("n_events", "value_micros")).alias("last")
     return (
-        spark.table(sink)
+        drained
         .groupBy("user_id")
         .agg(last)
         .select(
@@ -253,19 +261,10 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # Last update per user wins (a single availableNow pass may split
     # into several micro-batches).
     return (
-        spark.table(sink)
+        run_to_memory(counted, "sessionize", "update")
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
@@ -305,13 +304,4 @@ def streaming_session_windows(
             "total_value",
         )
     )
-    sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory(agg, "sessions", "complete")

@@ -30,6 +30,11 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     stream_events_to_parquet(spark, SF_SMOKE, out, ckpt)
     got = spark.read.parquet(out)
+    # batch_id partition dirs are the replay-idempotence layout (a
+    # retried batch overwrites its own directory instead of appending
+    # a duplicate copy)
+    assert "batch_id" in got.columns
+    got = got.drop("batch_id")
     want = load_table(spark, SF_SMOKE, "events")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0

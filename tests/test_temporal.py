@@ -116,3 +116,53 @@ def test_scd2_semantics(spark):
         for prev, nxt in zip(ivs, ivs[1:]):
             assert prev.valid_to == nxt.valid_from
             assert prev.state != nxt.state  # maximal runs
+
+
+def test_asof_tie_break_is_deterministic(spark):
+    """Multiple right rows at the same (by, ts): the greatest
+    right-cols tuple wins, stably across partitionings (the
+    tie-ambiguous sort previously attached whichever row happened to
+    sort last; code-review r6)."""
+    left = spark.createDataFrame(
+        [(1, 100)], "user_id bigint, ts bigint"
+    ).selectExpr("user_id", "timestamp_micros(ts * 1000000) AS ts")
+    right = spark.createDataFrame(
+        [(1, 50, 7, 1.0), (1, 50, 9, 2.0), (1, 50, 8, 3.0)],
+        "user_id bigint, tsec bigint, rid bigint, v double",
+    ).selectExpr(
+        "user_id", "timestamp_micros(tsec * 1000000) AS ts", "rid", "v"
+    )
+    from map_reduce_library_spark.operators.temporal import asof_join
+
+    for parts in (1, 7):
+        got = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            ts="ts",
+            by="user_id",
+            right_cols=["rid", "v"],
+        ).collect()
+        assert len(got) == 1
+        assert (got[0].rid_asof, got[0].v_asof) == (9, 2.0)
+
+
+def test_asof_oracle_data_is_tie_free(spark):
+    """The asof oracle uses DuckDB's NATIVE ASOF JOIN, which picks
+    arbitrarily among equal-(user, ts) purchases — the differential
+    is only meaningful while the testdata has no such ties. Flag the
+    latent divergence loudly if the generator ever changes."""
+    from tests.conftest import SF_CORRECTNESS
+
+    ev = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    dup = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0, (
+        "purchases now contain (user_id, ts) ties; the native-ASOF "
+        "oracle is arbitrary on ties - rewrite it as a window with "
+        "the operator's greatest-tuple tie-break"
+    )

@@ -158,7 +158,16 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         F.explode(F.split("text", " ", -1)).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Materialize the vocabulary counts ONCE: the grand total and the
+    # threshold filter are two plan branches over the same relation,
+    # and without the checkpoint the full tokenize+aggregate pass ran
+    # twice per query (code-review r6). The checkpointed relation is
+    # |vocab| rows — tiny next to the corpus scan it saves.
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("cnt").alias("n"))
     return (
         counts.crossJoin(F.broadcast(total))

@@ -53,6 +53,12 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, token string, n_chars int")
     class TokenStats:
         def eval(self, doc_id, text):
+            if text is None:
+                # NULL text contributes no rows — the same absent-row
+                # semantics the oracle's string_split(NULL) -> unnest
+                # produces; unguarded, None.split crashed the whole
+                # job while DuckDB returned quietly (code-review r6).
+                return
             for pos, token in enumerate(text.split(" ")):
                 yield doc_id, pos, token, len(token)
 
@@ -72,7 +78,7 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGEGEN_CLS = None
-_RANGEGEN_REGISTERED: set[str] = set()
+_RANGEGEN_REGISTERED: set[int] = set()  # id(SparkSession)
 
 
 def _rangegen_source():
@@ -142,12 +148,15 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     external system (REST API, proprietary format) as a first-class,
     partition-parallel Spark source. No driver-side materialization:
     each partition generates only its own slice. Registration is
-    once-per-session (re-registering an identical source every call
-    only adds JVM round-trips)."""
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _RANGEGEN_REGISTERED:
+    once-per-SESSION: ``spark.dataSource.register`` is SparkSession-
+    scoped state, so the guard keys on the session object — the old
+    applicationId key skipped registration for a second session in
+    the same application (spark.newSession()) and the read failed
+    with DATA_SOURCE_NOT_FOUND (code-review r6)."""
+    session_key = id(spark)
+    if session_key not in _RANGEGEN_REGISTERED:
         spark.dataSource.register(_rangegen_source())
-        _RANGEGEN_REGISTERED.add(app_id)
+        _RANGEGEN_REGISTERED.add(session_key)
     return (
         spark.read.format("rangegen")
         .option("n", 200)

@@ -14,7 +14,6 @@ from map_reduce_library_spark.queries import register
 from map_reduce_library_spark.querydefs._fragments import (
     EMB_DIM,
     oracle_banded_sigs_cte as _oracle_banded_sigs_cte,
-    oracle_sig_sql as _oracle_sig_sql,
 )
 from map_reduce_library_spark.tables import load_table
 
@@ -50,6 +49,88 @@ def shared_banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARED_IVF_ASSIGNED: dict = {}
+
+
+def shared_ivf_assigned(
+    spark: SparkSession, sf_dir: str, n_probe: int, fitted: bool = False
+) -> DataFrame:
+    """The (vec_id, v, nrm, cell, probe_rank) IVF assignment relation,
+    materialized once per (session, sf_dir, probe-width, codebook):
+    ivf_ann_topk references it on BOTH join sides, so without the
+    checkpoint the O(n x centroids) crossJoin + window ranking ran
+    twice per query — and the recall gates re-ran it again
+    (code-review r6). At 100 TB the assignment IS the inverted-file
+    index: built once, read by every query."""
+    from map_reduce_library_spark.operators.similarity import (
+        ivf_assign_cells,
+    )
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+
+    cache = _SHARED_IVF_ASSIGNED.setdefault((n_probe, fitted), {})
+    return shared_checkpoint(
+        cache,
+        spark,
+        sf_dir,
+        lambda: ivf_assign_cells(
+            load_table(spark, sf_dir, "embeddings"),
+            N_CENTROIDS,
+            n_probe=n_probe,
+            centroids=(
+                shared_kmeans_centroids(spark, sf_dir) if fitted else None
+            ),
+        ),
+    )
+
+
+def _recall_oracle_for(ann_key: str) -> str:
+    """ONE recall@k oracle template (was copy-pasted per ANN variant;
+    code-review r6): exact top-k left-joined against the variant's
+    top-k, hit count normalized by the constant TOPK (immune to an
+    empty approx side, unlike dividing by a data-dependent count)."""
+    from map_reduce_library_spark.queries import ORACLES
+
+    return f"""
+    WITH exact_k AS ({ORACLES["cosine_topk"]}),
+    ann_k AS ({ORACLES[ann_key]}),
+    hits AS (
+      SELECT e.query_id, count(a.neighbor_id) AS n_hits
+      FROM exact_k e
+      LEFT JOIN ann_k a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
+    FROM hits
+    """
+
+
+def _recall_df(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """ONE Spark recall@k body shared by the three gates."""
+    a = approx.select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    return (
+        exact.join(
+            a,
+            (exact.query_id == a.query_id)
+            & (exact.neighbor_id == a.a_neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.count("a_neighbor_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
+        )
+    )
+
+
+
 @register(
     "cosine_topk",
     oracle=f"""
@@ -57,6 +138,10 @@ def shared_banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -88,6 +173,10 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     sigd AS (
       {_oracle_banded_sigs_cte('e')}
@@ -119,35 +208,13 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle() -> str:
-    from map_reduce_library_spark.queries import ORACLES
-
-    return f"""
-    WITH exact_k AS ({ORACLES["cosine_topk"]}),
-    ann_k AS ({ORACLES["ann_lsh_topk"]}),
-    hits AS (
-      SELECT e.query_id,
-             count(a.neighbor_id) AS n_hits
-      FROM exact_k e
-      LEFT JOIN ann_k a
-        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hits,
-           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
-    FROM hits
-    """
-
-
-@register("ann_recall_at_k", oracle=_recall_oracle())
+@register("ann_recall_at_k", oracle=_recall_oracle_for("ann_lsh_topk"))
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation: recall@k of the hyperplane-LSH
     ANN against the exact brute-force top-k, per query vector — the
     metric every ANN deployment tracks before trading exactness for
     throughput. Composes the two existing operators; the oracle
     composes their oracles identically."""
-    from pyspark.sql import functions as F
-
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, F.col("vec_id") < N_QUERIES, TOPK).select(
         "query_id", "neighbor_id"
@@ -158,22 +225,8 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         dim=EMB_DIM,
         sigs=shared_banded_sigs(spark, sf_dir),
-    ).select("query_id", F.col("neighbor_id").alias("ann_neighbor_id"))
-    return (
-        exact.join(
-            ann,
-            (exact.query_id == ann.query_id)
-            & (exact.neighbor_id == ann.ann_neighbor_id),
-            "left",
-        )
-        .groupBy(exact.query_id.alias("query_id"))
-        .agg(F.count("ann_neighbor_id").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
-        )
     )
+    return _recall_df(exact, ann)
 
 
 N_CENTROIDS = 16
@@ -185,6 +238,10 @@ N_CENTROIDS = 16
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     cents AS (SELECT vec_id AS cell, v AS vc, nrm AS nc FROM e
               WHERE vec_id < {N_CENTROIDS}),
@@ -222,6 +279,7 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < N_QUERIES,
         TOPK,
         n_centroids=N_CENTROIDS,
+        assigned=shared_ivf_assigned(spark, sf_dir, n_probe=1),
     )
 
 
@@ -234,6 +292,10 @@ def _ivf_multiprobe_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     cents AS (SELECT vec_id AS cell, v AS vc, nrm AS nc FROM e
               WHERE vec_id < {N_CENTROIDS}),
@@ -276,6 +338,7 @@ def ivf_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         n_centroids=N_CENTROIDS,
         n_probe=N_PROBE,
+        assigned=shared_ivf_assigned(spark, sf_dir, n_probe=N_PROBE),
     )
 
 
@@ -348,8 +411,11 @@ def _kmeans_cents_ctes(iters: int = KMEANS_ITERS) -> str:
       GROUP BY cell, i
     ),
     c{it} AS (
-      SELECT cell, vc, sqrt(list_dot_product(vc, vc)) AS nc FROM (
-        SELECT cell, list(m ORDER BY i) AS vc FROM m{it} GROUP BY cell)
+      SELECT cell, vc, nc FROM (
+        SELECT cell, vc, sqrt(list_dot_product(vc, vc)) AS nc FROM (
+          SELECT cell, list(m ORDER BY i) AS vc FROM m{it} GROUP BY cell))
+      /* zero-norm centroid guard, mirroring kmeans_centroids */
+      WHERE nc > 0
     )""")
     return ",".join(parts)
 
@@ -361,6 +427,10 @@ def _ivf_kmeans_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     {_kmeans_cents_ctes()},
     probes AS (
@@ -404,29 +474,15 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         n_probe=KMEANS_N_PROBE,
         centroids=shared_kmeans_centroids(spark, sf_dir),
+        assigned=shared_ivf_assigned(
+            spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
+        ),
     )
 
 
-def _ivf_kmeans_recall_oracle() -> str:
-    from map_reduce_library_spark.queries import ORACLES
-
-    return f"""
-    WITH exact_k AS ({ORACLES["cosine_topk"]}),
-    ivf_k AS ({ORACLES["ivf_kmeans_topk"]}),
-    hits AS (
-      SELECT e.query_id, count(a.neighbor_id) AS n_hits
-      FROM exact_k e
-      LEFT JOIN ivf_k a
-        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hits,
-           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
-    FROM hits
-    """
-
-
-@register("ivf_kmeans_recall_at_k", oracle=_ivf_kmeans_recall_oracle())
+@register(
+    "ivf_kmeans_recall_at_k", oracle=_recall_oracle_for("ivf_kmeans_topk")
+)
 def ivf_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the fitted-codebook IVF against exact brute-force
     top-k — MEASURED, so the k-means fit has to earn its keep against
@@ -446,44 +502,16 @@ def ivf_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         n_probe=KMEANS_N_PROBE,
         centroids=shared_kmeans_centroids(spark, sf_dir),
-    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
-    return (
-        exact.join(
-            ivf,
-            (exact.query_id == ivf.query_id)
-            & (exact.neighbor_id == ivf.ivf_neighbor_id),
-            "left",
-        )
-        .groupBy(exact.query_id.alias("query_id"))
-        .agg(F.count("ivf_neighbor_id").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
-        )
+        assigned=shared_ivf_assigned(
+            spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
+        ),
     )
+    return _recall_df(exact, ivf)
 
 
-def _ivf_recall_oracle() -> str:
-    from map_reduce_library_spark.queries import ORACLES
-
-    return f"""
-    WITH exact_k AS ({ORACLES["cosine_topk"]}),
-    ivf_k AS ({ORACLES["ivf_ann_multiprobe_topk"]}),
-    hits AS (
-      SELECT e.query_id, count(a.neighbor_id) AS n_hits
-      FROM exact_k e
-      LEFT JOIN ivf_k a
-        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-      GROUP BY e.query_id
-    )
-    SELECT query_id, n_hits,
-           n_hits / CAST({TOPK} AS DOUBLE) AS recall_at_k
-    FROM hits
-    """
-
-
-@register("ivf_recall_at_k", oracle=_ivf_recall_oracle())
+@register(
+    "ivf_recall_at_k", oracle=_recall_oracle_for("ivf_ann_multiprobe_topk")
+)
 def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of multi-probe IVF against the exact brute-force
     top-k — the measured-recall gate for the IVF path, mirroring
@@ -500,22 +528,9 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         n_centroids=N_CENTROIDS,
         n_probe=N_PROBE,
-    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
-    return (
-        exact.join(
-            ivf,
-            (exact.query_id == ivf.query_id)
-            & (exact.neighbor_id == ivf.ivf_neighbor_id),
-            "left",
-        )
-        .groupBy(exact.query_id.alias("query_id"))
-        .agg(F.count("ivf_neighbor_id").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            (F.col("n_hits") / F.lit(float(TOPK))).alias("recall_at_k"),
-        )
+        assigned=shared_ivf_assigned(spark, sf_dir, n_probe=N_PROBE),
     )
+    return _recall_df(exact, ivf)
 
 
 @register(
@@ -525,6 +540,10 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep (Spark
+         drops zero vectors; an unguarded oracle would rank NULL
+         cosines into trailing top-k slots) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
@@ -543,8 +562,8 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered vector search: top-{TOPK} same-LABEL neighbors for the
-    first {N_QUERIES} query vectors — the metadata-filter + ANN
+    """Filtered vector search: top-5 (TOPK) same-LABEL neighbors for
+    the first 20 (N_QUERIES) query vectors — the metadata-filter + ANN
     production pattern. The filter key converts the brute-force cross
     join into a broadcast hash equi-join (no BNLJ): distance math runs
     only inside each query's label partition."""

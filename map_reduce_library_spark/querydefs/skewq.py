@@ -57,7 +57,6 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/skew.py:19)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey"),
-        "l_suppkey",
         "l_extendedprice",
     )
     sup = load_table(spark, sf_dir, "supplier").select(

@@ -70,8 +70,10 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
                     * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -346,7 +348,11 @@ def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION (distinct set semantics)."""
+    """INTERSECT / EXCEPT / UNION (distinct SET semantics —
+    ``subtract``, not ``exceptAll().distinct()``: EXCEPT ALL keeps a
+    key whenever the left multiplicity exceeds the right's, so
+    post-distinct it can emit keys SQL EXCEPT excludes; code-review
+    r6)."""
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
@@ -357,7 +363,7 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     poor = cust.where(F.col("c_acctbal") < 0).select(
         F.col("c_nationkey").alias("nationkey")
     )
-    return rich.intersect(supp).union(poor.exceptAll(supp).distinct()).distinct()
+    return rich.intersect(supp).union(poor.subtract(supp)).distinct()
 
 
 # ---------------------------------------------------------------- window functions

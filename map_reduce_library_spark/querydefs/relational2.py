@@ -21,8 +21,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "json_extract_props",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) >= 50
                 THEN 'high' ELSE 'low' END AS k_bucket
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -89,25 +89,36 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "above_avg_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders o
-    WHERE o_totalprice > 2 * (
-      SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    WITH a AS (
+      SELECT o_custkey AS ck,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+             COUNT(o_totalprice) AS n
+      FROM orders GROUP BY o_custkey
     )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o JOIN a ON o.o_custkey = a.ck
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.n > 2 * a.tot
     """,
 )
 def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders > 2x their customer's
     average), decorrelated into a join on the aggregated side — the
-    plan Catalyst produces for the SQL form too. avg is compared, not
-    output, so float determinism is irrelevant here."""
+    plan Catalyst produces for the SQL form too. The threshold
+    CROSS-MULTIPLIES exact decimals (price·n > 2·total) instead of
+    comparing against a float avg: a float aggregate's partial-merge
+    order differs between engines by ulps, and an order landing
+    inside that window flips in or out of the result (code-review r6;
+    the same discipline as correlated_above_customer_avg and the Q11
+    scalar comparison)."""
     o = _t(spark, sf_dir, "orders")
-    avg_per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.avg("o_totalprice").alias("avg_price")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    agg_per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(price_dec).alias("tot"),
+        F.count("o_totalprice").alias("n"),
     )
     return (
-        o.join(avg_per_cust, o.o_custkey == avg_per_cust.ck)
-        .where(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        o.join(agg_per_cust, o.o_custkey == agg_per_cust.ck)
+        .where(price_dec * F.col("n") > 2 * F.col("tot"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 

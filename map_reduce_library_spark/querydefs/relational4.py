@@ -39,10 +39,13 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_uid"),
         # Spark's skewness is the population form g1; DuckDB reports
         # the bias-corrected sample form G1 = g1 * sqrt(n(n-1))/(n-2).
+        # n = count of NON-NULL values (count('value'), matching what
+        # skewness itself aggregates over — the row count diverges the
+        # moment the column is nullable; code-review r6).
         F.round(
             F.skewness("value")
-            * F.sqrt(F.count(F.lit(1)) * (F.count(F.lit(1)) - 1))
-            / (F.count(F.lit(1)) - 2),
+            * F.sqrt(F.count("value") * (F.count("value") - 1))
+            / (F.count("value") - 2),
             6,
         ).alias("skew"),
     )

@@ -114,7 +114,10 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: heavy two-fact join + agg + having, join back
     to the dimension, top-k. The fact⋈fact join shuffles on orderkey
     (bucketing both facts on orderkey removes it — see
-    operators/bucketing.py); the dimension join broadcasts."""
+    operators/bucketing.py); the dimension join broadcasts the
+    POST-HAVING aggregate (bounded by >1000-qty customers at any SF)
+    — broadcasting the customer table itself grows with SF and was
+    the wrong side (code-review r6)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cust = _t(spark, sf_dir, "customer")
@@ -129,7 +132,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_qty") > 1000)
     )
     return (
-        vol.join(F.broadcast(cust), vol.o_custkey == cust.c_custkey)
+        F.broadcast(vol)
+        .join(cust, vol.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "total_qty")
         .orderBy(F.col("total_qty").desc(), F.col("c_custkey"))
         .limit(10)

@@ -19,9 +19,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT vec_id,
-           round(list_reduce(list_transform(
-                   list_filter(v, x -> x > 0), x -> x * x),
-                 (a, b) -> a + b), 9) AS pos_sq_sum,
+           /* empty-list guard: DuckDB list_reduce ERRORS on an empty
+              input while Spark's aggregate(..., 0.0, ...) returns the
+              seed — an all-nonpositive vector would abort the whole
+              oracle (code-review r6) */
+           CASE WHEN len(list_filter(v, x -> x > 0)) = 0 THEN 0.0
+                ELSE round(list_reduce(list_transform(
+                        list_filter(v, x -> x > 0), x -> x * x),
+                      (a, b) -> a + b), 9) END AS pos_sq_sum,
            CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
            round(list_reduce(v, (a, b) -> CASE WHEN b > a THEN b ELSE a END),
                  9) AS vmax
@@ -94,21 +99,33 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "argmax_aggregates",
     oracle="""
-    SELECT event_type,
-           arg_max(event_id, value) AS biggest_event,
-           arg_min(event_id, value) AS smallest_event,
-           max(value) AS max_value
-    FROM events GROUP BY event_type
+    WITH m AS (SELECT event_type, max(value) AS mx, min(value) AS mn
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           max(CASE WHEN e.value = m.mx THEN e.event_id END)
+             AS biggest_event,
+           min(CASE WHEN e.value = m.mn THEN e.event_id END)
+             AS smallest_event,
+           max(e.value) AS max_value
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
     """,
 )
 def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (arg-max aggregates). Distinct double values in
-    this data make the arg unambiguous; with ties these would need a
-    struct-max tiebreak for determinism."""
+    """max_by/min_by (arg-max aggregates) with an EXPLICIT struct
+    tiebreak: the arg is max_by/min_by over (value, event_id), so
+    among tied extreme values the greatest/least event_id wins —
+    sf0.1 really does carry value ties (event_type 'error' has two
+    rows at its minimum), and the bare-column form was
+    partitioning-dependent there (code-review r6; the docstring's
+    old 'distinct values' assumption was false). The oracle derives
+    the same winner relationally (max/min id over rows equal to the
+    group extreme) — DuckDB's arg_max has no composite-value form."""
     ev = _t(spark, sf_dir, "events")
+    tie = F.struct("value", "event_id")
     return ev.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("biggest_event"),
-        F.min_by("event_id", "value").alias("smallest_event"),
+        F.max_by("event_id", tie).alias("biggest_event"),
+        F.min_by("event_id", tie).alias("smallest_event"),
         F.max("value").alias("max_value"),
     )
 

@@ -104,9 +104,12 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: ratio of conditional sum to total sum (both exact
-    decimal → double, so the division is deterministic); part dim
-    broadcast."""
+    """TPC-H Q14: ratio of conditional sum to total sum. The 100×
+    scaling multiplies the DECIMAL sum BEFORE the double cast,
+    matching the oracle's CAST(100.0 * SUM(...) AS DOUBLE) rounding
+    order — double-first then ×100 rounds twice and can differ by an
+    ulp once the sum outgrows exact double representation
+    (code-review r6); part dim broadcast."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -118,8 +121,7 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
-                F.lit(100.0)
-                * F.sum(promo).cast("double")
+                (F.sum(promo) * F.lit(100)).cast("double")
                 / F.sum(rev).cast("double")
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lines"),

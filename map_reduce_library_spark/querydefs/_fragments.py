@@ -1,5 +1,6 @@
 """Shared oracle SQL fragments — a LEAF module (imports only from
-``operators.text``, never from ``queries`` or sibling querydefs).
+``operators.*`` leaf modules — text and similarity — never from
+``queries`` or sibling querydefs).
 
 Why this exists (VERDICT r4, "What's wrong" §2): ``querydefs/dedup.py``
 used to read ``ORACLES["text_stats"]`` at import time to compose the

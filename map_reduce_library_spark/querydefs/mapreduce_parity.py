@@ -124,12 +124,23 @@ def mr_holistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from it
 
     def median_group(pdf):
+        import decimal
+
         import pandas as pd
 
+        # HALF_UP (away-from-zero) to 9dp, matching DuckDB's round()
+        # and Spark's F.round — Python's builtin round() is banker's
+        # (half-to-even) and diverges on exact half ties at the 10th
+        # decimal (code-review r6)
+        med = float(
+            decimal.Decimal(repr(float(pdf["value"].median()))).quantize(
+                decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "median_value": [round(pdf["value"].median(), 9)],
+                "median_value": [med],
                 "n": [len(pdf)],
             }
         )

@@ -127,5 +127,5 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "orig_len",
         "new_len",
-        F.upper(F.hex("resized")).alias("resized_hex"),
+        F.hex("resized").alias("resized_hex"),  # hex() is uppercase
     )

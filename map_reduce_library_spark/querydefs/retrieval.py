@@ -45,6 +45,9 @@ _RRF_ORACLE = f"""
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
+      /* zero-norm guard mirroring operators/similarity._prep, same
+         as the cosine_topk/ann_lsh_topk oracles (code-review r6) */
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     semk AS (
       SELECT doc_id, rnk FROM (

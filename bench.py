@@ -32,11 +32,28 @@ if str(_REPO) not in sys.path:
 from map_reduce_library_spark.queries import QUERIES  # noqa: E402
 from map_reduce_library_spark.session import get_session  # noqa: E402
 
-# Ground-truth-only variants, excluded from the headline benchmark
-# (deliberately quadratic oracles for the LSH-bucketed scale paths).
-# emb_dedup_recall embeds the quadratic exact side, so it is excluded
-# with them.
-SKIP = {"ngram_jaccard_pairs", "embedding_cosine_dups", "emb_dedup_recall"}
+# Ground-truth-only variants, excluded from the headline benchmark —
+# each exists to pin an oracle/accuracy bound for a scalable headline
+# twin and is deliberately unscalable by design:
+#   * quadratic all-pairs oracles for the LSH-bucketed scale paths
+#     (emb_dedup_recall embeds the quadratic exact side, so it is
+#     excluded with them);
+#   * single-buffer holistic percentile() twins, documented "correct
+#     only at oracle scale" — their scale paths are the
+#     approx_percentile sketch variants (equi_depth_price_histogram,
+#     approx_quantiles_price), which stay benched (VERDICT r6 §3:
+#     the SKIP policy applied consistently).
+# The exact COUNT(DISTINCT) twins (approx_distinct_users_exact,
+# hll_sketch_rollup_daily_exact) stay benched: two-phase hash
+# distinct is a scalable plan, not a ground-truth-only crutch.
+SKIP = {
+    "ngram_jaccard_pairs",
+    "embedding_cosine_dups",
+    "emb_dedup_recall",
+    "equi_depth_price_histogram_exact",
+    "approx_quantiles_price_exact",
+    "exact_percentiles",
+}
 
 
 def _warm_python_datasource(spark) -> None:

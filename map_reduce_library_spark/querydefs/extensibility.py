@@ -78,7 +78,6 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGEGEN_CLS = None
-_RANGEGEN_REGISTERED: set[int] = set()  # id(SparkSession)
 
 
 def _rangegen_source():
@@ -147,16 +146,16 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces rows executor-side — the pattern for wrapping any
     external system (REST API, proprietary format) as a first-class,
     partition-parallel Spark source. No driver-side materialization:
-    each partition generates only its own slice. Registration is
-    once-per-SESSION: ``spark.dataSource.register`` is SparkSession-
-    scoped state, so the guard keys on the session object — the old
-    applicationId key skipped registration for a second session in
-    the same application (spark.newSession()) and the read failed
-    with DATA_SOURCE_NOT_FOUND (code-review r6)."""
-    session_key = id(spark)
-    if session_key not in _RANGEGEN_REGISTERED:
-        spark.dataSource.register(_rangegen_source())
-        _RANGEGEN_REGISTERED.add(session_key)
+    each partition generates only its own slice. Registration runs
+    unconditionally: ``spark.dataSource.register`` is SparkSession-
+    scoped state and silently overwrites an existing name, so a guard
+    adds only failure modes — the r6 applicationId key skipped a
+    second session in the same application (DATA_SOURCE_NOT_FOUND),
+    and an id(spark) key can collide after a session is GC'd and a
+    new one reuses the address (code-review/ADVICE r6). The class is
+    process-cached (``_rangegen_source``) so repeat registrations
+    pickle byte-identical state."""
+    spark.dataSource.register(_rangegen_source())
     return (
         spark.read.format("rangegen")
         .option("n", 200)

@@ -36,6 +36,18 @@ named. The first version of this sink ignored the mode and always
 rewrote the manifest with only the current job's parts — an
 append-mode writer silently dropped every previously committed row
 from the read contract (code-review r6 finding).
+
+Concurrency contract: ONE writer per output directory at a time.
+Append-mode commit is a read-modify-write of the manifest (read prior
+part list, merge, atomic-replace); two concurrent append jobs to the
+same path race on that merge and the loser's parts vanish from the
+read contract (ADVICE r6). This matches the filesystem-committer
+norm — Hadoop's FileOutputCommitter makes the same single-writer
+assumption per output path; coordinating concurrent writers needs a
+table format with a log/catalog (Delta/Iceberg), out of scope for a
+manifest-file sink. Streaming epochs are fine: one query writes
+epochs serially, and a replayed epoch atomically replaces its own
+manifest.
 """
 
 from __future__ import annotations

@@ -138,15 +138,47 @@ def ingest_batch(
         batch_digests.write.mode("append").parquet(digest_dir)
 
 
+def compact_work_dir(
+    spark: SparkSession, work_dir: str
+) -> dict[str, int]:
+    """Compact every table the ingest pipeline appends to, in place.
+    All four are duplicate-idempotent for readers (module docstring),
+    which is exactly the contract ``compact_index``'s monotone-
+    superset crash-safety requires. Returns table -> file count."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    return {
+        name: compact_index(spark, os.path.join(work_dir, name))
+        for name in ("index", "digests", "pairs", "verdicts")
+    }
+
+
 def run_incremental_dedup_ingest(
-    spark: SparkSession, chunks_dir: str, work_dir: str
+    spark: SparkSession,
+    chunks_dir: str,
+    work_dir: str,
+    compact_every: int | None = 16,
 ) -> str:
     """Drain ``chunks_dir`` (a directory of parquet files, one ingest
     tick each) through the incremental dedup pipeline. Returns the
     pairs table path. ``availableNow`` + ``maxFilesPerTrigger=1``
     replays the backlog one file per micro-batch and stops — the same
     code runs unbounded against a live landing directory or Kafka by
-    swapping the trigger."""
+    swapping the trigger.
+
+    Every ``compact_every`` ticks the band/digest indexes (and the
+    pairs/verdict outputs) are compacted IN PLACE: each tick's
+    ``mode("append")`` adds a file-set, so without maintenance the
+    per-tick index probe becomes a many-small-files scan whose task-
+    scheduling overhead grows linearly with tick count (VERDICT r6
+    item 5). Compaction runs inside the serial foreachBatch callback
+    — the single-writer window ``compact_index`` requires — and its
+    crash-safety needs only the readers' duplicate-idempotence, which
+    this pipeline already guarantees for replay reasons. Cadence is
+    keyed on ``batch_id`` (monotone across restarts, checkpoint-
+    tracked), so a restarted stream keeps the same schedule."""
     index_dir = os.path.join(work_dir, "index")
     pairs_dir = os.path.join(work_dir, "pairs")
     digest_dir = os.path.join(work_dir, "digests")
@@ -158,12 +190,14 @@ def run_incremental_dedup_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(chunks_dir)
     )
+
+    def _tick(bdf: DataFrame, batch_id: int) -> None:
+        ingest_batch(bdf, index_dir, pairs_dir, digest_dir, verdict_dir)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_work_dir(bdf.sparkSession, work_dir)
+
     q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, _bid: ingest_batch(
-                bdf, index_dir, pairs_dir, digest_dir, verdict_dir
-            )
-        )
+        stream.writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -33,6 +33,22 @@ Semantics per CORRECTNESS_r{N}.json row, merged into the ledger:
          hash-green; treating them as verified frees driver cap slots).
   * red -> DELETE any existing entry (a later red evicts an old green).
 Queries absent from the round's file keep their existing entries.
+
+LOCAL differentials (VERDICT r6 items 1-2: the driver's 50-slot cap
+cannot drain an 89-deep staleness queue in one round, and late edits
+must ship pre-differentialed):
+
+    python tools/drive_entry.py --json LOCAL.json [QUERY ...]
+    python tools/update_ledger.py --round N --file LOCAL.json --tag local
+
+``--file`` points at drive_entry's driver-row-shaped output —
+computed with the SAME oracles, the same sf0.01 tables, and the same
+order-insensitive sorted-column compare the driver uses. ``--tag``
+stamps each upserted entry with ``"source": "local"`` so a reader of
+VERIFIED_LEDGER.json can always distinguish a driver-sampled green
+from a locally-differentialed one; the staleness hash machinery
+treats both identically (either kind demotes the instant its oracle,
+querydef, or operator deps change).
 """
 
 from __future__ import annotations
@@ -96,6 +112,7 @@ def merge_round(
     oracles: dict,
     round_no: int,
     deps_fn=None,
+    tag: str | None = None,
 ) -> dict:
     """Merge one round's correctness rows into ``ledger`` IN PLACE and
     return it. Pure of filesystem concerns so the green-upsert /
@@ -118,21 +135,28 @@ def merge_round(
             }
             if deps_fn is not None:
                 entry["deps_md5"] = deps_fn(queries[name])
+            if tag is not None:
+                entry["source"] = tag
             ledger[name] = entry
         else:
             ledger.pop(name, None)
     return ledger
 
 
-def update(round_no: int, source: Path) -> dict:
-    correctness = REPO / f"CORRECTNESS_r{round_no:02d}.json"
+def update(
+    round_no: int,
+    source: Path,
+    file: Path | None = None,
+    tag: str | None = None,
+) -> dict:
+    correctness = file or REPO / f"CORRECTNESS_r{round_no:02d}.json"
     rows = json.loads(correctness.read_text())
     queries, oracles, deps_fn = _registry(source)
 
     ledger_path = REPO / "VERIFIED_LEDGER.json"
     ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
 
-    merge_round(ledger, rows, queries, oracles, round_no, deps_fn)
+    merge_round(ledger, rows, queries, oracles, round_no, deps_fn, tag)
 
     ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
     return ledger
@@ -156,6 +180,11 @@ def main() -> None:
     ap.add_argument("--round", type=int)
     ap.add_argument("--source", type=Path, default=REPO)
     ap.add_argument("--invalidate", nargs="+", metavar="QUERY")
+    ap.add_argument("--file", type=Path, help="correctness rows to fold "
+                    "(default CORRECTNESS_r{N}.json; pass drive_entry's "
+                    "--json output for a local differential)")
+    ap.add_argument("--tag", help="stamp upserted entries with source=TAG "
+                    "(use 'local' for drive_entry folds)")
     args = ap.parse_args()
     if args.invalidate:
         ledger = invalidate(args.invalidate)
@@ -164,7 +193,7 @@ def main() -> None:
         return
     if args.round is None:
         ap.error("--round is required unless --invalidate is given")
-    ledger = update(args.round, args.source)
+    ledger = update(args.round, args.source, args.file, args.tag)
     print(f"ledger: {len(ledger)} verified entries after round {args.round}")
 
 

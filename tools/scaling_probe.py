@@ -1,0 +1,138 @@
+"""Empirical scaling curve for the checkpoint-shared dedup/CDC family
+(VERDICT r6 item 4: prove the "per-query fixed overhead dominates at
+sf0.1" claim instead of asserting it).
+
+There is no sf1 testdata, so this builds DETERMINISTIC scale-ups of
+sf0.1 under /tmp — measurement fixtures only, never correctness
+inputs (correctness stays pinned to the driver's sf0.01 oracles):
+
+  * documents ×F: replica i appends ``_r{i}`` to every token.
+    A uniform token bijection preserves every intra-replica
+    similarity relation EXACTLY (shingle sets map 1:1, so MinHash
+    bands, CDC chunk structure, and duplicated spans are isomorphic
+    per replica) while making cross-replica shingles fully disjoint
+    — each replica behaves like fresh corpus, so near-dup density
+    per row stays at the sf0.1 level instead of exploding
+    quadratically the way naive text copies would.
+  * embeddings ×F: replica i rotates the 64 dims by 13*i. A common
+    coordinate permutation preserves intra-replica cosines exactly;
+    across replicas vectors decorrelate, so the LSH band structure
+    scales the way real corpus growth does.
+
+Usage: python tools/scaling_probe.py [factors...]   (default 1 3 10)
+Prints one JSON line per (factor, query): pass1/pass2 wall seconds
+and output rows. Paste the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+WORK = Path("/tmp/scaling_probe")
+OFFSET = 10_000_000
+
+QUERY_NAMES = ["minhash_lsh_pairs", "cdc_chunk_dedup", "emb_dedup_clusters"]
+
+
+def build(spark, factor: int) -> str:
+    out = WORK / f"f{factor}"
+    if (out / "_DONE").exists():
+        return str(out)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(factor):
+        salted = docs.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"_r{i}")),
+                ),
+                " ",
+            ),
+        ) if i else docs
+        parts.append(
+            salted.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * OFFSET)
+            ).withColumn("n_chars", F.length("text"))
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    acc.repartition(32).write.parquet(str(out / "documents.parquet"))
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for i in range(factor):
+        rot = (13 * i) % 64
+        rotated = emb.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", rot + 1, 64 - rot),
+                F.slice("embedding", 1, rot),
+            ),
+        ) if rot else emb
+        parts.append(
+            rotated.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    acc.repartition(8).write.parquet(str(out / "embeddings.parquet"))
+    (out / "_DONE").touch()
+    return str(out)
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    from map_reduce_library_spark.queries import QUERIES
+    from map_reduce_library_spark.session import get_session
+
+    spark = get_session(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # codegen/Python-worker warmup, mirroring bench.py
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results = []
+    for factor in factors:
+        sf_dir = build(spark, factor)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name in QUERY_NAMES:
+            times = []
+            rows = None
+            for _ in range(2):
+                t0 = time.time()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                times.append(round(time.time() - t0, 2))
+            rows = QUERIES[name](spark, sf_dir).count()
+            rec = {
+                "factor": factor,
+                "rows_in": n_docs,
+                "query": name,
+                "pass1_sec": times[0],
+                "pass2_sec": times[1],
+                "rows_out": rows,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

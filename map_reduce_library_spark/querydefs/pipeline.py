@@ -326,3 +326,64 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars"),
         WEIGHTED_SAMPLE_N,
     )
+
+
+@register(
+    "sequence_packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t
+    ),
+    bins AS (
+      SELECT lang,
+             CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+               AS seq_bin,
+             CAST(SUM(n_tokens) AS BIGINT) AS fill
+      FROM c GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_bins,
+           round(avg(fill / CAST({PACK_BUDGET} AS DOUBLE)), 6) AS avg_fill,
+           CAST(sum(CASE WHEN fill >= {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full
+    FROM bins GROUP BY 1
+    """,
+)
+def sequence_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard-efficiency report over ``sequence_packing``'s bins: bins
+    per language, mean fill ratio against the PACK_BUDGET, and how
+    many bins are at/over budget (a doc belongs to the bin where its
+    span STARTS, so bins legitimately overflow by up to one doc —
+    the metric a packing pipeline watches to choose budget vs
+    truncation). Fill ratios are dyadic rationals (denominator 2^11),
+    so the double avg is exact regardless of partition order; the
+    round(6) is belt only. Same single window shuffle as
+    sequence_packing, then two partial-agged groupBys."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", PACK_BUDGET, order_col="doc_id", group_col="lang"
+    )
+    bins = packed.groupBy("lang", "seq_bin").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.avg(F.col("fill") / F.lit(float(PACK_BUDGET))), 6
+        ).alias("avg_fill"),
+        F.sum(
+            F.when(F.col("fill") >= PACK_BUDGET, 1).otherwise(0)
+        ).cast("bigint").alias("n_full"),
+    )

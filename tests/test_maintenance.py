@@ -177,3 +177,53 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "lang" in schema
     assert "blob" not in schema and "weight" not in schema
+
+
+def test_snapshot_upsert_merge_query_oracle(spark):
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "snapshot_upsert_merge")
+
+
+def test_snapshot_upsert_merge_is_single_lazy_plan(spark):
+    """ADVICE r6: validate=False keeps MERGE lazy — building the
+    merged DataFrame launches NO Spark job (local relations, so any
+    job observed comes from the operator itself), while the
+    validate=True probe eagerly runs one."""
+    from map_reduce_library_spark.operators.maintenance import (
+        snapshot_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "old") for i in range(10)], "k bigint, v string"
+    )
+    delta = spark.createDataFrame(
+        [(1, "new"), (99, "ins")], "k bigint, v string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    merged = snapshot_upsert(base, delta, ["k"], validate=False)
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "validate=False still launched an eager job"
+    )
+    snapshot_upsert(base, delta, ["k"])  # default probes eagerly
+    assert len(tracker.getJobIdsForGroup(None)) > before
+    assert merged.count() == 11
+
+
+def test_validate_true_probe_raises_on_duplicate_delta_keys(spark):
+    import pytest as _pytest
+
+    from map_reduce_library_spark.operators.maintenance import (
+        snapshot_upsert,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    dup_delta = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "k bigint, v string"
+    )
+    with _pytest.raises(ValueError, match="multiple rows"):
+        snapshot_upsert(base, dup_delta, ["k"])
+    # validate=False skips the probe; resolution becomes caller's duty
+    merged = snapshot_upsert(base, dup_delta, ["k"], validate=False)
+    assert merged.count() == 3

@@ -102,3 +102,46 @@ def test_chunk_level_dedup_catches_cross_doc_repeats(spark):
     }
     for r in dup_rows:
         assert counts[r.chunk_hash] == r.n_copies >= 2
+
+
+def test_sequence_packing_efficiency_oracle(spark):
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "sequence_packing_efficiency")
+
+
+def test_packing_efficiency_consistent_with_bins(spark):
+    """n_bins equals the distinct bins sequence_packing reports, and
+    token mass is conserved: avg_fill * n_bins * budget == the lang's
+    total tokens (avg-of-exact-dyadic-ratios identity). Interior bins
+    may legitimately sit under budget — a doc that overflows bin k
+    spills INTO bin k+1's address range without contributing to its
+    fill — so no per-bin floor is asserted."""
+    from map_reduce_library_spark.queries import QUERIES
+    from map_reduce_library_spark.querydefs.pipeline import PACK_BUDGET
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    eff = {
+        r.lang: (r.n_bins, r.avg_fill, r.n_full)
+        for r in QUERIES["sequence_packing_efficiency"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    per_lang = (
+        QUERIES["sequence_packing"](spark, SF_SMOKE)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("seq_bin").alias("n"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+    )
+    for r in per_lang.collect():
+        n_bins, avg_fill, n_full = eff[r.lang]
+        assert n_bins == r.n
+        assert 0 <= n_full <= n_bins
+        assert (
+            abs(avg_fill * n_bins * PACK_BUDGET - r.total_tokens)
+            < 0.5 * n_bins
+        ), f"{r.lang}: avg_fill inconsistent with token mass"

@@ -354,3 +354,34 @@ def test_compaction_cadence_bounds_index_files_over_50_ticks(
     assert v.where("is_kept").count() == docs.select(
         "text"
     ).distinct().count()
+
+
+def test_streaming_pipeline_compaction_cadence_preserves_convergence(
+    spark, tmp_path
+):
+    """The cadence wiring through foreachBatch itself (the direct-call
+    test above exercises compact_work_dir in isolation): drain 4 ticks
+    with compact_every=2 — two in-stream compactions fire — and the
+    pairs table still equals the batch answer with a bounded index
+    file count."""
+    from map_reduce_library_spark.operators.maintenance import (
+        _list_data_files,
+    )
+
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 4)
+    chunks = tmp_path / "chunks"
+    for tick in range(4):
+        docs.where(b == tick).coalesce(1).write.mode("append").parquet(
+            str(chunks)
+        )
+    work = tmp_path / "work"
+    pairs_dir = run_incremental_dedup_ingest(
+        spark, str(chunks), str(work), compact_every=2
+    )
+    assert _pairs_set(dedup_pairs_table(spark, pairs_dir)) == _pairs_set(
+        minhash_lsh_pairs(docs)
+    )
+    # last compaction fired at tick 4 (batch_id 3); nothing appended
+    # after it, so the index should be at its compacted floor
+    assert len(_list_data_files(spark, str(work / "index"))) <= 4

@@ -385,3 +385,71 @@ def test_streaming_pipeline_compaction_cadence_preserves_convergence(
     # last compaction fired at tick 4 (batch_id 3); nothing appended
     # after it, so the index should be at its compacted floor
     assert len(_list_data_files(spark, str(work / "index"))) <= 4
+
+
+def test_compact_index_crash_windows_never_lose_rows(spark, tmp_path):
+    """The monotone-superset protocol, pinned state by state: a crash
+    after the compacted parts move IN but before the old parts are
+    deleted leaves duplicates, never losses — and the duplicate-
+    idempotent readers (distinct pairs view) return identical results
+    in every intermediate state."""
+    import uuid as _uuid
+
+    from map_reduce_library_spark.operators.maintenance import (
+        _list_data_files,
+        compact_parquet,
+    )
+
+    docs = _docs(spark)
+    b = hash_bucket("doc_id", 4)
+    index_dir = str(tmp_path / "index")
+    for tick in range(3):
+        lsh_bands(
+            minhash_signature(shingles(docs.where(b == tick)))
+        ).write.mode("append").parquet(index_dir)
+    last = docs.where(b == 3)
+
+    def probe():
+        return _pairs_set(
+            incremental_lsh_pairs(
+                spark.read.schema(
+                    "doc_id bigint, band_id int, band_sig string"
+                ).parquet(index_dir),
+                last,
+            )
+        )
+
+    want = probe()
+    assert want, "fixture produced no candidate pairs"
+
+    # State A (mid-step-2 crash): compacted parts moved in, old parts
+    # still present -> every row duplicated once.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = _list_data_files(spark, index_dir)
+    tmp = index_dir + "__compact_tmp"
+    compact_parquet(spark, index_dir, tmp)
+    salt = _uuid.uuid4().hex[:8]
+    for i, part in enumerate(_list_data_files(spark, tmp)):
+        fs.rename(
+            part,
+            jvm.org.apache.hadoop.fs.Path(
+                jpath, f"compact-{salt}-{i:05d}-{part.getName()}"
+            ),
+        )
+    n_rows_superset = spark.read.parquet(index_dir).count()
+    assert probe() == want, "duplicated index changed the reader result"
+
+    # State B (mid-step-3 crash): some old parts deleted.
+    fs.delete(old[0], False)
+    assert probe() == want
+
+    # State C (protocol completed by the next pass): remaining old
+    # parts deleted -> back to exactly the original row set.
+    for part in old[1:]:
+        fs.delete(part, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    final_rows = spark.read.parquet(index_dir).count()
+    assert final_rows * 2 == n_rows_superset
+    assert probe() == want

@@ -131,12 +131,28 @@ def compact_index(
     this inside its serial foreachBatch callback, so no reader or
     writer races the move/delete window.
     """
-    old = _list_data_files(spark, index_dir)
-    if len(old) <= 1:
-        return len(old)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Flat-directory tables only (checked BEFORE the trivial-count
+    # early return — a partitioned table has no top-level data files,
+    # so the guard must not be skippable): a partitioned layout would
+    # be read in full but its old files never deleted (the listing is
+    # non-recursive), leaving permanent duplicates.
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            if st.isDirectory() and not st.getPath().getName().startswith(
+                ("_", ".")
+            ):
+                raise ValueError(
+                    f"compact_index requires a flat parquet directory; "
+                    f"{index_dir} contains partition subdirectory "
+                    f"{st.getPath().getName()!r} — use compact_parquet "
+                    "into a new location for partitioned tables"
+                )
+    old = _list_data_files(spark, index_dir)
+    if len(old) <= 1:
+        return len(old)
     tmp = index_dir.rstrip("/") + "__compact_tmp"
     compact_parquet(spark, index_dir, tmp, target_file_bytes)
     import uuid

@@ -227,3 +227,18 @@ def test_validate_true_probe_raises_on_duplicate_delta_keys(spark):
     # validate=False skips the probe; resolution becomes caller's duty
     merged = snapshot_upsert(base, dup_delta, ["k"], validate=False)
     assert merged.count() == 3
+
+
+def test_compact_index_rejects_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "part_table")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, p string"
+    ).write.partitionBy("p").parquet(path)
+    with _pytest.raises(ValueError, match="flat parquet directory"):
+        compact_index(spark, path)

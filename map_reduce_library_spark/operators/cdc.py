@@ -48,8 +48,12 @@ CDC_MIN_TOKENS = 3
 
 
 def _cut_sql(tok_expr: str, divisor: int) -> str:
-    """SQL fragment: true iff `tok_expr` is a CDC cut token (the
-    hash_bucket convention, portable to DuckDB)."""
+    """SQL fragment: true iff `tok_expr` is a CDC cut token. The hash
+    is the 60-bit md5 prefix in its Spark-SQL-string spelling — MUST
+    stay byte-synchronized with ``operators/hashing.py::md5_prefix60``
+    (the Column-form single definition; this is the one operator that
+    needs the expression inside a higher-order-function lambda, where
+    only expr strings go)."""
     return (
         f"cast(conv(substring(md5({tok_expr}), 1, 15), 16, 10)"
         f" AS bigint) % {divisor} = 0"

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from map_reduce_library_spark.operators.hashing import md5_prefix60
+
 CMS_P = 2_147_483_647  # 2^31 - 1, prime (same modulus as MinHash)
 CMS_W = 4_096  # buckets per hash row -> overshoot <= e*N/4096
 CMS_D = 4  # hash rows -> error-bound failure prob e^-4 < 2%
@@ -39,10 +41,7 @@ CMS_B = [((j + 101) * 1_013_904_223 + 12_345) % CMS_P for j in range(CMS_D)]
 def _x60(item):
     """60-bit md5 base value, mod P (identical in DuckDB as
     ``('0x' || substr(md5(item), 1, 15))::BIGINT % P``)."""
-    return (
-        F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint")
-        % CMS_P
-    )
+    return md5_prefix60(item) % CMS_P
 
 
 def _bucket(j: int, x):

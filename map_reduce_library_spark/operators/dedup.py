@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from map_reduce_library_spark.operators.hashing import md5_prefix60
+
 # Shared constants — the oracle SQL generators in querydefs/dedup.py
 # use the same values so both engines compute identical candidates.
 SHINGLE_N = 3
@@ -117,10 +119,7 @@ def minhash_signature(
     standard a*x+b mod prime MinHash family). One pre-projection
     computes x once per shingle row; one groupBy computes all K
     mins."""
-    x = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P
-    )
+    x = md5_prefix60(F.col("shingle")) % MINHASH_P
     shx = shingle_df.select(id_col, x.alias("x"))
     aggs = [
         F.min(
@@ -333,11 +332,19 @@ def incremental_lsh_pairs(
         # self-join buckets need no second cap: combined ≤ cap implies
         # batch-only ≤ cap. The caller still appends the UNCAPPED
         # bands to the index — the cap drops pairs, never membership.
+        # Membership is COUNT(DISTINCT doc_id), not raw rows: the
+        # persisted index legitimately carries duplicate rows after
+        # an at-least-once replay or a compact_index crash window
+        # (both absorbed by every other reader), and a row count
+        # would double those buckets' apparent size and silently drop
+        # legitimate near-dup pairs below the cap (code-review r7).
+        # On clean data distinct-count == row count, so batch parity
+        # with the uncapped oracle is unchanged.
         hot = F.broadcast(
-            index_bands.select("band_id", "band_sig")
-            .unionByName(new_bands.select("band_id", "band_sig"))
+            index_bands.select("band_id", "band_sig", id_col)
+            .unionByName(new_bands.select("band_id", "band_sig", id_col))
             .groupBy("band_id", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.count_distinct(F.col(id_col)).alias("__n"))
             .where(F.col("__n") > max_bucket)
             .select("band_id", "band_sig")
         )

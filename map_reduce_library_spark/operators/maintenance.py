@@ -101,12 +101,14 @@ def compact_index(
     spark: SparkSession,
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    full: bool = False,
 ) -> int:
     """IN-PLACE compaction for append-only index directories whose
     readers are duplicate-idempotent (the streaming ingest-dedup
     band/digest indexes, pairs, verdicts — each consumed through
-    distinct or min/groupBy; streaming/ingest_dedup.py docstring).
-    Returns the number of data files left under ``index_dir``.
+    distinct / min / distinct-count aggregates; streaming/
+    ingest_dedup.py docstring). Returns the number of data files left
+    under ``index_dir``.
 
     Per-tick ``mode("append")`` writes one file-set per micro-batch,
     so at real tick counts the per-tick index probe degrades into a
@@ -114,57 +116,105 @@ def compact_index(
     a bytes-sized file count without moving the directory (readers
     and the ingest pipeline keep one stable path).
 
+    INCREMENTAL by default (code-review r7): only data files smaller
+    than ``target_file_bytes`` are rewritten; files already at target
+    size are left untouched. A cadence of incremental passes touches
+    each appended byte O(1) times amortized, so total maintenance I/O
+    stays linear in corpus size — a full rewrite per cadence would be
+    quadratic over the stream's lifetime, the exact decay this
+    operator exists to prevent. ``full=True`` forces a whole-table
+    rewrite; the rewrite always applies a whole-row
+    ``dropDuplicates`` (legitimate rows in these tables are unique by
+    construction — duplicates only arise from at-least-once replay or
+    a crash window), so a full pass is also the REPAIR that removes
+    inherited duplicates; an incremental pass removes them only
+    within the small-file set it rewrites.
+
     Crash-safety is a MONOTONE-SUPERSET protocol, not an atomic swap
     (directories can't be atomically replaced on object stores):
-      1. rewrite the full index into a side tmp dir (compact_parquet),
-      2. move the compacted parts INTO index_dir under fresh names,
-      3. delete the pre-compaction files, then the tmp dir.
+      1. rewrite the small files into a side tmp dir,
+      2. move the compacted parts INTO index_dir under fresh names
+         (a rename reporting failure ABORTS before any delete — the
+         Hadoop FileSystem API signals most failures by returning
+         false, not raising),
+      3. delete the rewritten pre-compaction files, then the tmp dir.
     Every intermediate state the directory can be observed in — old
     files only, old + some compacted, old + all compacted, partially
     deleted old + all compacted — is a SUPERSET of the true row set,
-    never a subset, so a crash at any step loses nothing and at worst
-    leaves duplicates that the duplicate-idempotent readers absorb
-    and the next compaction pass removes. Do NOT use for tables whose
-    readers count duplicates; those need a log/catalog table format.
+    never a subset, so an interruption at any step loses nothing and
+    at worst leaves duplicates that the duplicate-idempotent readers
+    absorb and a later ``full=True`` pass removes. Do NOT use for
+    tables whose readers count raw row multiplicity; those need a
+    log/catalog table format.
 
     Single-writer contract (same as pysink): the ingest pipeline runs
     this inside its serial foreachBatch callback, so no reader or
     writer races the move/delete window.
     """
+    import math as _math
+    import uuid
+
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    # Flat-directory tables only (checked BEFORE the trivial-count
-    # early return — a partitioned table has no top-level data files,
-    # so the guard must not be skippable): a partitioned layout would
-    # be read in full but its old files never deleted (the listing is
-    # non-recursive), leaving permanent duplicates.
-    if fs.exists(jpath):
-        for st in fs.listStatus(jpath):
-            if st.isDirectory() and not st.getPath().getName().startswith(
-                ("_", ".")
-            ):
-                raise ValueError(
-                    f"compact_index requires a flat parquet directory; "
-                    f"{index_dir} contains partition subdirectory "
-                    f"{st.getPath().getName()!r} — use compact_parquet "
-                    "into a new location for partitioned tables"
-                )
-    old = _list_data_files(spark, index_dir)
-    if len(old) <= 1:
-        return len(old)
+    if not fs.exists(jpath):
+        return 0
+    # ONE listing feeds the partition-layout guard, the small-file
+    # selection, and the total count (object-store LIST calls are
+    # paginated remote I/O; code-review r7). The guard runs BEFORE
+    # the trivial-count early return — a partitioned table has no
+    # top-level data files, so the guard must not be skippable: a
+    # partitioned layout would be read in full but its old files
+    # never deleted (the listing is non-recursive), leaving
+    # permanent duplicates.
+    small, n_files = [], 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isDirectory():
+            raise ValueError(
+                f"compact_index requires a flat parquet directory; "
+                f"{index_dir} contains partition subdirectory "
+                f"{name!r} — use compact_parquet into a new location "
+                "for partitioned tables"
+            )
+        n_files += 1
+        if full or st.getLen() < target_file_bytes:
+            small.append((st.getPath(), st.getLen()))
+    if len(small) <= 1:
+        return n_files
+    old_paths = [p for p, _len in small]
     tmp = index_dir.rstrip("/") + "__compact_tmp"
-    compact_parquet(spark, index_dir, tmp, target_file_bytes)
-    import uuid
+    df = spark.read.parquet(*[p.toString() for p in old_paths])
+    n_out = max(
+        1, _math.ceil(sum(ln for _p, ln in small) / target_file_bytes)
+    )
+    df.dropDuplicates().repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
 
     salt = uuid.uuid4().hex[:8]
     for i, part in enumerate(_list_data_files(spark, tmp)):
         dest = jvm.org.apache.hadoop.fs.Path(
             jpath, f"compact-{salt}-{i:05d}-{part.getName()}"
         )
-        fs.rename(part, dest)
-    for part in old:
-        fs.delete(part, False)
+        if not fs.rename(part, dest):
+            raise IOError(
+                f"compact_index: rename {part} -> {dest} failed; "
+                "aborting before any delete (directory remains a "
+                "superset — safe to retry)"
+            )
+    failed_deletes = [
+        p for p in old_paths if not fs.delete(p, False)
+    ]
+    if failed_deletes:
+        raise IOError(
+            f"compact_index: could not delete {len(failed_deletes)} "
+            f"pre-compaction file(s) (first: {failed_deletes[0]}); "
+            "directory holds duplicates (superset — readers are "
+            "unaffected; a later full=True pass repairs)"
+        )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return len(_list_data_files(spark, index_dir))
 

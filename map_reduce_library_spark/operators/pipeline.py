@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from map_reduce_library_spark.operators.hashing import md5_prefix60
+
 
 def hash_bucket(
     col: str | Column, buckets: int = 100, salt: str = ""
@@ -32,13 +34,7 @@ def hash_bucket(
     tick splits etc.) byte-stable with prior rounds."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.conv(
-            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        % buckets
+        md5_prefix60(F.concat(c.cast("string"), F.lit(salt))) % buckets
     )
 
 
@@ -382,18 +378,8 @@ def weighted_sample_topn(
     selections. Rows with non-positive weight are EXCLUDED — A-ES is
     defined for w > 0 (w = 0 divides by zero under ANSI; w < 0 would
     produce a key that always wins and corrupts the sample)."""
-    x = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col(id_col).cast("string"), F.lit(":wsample"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+    x = md5_prefix60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":wsample"))
     )
     u = (x + F.lit(1)).cast("double") / F.lit(1152921504606846977.0)
     key = F.round(

@@ -108,22 +108,16 @@ def manifest_checksum_by_source(
     so map-side partial aggregation is exact), and any single-row
     difference flips the digest with probability 1-2^-60. All
     JVM-side: md5 + conv + bit_xor, one 5-row-ish shuffle."""
+    from map_reduce_library_spark.operators.hashing import md5_prefix60
+
     docs = load_table(spark, sf_dir, "documents")
-    row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.coalesce(F.col("text"), F.lit("")),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    row_hash = md5_prefix60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.bit_xor(row_hash).alias("checksum"),

@@ -92,21 +92,17 @@ def test_checksum_detects_single_row_change(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
 
     def checksums(df):
-        row_hash = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.coalesce(F.col("text"), F.lit("")),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        from map_reduce_library_spark.operators.hashing import (
+            md5_prefix60,
+        )
+
+        row_hash = md5_prefix60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        )
         return {
             r.source: r.checksum
             for r in df.groupBy("source")

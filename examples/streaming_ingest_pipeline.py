@@ -57,6 +57,25 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("append").partitionBy("event_type").parquet(landing)
+        # Tick-cadence maintenance (VERDICT r6 item 5): every 2nd
+        # batch, compact each event_type partition IN PLACE so the
+        # landing zone never decays into a many-small-files scan.
+        # compact_index is safe here because landing's only consumer
+        # is the end-of-run publish below (single-writer window; a
+        # crash mid-compaction leaves a row superset that the next
+        # pass's whole-row dedup repairs before anything reads it).
+        if (batch_id + 1) % 2 == 0:
+            import os
+
+            from map_reduce_library_spark.operators.maintenance import (
+                compact_index,
+            )
+
+            for entry in sorted(os.listdir(landing)):
+                if entry.startswith("event_type="):
+                    compact_index(
+                        bdf.sparkSession, os.path.join(landing, entry)
+                    )
 
     q = (
         enriched.writeStream.foreachBatch(write_batch)

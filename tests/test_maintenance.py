@@ -242,3 +242,44 @@ def test_compact_index_rejects_partitioned_layout(spark, tmp_path):
     ).write.partitionBy("p").parquet(path)
     with _pytest.raises(ValueError, match="flat parquet directory"):
         compact_index(spark, path)
+
+
+def test_compact_index_full_pass_repairs_crash_duplicates(
+    spark, tmp_path
+):
+    """A crash window leaves whole-row duplicates; the documented
+    repair is a full=True pass — its whole-row dedup restores exactly
+    the original row multiset. Also pins the incremental default:
+    files at/over target_file_bytes are left untouched."""
+    from map_reduce_library_spark.operators.maintenance import (
+        _list_data_files,
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS INT) AS band_id",
+        "md5(CAST(id AS STRING)) AS band_sig"
+    )
+    df.coalesce(1).write.parquet(path)
+    # simulate a mid-window crash: the same rows appended again
+    df.coalesce(2).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 2000
+
+    n_files = compact_index(spark, path, full=True)
+    assert n_files == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.distinct().count() == 1000
+
+    # incremental default skips files already at target size:
+    # with a 1-byte target every file is "large" -> no-op
+    before = {p.toString() for p in _list_data_files(spark, path)}
+    spark.range(5).selectExpr(
+        "id + 5000 AS doc_id", "CAST(id AS INT) AS band_id",
+        "md5(CAST(id AS STRING)) AS band_sig"
+    ).coalesce(1).write.mode("append").parquet(path)
+    compact_index(spark, path, target_file_bytes=1)
+    after = {p.toString() for p in _list_data_files(spark, path)}
+    assert before <= after, "incremental pass rewrote at-target files"
+    assert spark.read.parquet(path).count() == 1005

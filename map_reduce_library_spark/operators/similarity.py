@@ -310,6 +310,82 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def incremental_emb_pairs(
+    index_sigs: DataFrame,
+    incoming: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = ANN_BAND_PLANES,
+    tables: int = ANN_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    incoming_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time embedding near-dup: the semantic-dedup twin of
+    ``operators/dedup.py::incremental_lsh_pairs`` (same convergence
+    contract, pinned by tests/test_emb_ingest.py — union over any
+    tick partitioning == the full-corpus ``embedding_dup_pairs_lsh``
+    answer, ticks pairwise disjoint because each pair's
+    later-arriving side fixes its emitting tick).
+
+    ``index_sigs``: the PERSISTED signature index — the
+    ``banded_signatures`` relation (vec_id, v, nrm, tbl, sig) written
+    once per ingested batch. Persisting v+nrm with the signature is
+    the LSH-index design: probe-time exact cosine scoring needs the
+    vector, and re-reading the corpus embedding table per tick would
+    be exactly the rescan incremental ingestion exists to avoid.
+    Probe work per tick is |batch sigs| ⋈ same-bucket index rows —
+    the index is never self-joined and never reshuffled (the join
+    key (tbl, sig) is the layout to bucket the index table by at
+    100 TB).
+
+    ``incoming_sigs``: pass the batch's precomputed (ideally
+    checkpointed) signature relation; the probe, the in-batch
+    self-join, and the caller's index append then share one
+    projection of the tables×planes plane dots."""
+    new_sigs = (
+        incoming_sigs
+        if incoming_sigs is not None
+        else banded_signatures(
+            incoming, dim, planes, tables, id_col, vec_col
+        )
+    )
+    a = index_sigs.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "tbl",
+        "sig",
+    )
+    b = new_sigs.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "tbl",
+        "sig",
+    )
+    vs_index = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .withColumn(
+            "cos_raw", F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            F.round("cos_raw", 9).alias("cosine"),
+        )
+    )
+    in_batch = embedding_dup_pairs_lsh(
+        None, threshold, dim, planes, tables, id_col, vec_col,
+        sigs=new_sigs,
+    )
+    return vs_index.unionByName(in_batch).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int,

@@ -73,6 +73,7 @@ from map_reduce_library_spark.querydefs import expectations  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import spans  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import manifests  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import maintenanceq  # noqa: E402,F401
+from map_reduce_library_spark.querydefs import embingest  # noqa: E402,F401
 
 # Registry order = driver check order.  Rebuild the dicts so queries
 # with no trustworthy green come first (hash-oracled before rows-only),

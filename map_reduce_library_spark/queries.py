@@ -188,6 +188,7 @@ def _load_verified() -> dict[str, int]:
         ):
             continue  # an operator the querydef calls changed -> stale
         out[name] = int(entry.get("round", 0))
+        _LEDGER_SOURCE[name] = entry.get("source", "driver")
     return out
 
 
@@ -197,6 +198,11 @@ def _load_verified() -> dict[str, int]:
 # 50-slot cap, the self-changed ones carry the most re-verification
 # risk and must be sampled first.
 _STALE_SELF: set[str] = set()
+# name -> "driver" | "local": where the last trustworthy green came
+# from. "local" means tools/update_ledger.py --local folded a local
+# drive_entry.py differential (same hash procedure, this machine);
+# the driver itself has not re-hashed that exact source yet.
+_LEDGER_SOURCE: dict[str, str] = {}
 _VERIFIED = _load_verified()
 
 
@@ -268,10 +274,23 @@ def _order_key(name: str) -> tuple:
         tier = 1
     else:
         tier = 2
+    # Among verified: canaries first, then queries the DRIVER has
+    # never hash-greened (a local differential is the only evidence —
+    # a first-ever driver signal beats any repeat), then entries whose
+    # last trustworthy green is a local fold (driver hasn't re-hashed
+    # that source; round 6 proved local-only freshness reads as debt),
+    # then driver-fresh entries oldest-green-first.
+    if name not in _EVER_GREEN:
+        vtier = 0
+    elif _LEDGER_SOURCE.get(name) == "local":
+        vtier = 1
+    else:
+        vtier = 2
     return (
         verified,
         name not in ORACLES,
         canary if verified else tier,
+        vtier if verified else 0,
         age,
         name,
     )

@@ -56,8 +56,19 @@ def compact_parquet(
     src_dir: str,
     dst_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    dedup_keys: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite a parquet directory into ~target_file_bytes files.
+
+    ``dedup_keys`` (ADVICE r7): publish-time key dedup. A landing
+    zone fed by an at-least-once stream can legitimately hold
+    duplicate keys (a replayed micro-batch, a duplicate arriving past
+    the watermark horizon), and in-place ``compact_index`` passes only
+    remove copies that happen to be co-rewritten — so a publish step
+    whose consumers count rows must dedup HERE, at the single point
+    every row flows through, not rely on compaction cadence. Pass the
+    logical key (e.g. ``["event_id"]``) and the published table holds
+    exactly one row per key; ``None`` preserves multiplicity.
 
     File count is derived from the *source bytes on storage*
     (compressed columnar size — the right estimator for the compacted
@@ -71,6 +82,8 @@ def compact_parquet(
     (ADVICE r6).
     """
     df = spark.read.parquet(src_dir)
+    if dedup_keys:
+        df = df.dropDuplicates(dedup_keys)
     total = _dir_bytes(spark, src_dir)
     if total > 0:
         n = max(1, math.ceil(total / target_file_bytes))
@@ -118,17 +131,23 @@ def compact_index(
 
     INCREMENTAL by default (code-review r7): only data files smaller
     than ``target_file_bytes`` are rewritten; files already at target
-    size are left untouched. A cadence of incremental passes touches
-    each appended byte O(1) times amortized, so total maintenance I/O
-    stays linear in corpus size — a full rewrite per cadence would be
-    quadratic over the stream's lifetime, the exact decay this
-    operator exists to prevent. ``full=True`` forces a whole-table
-    rewrite; the rewrite always applies a whole-row
-    ``dropDuplicates`` (legitimate rows in these tables are unique by
-    construction — duplicates only arise from at-least-once replay or
-    a crash window), so a full pass is also the REPAIR that removes
-    inherited duplicates; an incremental pass removes them only
-    within the small-file set it rewrites.
+    size are left untouched. Within the sub-target set the selection
+    is GEOMETRIC (ADVICE r7): the largest selected file only joins
+    the rewrite when the other selected files' combined bytes at
+    least match it, so a below-target accumulator file is NOT
+    re-rewritten every cadence tick while small appends trickle in —
+    each byte is rewritten only when the merge at least doubles the
+    file it lives in, i.e. O(log(corpus/append)) times over the
+    stream's lifetime (the LSM-tree merge invariant). A naive
+    "rewrite everything below target" policy re-copies the
+    accumulator every pass — O(target/append_bytes) rewrites per
+    byte; a full rewrite per cadence would be quadratic.
+    ``full=True`` forces a whole-table rewrite; the rewrite always
+    applies a whole-row ``dropDuplicates`` (legitimate rows in these
+    tables are unique by construction — duplicates only arise from
+    at-least-once replay or a crash window), so a full pass is also
+    the REPAIR that removes inherited duplicates; an incremental pass
+    removes them only within the file set it rewrites.
 
     Crash-safety is a MONOTONE-SUPERSET protocol, not an atomic swap
     (directories can't be atomically replaced on object stores):
@@ -143,9 +162,16 @@ def compact_index(
     deleted old + all compacted — is a SUPERSET of the true row set,
     never a subset, so an interruption at any step loses nothing and
     at worst leaves duplicates that the duplicate-idempotent readers
-    absorb and a later ``full=True`` pass removes. Do NOT use for
-    tables whose readers count raw row multiplicity; those need a
-    log/catalog table format.
+    absorb. Crash residue SELF-HEALS (ADVICE r7 — the repair used to
+    have no caller): the tmp dir is ``.compact_tmp`` INSIDE
+    ``index_dir`` (dot-prefixed, so both ``_list_data_files`` and
+    Spark's hidden-path filter skip it — parquet readers of the
+    directory never see it, and parent-directory globs need no
+    exclusion), and a pass that finds it on entry knows the previous
+    pass died mid-protocol, forces ``full=True``, and the whole-table
+    ``dropDuplicates`` removes any inherited duplicates in the same
+    pass. Do NOT use for tables whose readers count raw row
+    multiplicity; those need a log/catalog table format.
 
     Single-writer contract (same as pysink): the ingest pipeline runs
     this inside its serial foreachBatch callback, so no reader or
@@ -159,6 +185,14 @@ def compact_index(
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return 0
+    tmp = index_dir.rstrip("/") + "/.compact_tmp"
+    tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_jpath):
+        # Crash residue: a prior pass died between the tmp write and
+        # the end of the protocol, so renamed-in compacted parts may
+        # duplicate rows still sitting in their source files. Force
+        # the whole-table dedup repair (docstring: self-healing).
+        full = True
     # ONE listing feeds the partition-layout guard, the small-file
     # selection, and the total count (object-store LIST calls are
     # paginated remote I/O; code-review r7). The guard runs BEFORE
@@ -182,10 +216,18 @@ def compact_index(
         n_files += 1
         if full or st.getLen() < target_file_bytes:
             small.append((st.getPath(), st.getLen()))
+    if not full:
+        # Geometric merge policy (docstring): the largest selected
+        # file participates only when the rest at least match its
+        # size, so the merge at least doubles every byte it copies.
+        small.sort(key=lambda t: t[1], reverse=True)
+        while len(small) > 1 and small[0][1] > sum(
+            ln for _p, ln in small[1:]
+        ):
+            small.pop(0)
     if len(small) <= 1:
         return n_files
     old_paths = [p for p, _len in small]
-    tmp = index_dir.rstrip("/") + "__compact_tmp"
     df = spark.read.parquet(*[p.toString() for p in old_paths])
     n_out = max(
         1, _math.ceil(sum(ln for _p, ln in small) / target_file_bytes)
@@ -215,7 +257,7 @@ def compact_index(
             "directory holds duplicates (superset — readers are "
             "unaffected; a later full=True pass repairs)"
         )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    fs.delete(tmp_jpath, True)
     return len(_list_data_files(spark, index_dir))
 
 

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from map_reduce_library_spark.operators.dedup import (
     LSH_BANDS,
+    LSH_BANDS_WIDE,
     LSH_ROWS,
+    LSH_ROWS_WIDE,
     MINHASH_A,
     MINHASH_B,
     MINHASH_K,
@@ -20,6 +22,7 @@ from map_reduce_library_spark.operators.dedup import (
     connected_components,
     embedding_dup_pairs,
     exact_dedup,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -171,20 +174,32 @@ _SHX_CTE = (
     f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS x "
     "FROM sh)"
 )
-_MINHASH_AGGS = ", ".join(
-    f"min((x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-    for i in range(MINHASH_K)
-)
-
-_BAND_SELECTS = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
-        b=b,
-        cols="concat_ws('|', {})".format(
-            ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        ),
+def _minhash_aggs_sql(k: int) -> str:
+    """K min-aggregates of the universal-hash family — generated from
+    ``minhash_coeffs`` so any signature width the Spark side can run,
+    the oracle can re-derive from ``k`` alone."""
+    ca, cb = minhash_coeffs(k)
+    return ", ".join(
+        f"min((x * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(k)
     )
-    for b in range(LSH_BANDS)
-)
+
+
+def _band_selects_sql(bands: int, rows: int, src: str = "sig") -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM {src}".format(
+            b=b,
+            cols="concat_ws('|', {})".format(
+                ", ".join(f"h{b * rows + r}" for r in range(rows))
+            ),
+            src=src,
+        )
+        for b in range(bands)
+    )
+
+
+_MINHASH_AGGS = _minhash_aggs_sql(MINHASH_K)
+_BAND_SELECTS = _band_selects_sql(LSH_BANDS, LSH_ROWS)
 
 
 @register(
@@ -216,6 +231,96 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12)+LSH(4x3) near-duplicate candidate pairs over
     word 3-gram shingles."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---- production-width MinHash (VERDICT r7 item 1) -------------------------
+# K=128 in 16 bands x 8 rows: detection-probability knee at
+# t = (1/16)^(1/8) ~= 0.71 Jaccard — the web-scale near-dedup setting
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" uses comparable widths). The oracle regenerates the full
+# 128-permutation family from the same deterministic coefficients, so
+# the differential covers every one of the 128 hash lanes and the
+# 16-way band reshape, not just the narrow default geometry.
+# Empirical S-curve: tests/test_dedup_scurve.py.
+
+_WIDE_SIG_CTES = f"""
+    {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_minhash_aggs_sql(LSH_BANDS_WIDE * LSH_ROWS_WIDE)}
+            FROM shx GROUP BY doc_id),
+    bands AS ({_band_selects_sql(LSH_BANDS_WIDE, LSH_ROWS_WIDE)})"""
+
+
+@register(
+    "minhash_lsh_pairs_wide",
+    oracle=f"""
+    WITH {_WIDE_SIG_CTES}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width MinHash(K=128)+LSH(16x8) candidate pairs —
+    the geometry a real 0.7-0.8-Jaccard near-dedup target needs.
+    Same shingle scan as the K=12 default; only the per-doc signature
+    aggregate (128 mins in ONE groupBy) and the band relation height
+    (16 rows/doc vs 4) grow, so the plan shape is identical at any K."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bands=LSH_BANDS_WIDE,
+        rows=LSH_ROWS_WIDE,
+    )
+
+
+# ---- normalization pre-shingle (VERDICT r7 item 2) ------------------------
+# Both engines build the SAME canonical text: lower → strip
+# punctuation/symbols to spaces → collapse whitespace → trim. DuckDB
+# regexp_replace needs the 'g' flag (Spark's replaces all matches by
+# default); both regex engines support \\p{{L}}/\\p{{N}}.
+
+_NORM_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+_NORM_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS toks
+        FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([{'||'.join(f"toks[i+{j}]" + ("||' '" if j < SHINGLE_N - 1 else "") for j in range(SHINGLE_N))}
+                 FOR i IN generate_series(1, greatest(len(toks)-{SHINGLE_N - 1}, 0))]) AS shingle
+  FROM tok
+)"""
+
+
+@register(
+    "minhash_lsh_pairs_normalized",
+    oracle=f"""
+    WITH {_NORM_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM shx GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH pairs over NORMALIZED text (casefold + punctuation
+    strip + whitespace collapse before shingling) — catches
+    trivially-reformatted duplicates raw shingling misses;
+    tests/test_dedup2.py pins a case where only this variant finds
+    the dup. Geometry kept at the K=12 default so this query isolates
+    the normalization variable from the width variable."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), normalize=True
+    )
 
 
 # Hot-bucket cap exercised through the driver gate: at sf0.01 the band

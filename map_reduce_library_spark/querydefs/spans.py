@@ -138,3 +138,54 @@ def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BP_TOP)
     )
+
+
+from map_reduce_library_spark.operators.spans import (  # noqa: E402
+    SPAN_MIN_OCCURRENCES,
+    SPAN_MIN_TOKENS,
+    SPAN_NGRAM,
+    repeated_span_intervals,
+)
+
+
+@register(
+    "repeated_span_intervals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(generate_series(1, len(toks) - {SPAN_NGRAM - 1}))
+                   AS pos,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - {SPAN_NGRAM - 1}),
+                   i -> md5(array_to_string(
+                          toks[i:i + {SPAN_NGRAM - 1}], ' ')))) AS gh
+          FROM t),
+    d AS (SELECT gh FROM g GROUP BY gh
+          HAVING count(*) >= {SPAN_MIN_OCCURRENCES}),
+    m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+    i AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM m)
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {SPAN_NGRAM - 1} AS span_end,
+           max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1 AS n_tokens
+    FROM i GROUP BY doc_id, grp
+    HAVING max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1
+           >= {SPAN_MIN_TOKENS}
+    """,
+)
+def repeated_span_intervals_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal repeated spans (VERDICT r7 item 3): per-document
+    [span_start, span_end] intervals every {SPAN_NGRAM}-gram window of
+    which occurs >= {SPAN_MIN_OCCURRENCES} times corpus-wide — the
+    Lee-et-al-2022 substring-dedup intervals via n-gram cover merging
+    (gaps-and-islands over duplicated gram start positions; the SCD2
+    idiom applied to token offsets). Oracle rebuilds the identical
+    intervals relationally from the same md5 gram hashes."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    return repeated_span_intervals(shared_doc_tokens(spark, sf_dir))

@@ -129,3 +129,35 @@ def test_pagerank_is_a_distribution_with_teleport_floor(spark):
     # symmetric graph, every node has out-links -> mass is conserved
     assert abs(total - 1.0) < 1e-6
     assert all(r["pagerank"] >= (1 - 0.85) / n - 1e-12 for r in rows)
+
+
+def test_normalization_catches_reformatted_duplicate(spark):
+    """VERDICT r7 item 2: raw shingling provably misses a case/
+    punctuation-variant duplicate that the normalize=True pipeline
+    catches — and normalization introduces no false pair between
+    genuinely different docs."""
+    from map_reduce_library_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variant = "The  quick, brown FOX jumps over the lazy dog — again, and again!"
+    other = "completely different content about spark shuffle partitions here"
+    docs = spark.createDataFrame(
+        [(0, base), (1, variant), (2, other)], "doc_id bigint, text string"
+    )
+
+    raw = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 1) not in raw, "fixture too easy: raw shingling found it"
+
+    norm = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, normalize=True).collect()
+    }
+    assert (0, 1) in norm
+    assert all(2 not in pr for pr in norm)
+
+
+def test_wide_and_normalized_pairs_queries(spark):
+    assert_oracle_match(spark, "minhash_lsh_pairs_wide")
+    assert_oracle_match(spark, "minhash_lsh_pairs_normalized")

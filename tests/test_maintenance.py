@@ -283,3 +283,90 @@ def test_compact_index_full_pass_repairs_crash_duplicates(
     after = {p.toString() for p in _list_data_files(spark, path)}
     assert before <= after, "incremental pass rewrote at-target files"
     assert spark.read.parquet(path).count() == 1005
+
+
+def test_compact_index_geometric_policy_spares_accumulator(
+    spark, tmp_path
+):
+    """ADVICE r7: a below-target accumulator must NOT be re-rewritten
+    on every cadence tick while small appends trickle in — the
+    largest sub-target file joins the merge only when the other small
+    files' combined bytes at least match it (LSM merge invariant)."""
+    from map_reduce_library_spark.operators.maintenance import (
+        _list_data_files,
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.range(200_000).selectExpr(
+        "id AS doc_id", "md5(CAST(id AS STRING)) AS band_sig"
+    ).coalesce(1).write.parquet(path)
+    (acc,) = _list_data_files(spark, path)
+
+    # One tiny append (far smaller than the accumulator): incremental
+    # pass must leave the accumulator file in place untouched.
+    spark.range(5).selectExpr(
+        "id + 1000000000 AS doc_id", "md5(CAST(id AS STRING)) AS band_sig"
+    ).coalesce(1).write.mode("append").parquet(path)
+    compact_index(spark, path)  # default 128 MiB target: all "small"
+    names = {p.getName() for p in _list_data_files(spark, path)}
+    assert acc.getName() in names, "geometric policy rewrote the accumulator"
+    assert spark.read.parquet(path).count() == 200_005
+
+    # Enough comparable-sized appends to outweigh it -> all merge.
+    for i in range(3):
+        spark.range(200_000).selectExpr(
+            f"id + {(2 + i) * 1000000000} AS doc_id",
+            "md5(CAST(id AS STRING)) AS band_sig",
+        ).coalesce(1).write.mode("append").parquet(path)
+    n_files = compact_index(spark, path)
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == 800_005
+
+
+def test_compact_index_crash_residue_forces_repair(spark, tmp_path):
+    """ADVICE r7: the full=True repair must have a real caller — a
+    pass that finds .compact_tmp inside the index dir knows the
+    previous pass died mid-protocol and self-heals (whole-table
+    dedup), even when every file is at target size."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "md5(CAST(id AS STRING)) AS band_sig"
+    )
+    df.coalesce(1).write.parquet(path)
+    # Crash window: compacted copy renamed in, old file not deleted,
+    # tmp dir left behind.
+    df.coalesce(1).write.mode("append").parquet(path)
+    (tmp_path / "idx" / ".compact_tmp").mkdir()
+    assert spark.read.parquet(path).count() == 2000
+
+    # target=1 byte: every file is at-target, so without residue
+    # detection this pass would be a no-op and leave the duplicates.
+    compact_index(spark, path, target_file_bytes=1)
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.distinct().count() == 1000
+    assert not (tmp_path / "idx" / ".compact_tmp").exists()
+
+
+def test_compact_parquet_publish_time_dedup(spark, tmp_path):
+    """ADVICE r7: publish with dedup_keys holds exactly one row per
+    key regardless of how many replayed copies the landing zone
+    accumulated."""
+    src = str(tmp_path / "landing")
+    dst = str(tmp_path / "published")
+    df = spark.range(500).selectExpr(
+        "id AS event_id", "id % 7 AS user_id"
+    )
+    df.write.parquet(src)
+    df.limit(100).write.mode("append").parquet(src)  # replayed batch
+
+    got = compact_parquet(spark, src, dst, dedup_keys=["event_id"])
+    assert got.count() == 500
+    # multiplicity-preserving default unchanged
+    dst2 = str(tmp_path / "published_raw")
+    assert compact_parquet(spark, src, dst2).count() == 600

@@ -177,3 +177,45 @@ def test_boilerplate_short_docs_produce_no_grams(spark):
     )
     rows = grams.collect()
     assert len(rows) == 1 and rows[0].gram == " ".join(["w"] * BP_NGRAM)
+
+
+def test_repeated_span_intervals_planted(spark):
+    """Planted-span property (VERDICT r7 item 3): two otherwise-unique
+    documents share one L-token span -> the operator reports exactly
+    that interval in both docs, maximal (not a token wider), and
+    nothing else. A third doc repeating its OWN paragraph is caught
+    too (within-document repetition counts)."""
+    from map_reduce_library_spark.operators.spans import (
+        SPAN_NGRAM,
+        repeated_span_intervals,
+    )
+    import pyspark.sql.functions as F
+
+    planted = [f"shared{i}" for i in range(12)]  # L=12 tokens
+    doc0 = [f"a{i}" for i in range(7)] + planted + [f"z{i}" for i in range(5)]
+    doc1 = [f"b{i}" for i in range(3)] + planted + [f"y{i}" for i in range(9)]
+    selfrep = [f"c{i}" for i in range(4)]
+    doc2 = selfrep + [f"mid{i}" for i in range(6)] + selfrep  # L=4 < N=5
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2)],
+        "doc_id bigint, toks array<string>",
+    )
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_span_intervals(docs).collect()
+    }
+    # doc0: planted occupies 1-based tokens 8..19; doc1: tokens 4..15.
+    # doc2's 4-token self-repeat is below the N=5 window -> invisible.
+    assert got == {(0, 8, 19), (1, 4, 15)}, got
+
+    # Maximality knob: lowering n to 3 makes doc2's self-repeat
+    # visible at exactly its planted intervals (tokens 1..4 and
+    # 11..14), min_span_tokens permitting.
+    got3 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_span_intervals(
+            docs.where(F.col("doc_id") == 2), n=3, min_span_tokens=4
+        ).collect()
+    }
+    assert got3 == {(2, 1, 4), (2, 11, 14)}, got3

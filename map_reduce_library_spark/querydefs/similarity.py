@@ -577,3 +577,267 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         "label",
     )
+
+
+# ---- IVF-PQ (VERDICT r7 item 6) -------------------------------------------
+# Coarse seed-IVF cells (the ivf_ann_multiprobe geometry, n_probe=2)
+# + product-quantized fine scoring: the index the scoring join reads
+# is (neighbor_id, cell) + (neighbor_id, sub, code) — ids and small
+# ints, never the float vectors, which is what makes ANN fit executor
+# memory at 100-TB-embeddings scale. The oracle re-derives the entire
+# grouped per-subspace Lloyd fit, the code assignment, the ADC lookup
+# table, and the rounded-sum scoring — full-pipeline differential.
+
+from map_reduce_library_spark.operators.similarity import (  # noqa: E402
+    PQ_CODES,
+    PQ_ITERS,
+    PQ_M,
+    ivf_pq_topk,
+    pq_codebooks,
+    pq_encode,
+)
+
+PQ_SUB_DIM = EMB_DIM // PQ_M
+
+_SHARED_PQ_CODEBOOKS: dict = {}
+_SHARED_PQ_CODES: dict = {}
+
+
+def shared_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_library_spark.querydefs._shared import shared_checkpoint
+
+    return shared_checkpoint(
+        _SHARED_PQ_CODEBOOKS,
+        spark,
+        sf_dir,
+        lambda: pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"), EMB_DIM
+        ),
+    )
+
+
+def shared_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_library_spark.querydefs._shared import shared_checkpoint
+
+    return shared_checkpoint(
+        _SHARED_PQ_CODES,
+        spark,
+        sf_dir,
+        lambda: pq_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            shared_pq_codebooks(spark, sf_dir),
+            EMB_DIM,
+        ),
+    )
+
+
+def _pq_lloyd_ctes(iters: int = PQ_ITERS) -> str:
+    """Grouped per-subspace Lloyd as chained CTEs — the DuckDB twin of
+    ``operators.similarity.pq_codebooks``. The ARGMIN distance is the
+    un-rounded fold identity (|a|^2+|b|^2-2ab, the same expression
+    text both engines evaluate as left folds); per-iteration means
+    round to 6 decimals exactly like the Spark side."""
+    parts = [
+        f"""sv AS (
+      SELECT e.vec_id, s.sub,
+             e.v[s.sub * {PQ_SUB_DIM} + 1 : s.sub * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s
+    ),
+    pq0 AS (SELECT sub, vec_id AS cell, sv AS vc FROM sv
+            WHERE vec_id < {PQ_CODES})"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"pq{it - 1}"
+        parts.append(f"""
+    pa{it} AS (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT sv.vec_id, sv.sub, sv.sv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY (list_dot_product(sv.sv, sv.sv)
+                           + list_dot_product(c.vc, c.vc))
+                          - 2 * list_dot_product(sv.sv, c.vc) ASC,
+                          c.cell) AS rn
+        FROM sv JOIN {prev} c ON sv.sub = c.sub) WHERE rn = 1
+    ),
+    pm{it} AS (
+      SELECT sub, cell, i, round(avg(sv[i]), 6) AS mval
+      FROM pa{it} CROSS JOIN generate_series(1, {PQ_SUB_DIM}) g(i)
+      GROUP BY sub, cell, i
+    ),
+    pq{it} AS (
+      SELECT sub, cell, list(mval ORDER BY i) AS vc
+      FROM pm{it} GROUP BY sub, cell
+    )""")
+    return ",".join(parts)
+
+
+def _ivf_pq_oracle(limit: int = TOPK) -> str:
+    cb = f"pq{PQ_ITERS}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    {_pq_lloyd_ctes()},
+    codesq AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT sv.vec_id, sv.sub, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY (list_dot_product(sv.sv, sv.sv)
+                           + list_dot_product(c.vc, c.vc))
+                          - 2 * list_dot_product(sv.sv, c.vc) ASC,
+                          c.cell) AS rn
+        FROM sv JOIN {cb} c ON sv.sub = c.sub) WHERE rn = 1
+    ),
+    cn AS (SELECT sub, cell AS code,
+                  list_dot_product(vc, vc) AS cn2 FROM {cb}),
+    cents AS (SELECT vec_id AS cell, v AS vc2, nrm AS nc FROM e
+              WHERE vec_id < {N_CENTROIDS}),
+    probes AS (
+      SELECT vec_id, v, nrm, cell, rn FROM (
+        SELECT e.vec_id, e.v, e.nrm, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cents.vc2) / (e.nrm * cents.nc)
+                          DESC, cents.cell) AS rn
+        FROM e CROSS JOIN cents) WHERE rn <= {N_PROBE}
+    ),
+    homed AS (SELECT vec_id AS neighbor_id, cell FROM probes WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, sub, sv FROM sv
+           WHERE vec_id < {N_QUERIES}),
+    lut AS (
+      SELECT q.query_id, c.sub, c.cell AS code,
+             list_dot_product(q.sv, c.vc) AS qd
+      FROM qs q JOIN {cb} c ON q.sub = c.sub
+    ),
+    cand AS (
+      SELECT p.vec_id AS query_id, p.nrm AS nq, h.neighbor_id
+      FROM probes p JOIN homed h ON p.cell = h.cell
+      WHERE p.vec_id < {N_QUERIES} AND p.vec_id != h.neighbor_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.nq,
+             round(sum(l.qd), 6) AS adot,
+             round(sum(n.cn2), 6) AS rn2
+      FROM cand c
+      JOIN codesq k ON c.neighbor_id = k.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.sub = k.sub
+                AND l.code = k.code
+      JOIN cn n ON n.sub = k.sub AND n.code = k.code
+      GROUP BY c.query_id, c.neighbor_id, c.nq
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             adot / (nq * sqrt(rn2)) AS cosine_pq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adot / (nq * sqrt(rn2)) DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine_pq
+    FROM ranked WHERE rnk <= {limit}
+    """
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse multi-probe IVF pruning + ADC scoring
+    over {PQ_M}x{PQ_CODES} product-quantized codes — the
+    compressed-index ANN path for corpora whose float vectors cannot
+    be memory-resident (VERDICT r7 item 6)."""
+    return ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        dim=EMB_DIM,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        assigned=shared_ivf_assigned(spark, sf_dir, n_probe=N_PROBE),
+        codebooks=shared_pq_codebooks(spark, sf_dir),
+        encoded=shared_pq_codes(spark, sf_dir),
+    )
+
+
+@register("ivf_pq_recall_at_k", oracle=_recall_oracle_for("ivf_pq_topk"))
+def ivf_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOPK} of IVF-PQ against exact brute-force cosine — the
+    quantization-distortion + cell-miss gate. Measured at sf0.01:
+    see tests/test_similarity2.py's floor assertion."""
+    exact = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+    )
+    approx = ivf_pq_topk_q(spark, sf_dir)
+    return _recall_df(exact, approx)
+
+
+from map_reduce_library_spark.operators.similarity import (  # noqa: E402
+    PQ_RERANK_SHORTLIST,
+    ivf_pq_rerank_topk,
+)
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    return f"""
+    WITH short AS ({_ivf_pq_oracle(PQ_RERANK_SHORTLIST)}),
+    e3 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine
+      FROM short s
+      JOIN e3 q ON q.vec_id = s.query_id
+      JOIN e3 n ON n.vec_id = s.neighbor_id
+    ),
+    rranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine
+    FROM rranked WHERE rnk <= {TOPK}
+    """
+
+
+@register("ivf_pq_rerank_topk", oracle=_ivf_pq_rerank_oracle())
+def ivf_pq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact re-rank: ADC shortlist of {PQ_RERANK_SHORTLIST}
+    per query from the compressed index, float vectors fetched only
+    for the shortlist, exact cosine re-rank to top-{TOPK} — the
+    production compressed-ANN query shape."""
+    return ivf_pq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+        dim=EMB_DIM,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        assigned=shared_ivf_assigned(spark, sf_dir, n_probe=N_PROBE),
+        codebooks=shared_pq_codebooks(spark, sf_dir),
+        encoded=shared_pq_codes(spark, sf_dir),
+    )
+
+
+@register(
+    "ivf_pq_rerank_recall_at_k",
+    oracle=_recall_oracle_for("ivf_pq_rerank_topk"),
+)
+def ivf_pq_rerank_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@{TOPK} of re-ranked IVF-PQ vs exact cosine. Measured at
+    sf0.01: mean 0.81 — identical to the UNCOMPRESSED multiprobe IVF
+    at the same probe width, i.e. the quantization is end-metric
+    lossless once re-ranked; residual loss is coarse-cell miss
+    (n_probe-tunable). Floor pinned in tests/test_similarity.py."""
+    exact = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < N_QUERIES,
+        TOPK,
+    )
+    return _recall_df(exact, ivf_pq_rerank_topk_q(spark, sf_dir))

@@ -128,3 +128,60 @@ def test_kmeans_recall_meets_seed_recall(spark):
     ).fetchone()[0]
     con.close()
     assert fitted >= seed, f"fitted {fitted} < seed {seed}"
+
+
+def test_ivf_pq_oracles(spark):
+    assert_oracle_match(spark, "ivf_pq_topk")
+    assert_oracle_match(spark, "ivf_pq_rerank_topk")
+    assert_oracle_match(spark, "ivf_pq_recall_at_k")
+    assert_oracle_match(spark, "ivf_pq_rerank_recall_at_k")
+
+
+def test_ivf_pq_rerank_recall_floor(spark):
+    """The stated floor (VERDICT r7 item 6): re-ranked IVF-PQ must
+    match the uncompressed multiprobe IVF's recall at the same probe
+    width — quantization is end-metric lossless once re-ranked. ADC-
+    only recall is also pinned (random uniform vectors are PQ's worst
+    case; the gap is exactly what the re-rank exists to close)."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    rr = {
+        r.query_id: r.recall_at_k
+        for r in QUERIES["ivf_pq_rerank_recall_at_k"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    mean_rr = sum(rr.values()) / len(rr)
+    assert mean_rr >= 0.80, mean_rr
+
+    adc = {
+        r.query_id: r.recall_at_k
+        for r in QUERIES["ivf_pq_recall_at_k"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    mean_adc = sum(adc.values()) / len(adc)
+    assert 0.15 <= mean_adc <= mean_rr, (mean_adc, mean_rr)
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    from map_reduce_library_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+    from map_reduce_library_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cb = pq_codebooks(emb, 64).collect()
+    assert len(cb) == PQ_M * PQ_CODES
+    assert all(len(r.vc) == 64 // PQ_M for r in cb)
+    cb2 = pq_codebooks(emb, 64).collect()
+    assert sorted(map(str, cb)) == sorted(map(str, cb2)), "non-deterministic fit"
+
+    codes = pq_encode(emb, pq_codebooks(emb, 64), 64)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == PQ_M for r in per_vec)
+    rng = codes.agg({"code": "min"}).collect()[0][0], codes.agg({"code": "max"}).collect()[0][0]
+    assert 0 <= rng[0] and rng[1] < PQ_CODES

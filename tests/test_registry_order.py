@@ -137,15 +137,30 @@ def test_verified_recheck_oldest_green_first():
     Hash-oracled and rows-only entries are separate sub-blocks (the
     order key ranks `name not in ORACLES` before age — rows-only
     greens are weaker evidence and re-check after all oracled ones),
-    so the ascending-rounds invariant holds per sub-block."""
+    and each splits again by evidence source (vtier, round 7): entries
+    whose latest green is a LOCAL differential fold re-check before
+    driver-fresh entries regardless of round — the driver has never
+    hashed that source version, so a round-8 local green is WEAKER
+    evidence than a round-5 driver green. The ascending-rounds
+    invariant therefore holds per (oracle-membership x vtier)
+    sub-block."""
     verified_order = [n for n in q.QUERIES
                       if n in q._VERIFIED and n not in q._CANARIES]
-    for block in (
-        [n for n in verified_order if n in q.ORACLES],
-        [n for n in verified_order if n not in q.ORACLES],
-    ):
-        rounds = [q._VERIFIED[n] for n in block]
-        assert rounds == sorted(rounds)
+
+    def vtier(n):
+        if n not in q._EVER_GREEN:
+            return 0
+        return 1 if q._LEDGER_SOURCE.get(n) == "local" else 2
+
+    for oracled in (True, False):
+        block = [n for n in verified_order if (n in q.ORACLES) == oracled]
+        # vtier sub-blocks appear in order within the block...
+        tiers = [vtier(n) for n in block]
+        assert tiers == sorted(tiers)
+        # ...and rounds ascend within each vtier sub-block
+        for t in set(tiers):
+            rounds = [q._VERIFIED[n] for n in block if vtier(n) == t]
+            assert rounds == sorted(rounds)
     # and the oracled block precedes the rows-only block entirely
     idx = {n: i for i, n in enumerate(verified_order)}
     oracled = [idx[n] for n in verified_order if n in q.ORACLES]

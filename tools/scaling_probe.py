@@ -19,7 +19,12 @@ inputs (correctness stays pinned to the driver's sf0.01 oracles):
     across replicas vectors decorrelate, so the LSH band structure
     scales the way real corpus growth does.
 
-Usage: python tools/scaling_probe.py [factors...]   (default 1 3 10)
+Usage: python tools/scaling_probe.py [factors...] [--queries a,b,c]
+(default factors 1 3 10; default queries the dedup/CDC family).
+``--queries pagerank_near_dup_graph,dedup_clusters,triangle_count_near_dup_graph``
+measures the iterative-graph family (VERDICT r7 item 4) on the same
+fixtures — all three derive from the documents LSH candidate graph,
+so the token-bijection replicas scale their edge sets the same way.
 Prints one JSON line per (factor, query): pass1/pass2 wall seconds
 and output rows. Paste the table into BASELINE.md.
 """
@@ -97,7 +102,13 @@ def build(spark, factor: int) -> str:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    argv = sys.argv[1:]
+    query_names = list(QUERY_NAMES)
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        query_names = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    factors = [int(a) for a in argv] or [1, 3, 10]
     from map_reduce_library_spark.queries import QUERIES
     from map_reduce_library_spark.session import get_session
 
@@ -112,7 +123,7 @@ def main() -> None:
     for factor in factors:
         sf_dir = build(spark, factor)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        for name in QUERY_NAMES:
+        for name in query_names:
             times = []
             rows = None
             for _ in range(2):

@@ -302,6 +302,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     normalize: bool = False,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate candidate pairs.
 
@@ -320,11 +321,19 @@ def minhash_lsh_pairs(
     cheap; production near-dedup at a ~0.7-0.8 Jaccard target should
     pass ``bands=LSH_BANDS_WIDE, rows=LSH_ROWS_WIDE`` (16x8, K=128)
     for a sharp S-curve — the cost scales only the per-doc signature
-    aggregate and the band relation height, never the shingle scan."""
+    aggregate and the band relation height, never the shingle scan.
+
+    ``shingle_df`` forwards a materialized (id, shingle) relation
+    (the shared-checkpoint pattern — shingles are geometry-
+    independent, so narrow and wide signatures read ONE scan; at
+    scale it is the shingle table written to parquet once). When
+    given, ``text_col``/``normalize`` are ignored."""
     return lsh_candidate_pairs(
         lsh_bands(
             minhash_signature(
-                shingles(df, text_col, id_col, normalize=normalize),
+                shingle_df
+                if shingle_df is not None
+                else shingles(df, text_col, id_col, normalize=normalize),
                 id_col,
                 k=bands * rows,
             ),

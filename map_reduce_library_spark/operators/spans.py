@@ -112,3 +112,58 @@ def repeated_span_intervals(
         .where(F.col("n_tokens") >= min_span_tokens)
         .select("doc_id", "span_start", "span_end", "n_tokens")
     )
+
+
+def remove_repeated_spans(
+    tok_df: DataFrame,
+    n: int = SPAN_NGRAM,
+    min_occurrences: int = SPAN_MIN_OCCURRENCES,
+    min_span_tokens: int = SPAN_MIN_TOKENS,
+) -> DataFrame:
+    """Substring dedup APPLIED: rewrite each document with every
+    mined repeated span cut out. Returns
+    (doc_id, clean_text, n_tokens, n_removed), where ``n_tokens`` is
+    the pre-cut token count and ``clean_text`` re-joins the surviving
+    tokens in order ('' when everything was repeated mass).
+
+    Policy: ALL occurrences of a repeated span are cut — the
+    boilerplate-removal stance (headers/templates/licence blocks
+    contribute no signal from ANY copy). Lee et al.'s keep-one-copy
+    refinement needs a global first-occurrence ranking per span
+    content; layer it by exempting, per span-content hash, the
+    occurrence with min (doc_id, span_start) before the cut join —
+    the interval relation already carries everything required.
+
+    Plan shape: the interval relation (tiny — only spans ≥
+    ``min_span_tokens``) is collapsed to one row per affected doc
+    (collect_list of its few intervals), equi-joined back on doc_id,
+    and the cut itself is a JVM-side higher-order filter over the
+    token array (positions covered by no interval survive) — zero
+    Python, zero extra shuffle beyond the interval mining, and docs
+    with no repeated spans pass through the left join untouched."""
+    spans = repeated_span_intervals(
+        tok_df, n, min_occurrences, min_span_tokens
+    )
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    kept = (
+        "filter(transform(toks, (t, i) ->"
+        " struct(t AS tok, CAST(i + 1 AS BIGINT) AS pos)),"
+        " s -> cuts IS NULL OR NOT exists(cuts,"
+        " c -> s.pos >= c.span_start AND s.pos <= c.span_end))"
+    )
+    return (
+        tok_df.join(cuts, "doc_id", "left")
+        .withColumn("_kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr("transform(_kept, s -> s.tok)"), " "
+            ).alias("clean_text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("_kept"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -83,12 +83,34 @@ def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARED_SHINGLES: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) relation, checkpointed once per
+    session: shingles are LSH-geometry-independent, so the narrow
+    (K=12) and wide (K=128) signature pipelines read the SAME scan —
+    the production shape where the shingle table is written to
+    parquet once and every signature job reads it."""
+    from map_reduce_library_spark.operators.dedup import shingles
+
+    return shared_checkpoint(
+        _SHARED_SHINGLES,
+        spark,
+        sf_dir,
+        lambda: shingles(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_checkpoint(
         _SHARED_PAIRS,
         spark,
         sf_dir,
-        lambda: minhash_lsh_pairs(load_table(spark, sf_dir, "documents")),
+        lambda: minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            shingle_df=shared_doc_shingles(spark, sf_dir),
+        ),
     )
 
 
@@ -229,8 +251,12 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12)+LSH(4x3) near-duplicate candidate pairs over
-    word 3-gram shingles."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    word 3-gram shingles (shared shingle checkpoint — one scan feeds
+    every signature geometry)."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_df=shared_doc_shingles(spark, sf_dir),
+    )
 
 
 # ---- production-width MinHash (VERDICT r7 item 1) -------------------------
@@ -264,13 +290,16 @@ _WIDE_SIG_CTES = f"""
 def minhash_lsh_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width MinHash(K=128)+LSH(16x8) candidate pairs —
     the geometry a real 0.7-0.8-Jaccard near-dedup target needs.
-    Same shingle scan as the K=12 default; only the per-doc signature
-    aggregate (128 mins in ONE groupBy) and the band relation height
-    (16 rows/doc vs 4) grow, so the plan shape is identical at any K."""
+    Same shingle scan as the K=12 default — literally: both read the
+    shared checkpointed (doc_id, shingle) relation, so only the
+    per-doc signature aggregate (128 mins in ONE groupBy) and the
+    band relation height (16 rows/doc vs 4) grow; the plan shape is
+    identical at any K."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         bands=LSH_BANDS_WIDE,
         rows=LSH_ROWS_WIDE,
+        shingle_df=shared_doc_shingles(spark, sf_dir),
     )
 
 
@@ -364,6 +393,7 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         max_bucket=LSH_MAX_BUCKET,
+        shingle_df=shared_doc_shingles(spark, sf_dir),
     )
 
 

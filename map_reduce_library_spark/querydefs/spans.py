@@ -144,15 +144,16 @@ from map_reduce_library_spark.operators.spans import (  # noqa: E402
     SPAN_MIN_OCCURRENCES,
     SPAN_MIN_TOKENS,
     SPAN_NGRAM,
+    remove_repeated_spans,
     repeated_span_intervals,
 )
 
-
-@register(
-    "repeated_span_intervals",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents),
+# Shared CTE chain deriving the maximal repeated-span intervals —
+# composed by both the interval report and the applied-cut query, so
+# the two oracles can never drift apart.
+_SPAN_CTES = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
     g AS (SELECT doc_id,
                  unnest(generate_series(1, len(toks) - {SPAN_NGRAM - 1}))
                    AS pos,
@@ -167,13 +168,22 @@ from map_reduce_library_spark.operators.spans import (  # noqa: E402
     i AS (SELECT doc_id, pos,
                  pos - row_number() OVER (PARTITION BY doc_id
                                           ORDER BY pos) AS grp
-          FROM m)
-    SELECT doc_id, min(pos) AS span_start,
-           max(pos) + {SPAN_NGRAM - 1} AS span_end,
-           max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1 AS n_tokens
-    FROM i GROUP BY doc_id, grp
-    HAVING max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1
-           >= {SPAN_MIN_TOKENS}
+          FROM m),
+    spans AS (SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + {SPAN_NGRAM - 1} AS span_end,
+                     max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1
+                       AS n_tokens
+              FROM i GROUP BY doc_id, grp
+              HAVING max(pos) + {SPAN_NGRAM - 1} - min(pos) + 1
+                     >= {SPAN_MIN_TOKENS})
+"""
+
+
+@register(
+    "repeated_span_intervals",
+    oracle=f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, n_tokens FROM spans
     """,
 )
 def repeated_span_intervals_q(
@@ -189,3 +199,46 @@ def repeated_span_intervals_q(
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
     return repeated_span_intervals(shared_doc_tokens(spark, sf_dir))
+
+
+@register(
+    "remove_repeated_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(generate_series(1, len(toks))) AS pos
+          FROM t),
+    kept AS (SELECT p.doc_id, p.tok, p.pos FROM p
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = p.doc_id
+                                 AND p.pos BETWEEN s.span_start
+                                               AND s.span_end)),
+    agg AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def remove_repeated_spans_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring dedup APPLIED (the Lee-et-al pass end-to-end): every
+    mined repeated span cut from its document, surviving tokens
+    re-joined in order — the query a pipeline runs to PRODUCE the
+    deduplicated corpus rather than report on it. Cuts all
+    occurrences (boilerplate-removal policy; see the operator
+    docstring for the keep-one-copy layering). The cut itself is a
+    JVM-side higher-order filter over the token array against the
+    per-doc interval list — zero Python, no shuffle beyond the
+    interval mining. Oracle re-derives the same intervals (shared CTE
+    chain) and reconstructs clean text via NOT EXISTS + ordered
+    string_agg."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    return remove_repeated_spans(shared_doc_tokens(spark, sf_dir))

@@ -219,3 +219,47 @@ def test_repeated_span_intervals_planted(spark):
         ).collect()
     }
     assert got3 == {(2, 1, 4), (2, 11, 14)}, got3
+
+
+def test_remove_repeated_spans_cuts_exactly_the_intervals(spark):
+    """The applied cut removes precisely the planted span's tokens
+    from both docs (all occurrences — boilerplate policy), leaves the
+    unique docs' text untouched, and reports per-doc removal counts.
+    A doc that is ENTIRELY repeated mass comes back as ''."""
+    from map_reduce_library_spark.operators.spans import (
+        remove_repeated_spans,
+    )
+
+    planted = [f"shared{i}" for i in range(12)]
+    doc0 = [f"a{i}" for i in range(7)] + planted + [f"z{i}" for i in range(5)]
+    doc1 = [f"b{i}" for i in range(3)] + planted + [f"y{i}" for i in range(9)]
+    doc2 = [f"u{i}" for i in range(8)]  # unique, untouched
+    doc3 = list(planted)  # nothing but the repeated span
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2), (3, doc3)],
+        "doc_id bigint, toks array<string>",
+    )
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_repeated_spans(docs).collect()
+    }
+    assert got[0] == (
+        " ".join([f"a{i}" for i in range(7)] + [f"z{i}" for i in range(5)]),
+        24, 12,
+    ), got[0]
+    assert got[1] == (
+        " ".join([f"b{i}" for i in range(3)] + [f"y{i}" for i in range(9)]),
+        24, 12,
+    ), got[1]
+    assert got[2] == (" ".join(doc2), 8, 0), got[2]
+    assert got[3] == ("", 12, 12), got[3]
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_remove_repeated_spans_oracle(spark):
+    assert_oracle_match(spark, "remove_repeated_spans")
+
+
+def test_repeated_span_intervals_oracle(spark):
+    assert_oracle_match(spark, "repeated_span_intervals")

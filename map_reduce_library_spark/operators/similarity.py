@@ -930,3 +930,91 @@ def ivf_pq_rerank_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def semdedup_removals(
+    emb: DataFrame,
+    tau: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means
+    cluster the embedding space, then search for semantic duplicates
+    ONLY within each cluster — exact pairwise cosine bounded to
+    cluster-sized blocks instead of the corpus-quadratic join. A
+    vector is removed iff some lower-id vector in its cluster has
+    cosine >= ``tau``; keeping the min-id copy per duplicate group
+    makes the policy deterministic and oracle-able (the paper keeps
+    the copy farthest from the centroid — swap the keeper ranking to
+    get that; the pair discovery is identical).
+
+    Returns (vec_id, cell, dup_of, cos_sim): the removed vector, its
+    home cluster, the lower-id duplicate that evicted it (highest
+    cosine, ties to the lower id), and that cosine. ``dup_of`` is
+    evidence, not necessarily a survivor: in a duplicate CHAIN
+    (3 dups 2 dups 0), vec 3's dup_of may be 2, itself removed. The
+    surviving representative is reached by following ``dup_of``
+    links — ids strictly decrease, so the walk terminates at a
+    kept vector; materialize it with the pointer-jumping idiom of
+    ``dedup.connected_components`` if a direct removed→kept map is
+    needed.
+
+    Versus the LSH production path (``embedding_dup_pairs_lsh``):
+    SemDeDup's blocking is LEARNED (clusters follow the data's
+    density), so near-duplicates land in the same block with higher
+    probability than under data-oblivious random hyperplanes at equal
+    block volume — the standard trade at 100 TB, where the k-means
+    fit runs on a bounded sample (``kmeans_centroids(sample_mod=...)``)
+    and assignment stays one broadcast-join pass over the corpus.
+    Within-cluster pair work is Σ|cluster|²; skewed (dense) clusters
+    are the known failure mode — raise ``n_centroids`` so clusters
+    stay executor-sized (the paper uses K≈100k at 5B docs), and AQE's
+    skew split absorbs the residue.
+
+    Reference: the reference engine (IdoSagiv/map-reduce-library) has
+    no embedding ops at all — SURVEY.md §2D extension; expressible in
+    its model as map (assign cell) → group by cell → reduce (pairwise
+    scoring within the group)."""
+    from pyspark.sql.window import Window
+
+    if assigned is None:
+        assigned = ivf_assign_cells(
+            emb, n_centroids, id_col, vec_col, n_probe=1,
+            centroids=centroids,
+        )
+    homed = assigned.where(F.col("probe_rank") == 1)
+    keep = homed.select(
+        F.col(id_col).alias("keep_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    cand = homed.select(
+        F.col(id_col).alias("rm_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    w = Window.partitionBy("rm_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id")
+    )
+    return (
+        cand.join(keep, "cell")
+        .where(F.col("keep_id") < F.col("rm_id"))
+        .withColumn(
+            "cos_sim", F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na"))
+        )
+        .where(F.col("cos_sim") >= tau)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rm_id").alias(id_col),
+            "cell",
+            F.col("keep_id").alias("dup_of"),
+            "cos_sim",
+        )
+    )

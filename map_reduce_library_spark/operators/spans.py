@@ -119,6 +119,7 @@ def remove_repeated_spans(
     n: int = SPAN_NGRAM,
     min_occurrences: int = SPAN_MIN_OCCURRENCES,
     min_span_tokens: int = SPAN_MIN_TOKENS,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Substring dedup APPLIED: rewrite each document with every
     mined repeated span cut out. Returns
@@ -126,13 +127,22 @@ def remove_repeated_spans(
     the pre-cut token count and ``clean_text`` re-joins the surviving
     tokens in order ('' when everything was repeated mass).
 
-    Policy: ALL occurrences of a repeated span are cut — the
-    boilerplate-removal stance (headers/templates/licence blocks
-    contribute no signal from ANY copy). Lee et al.'s keep-one-copy
-    refinement needs a global first-occurrence ranking per span
-    content; layer it by exempting, per span-content hash, the
-    occurrence with min (doc_id, span_start) before the cut join —
-    the interval relation already carries everything required.
+    Policy: by default ALL occurrences of a repeated span are cut —
+    the boilerplate-removal stance (headers/templates/licence blocks
+    contribute no signal from ANY copy). ``keep_first=True`` is the
+    Lee-et-al keep-one-copy refinement: per mined-INTERVAL content
+    (md5 of the island's token slice), the globally-first occurrence
+    — min (doc_id, span_start) — is exempted from the cut, so one
+    copy of each distinct maximal-span content survives. The unit is
+    the merged island, not every embedded substring: a repeated run X
+    that stands alone in one doc but merges with an adjacent repeated
+    run into 'X W' elsewhere yields two distinct contents, each
+    exempted once (both copies of X can survive). Content-level
+    rather than island-level uniqueness needs suffix-array-grade
+    machinery — out of scope by design (see module docstring). The
+    ranking is a window over the tiny interval relation (one row per
+    mined span), never over token mass, so the refinement adds one
+    small-relation shuffle and nothing else.
 
     Plan shape: the interval relation (tiny — only spans ≥
     ``min_span_tokens``) is collapsed to one row per affected doc
@@ -144,6 +154,26 @@ def remove_repeated_spans(
     spans = repeated_span_intervals(
         tok_df, n, min_occurrences, min_span_tokens
     )
+    if keep_first:
+        w = Window.partitionBy("sh").orderBy("doc_id", "span_start")
+        spans = (
+            spans.join(tok_df.select("doc_id", "toks"), "doc_id")
+            .withColumn(
+                "sh",
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.expr(
+                            "slice(toks, CAST(span_start AS INT),"
+                            " CAST(n_tokens AS INT))"
+                        ),
+                    )
+                ),
+            )
+            .withColumn("occ", F.row_number().over(w))
+            .where(F.col("occ") > 1)
+            .select("doc_id", "span_start", "span_end", "n_tokens")
+        )
     cuts = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
     )

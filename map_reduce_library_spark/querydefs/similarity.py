@@ -841,3 +841,70 @@ def ivf_pq_rerank_recall_at_k(
         TOPK,
     )
     return _recall_df(exact, ivf_pq_rerank_topk_q(spark, sf_dir))
+
+
+# ---- SemDeDup: clustered semantic deduplication ----------------------------
+
+# Same family threshold as the LSH production path's
+# COSINE_DUP_THRESHOLD (querydefs/dedup.py) — the synthetic
+# embeddings' planted near-dups sit above it.
+SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    cN = f"c{KMEANS_ITERS}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    {_kmeans_cents_ctes()},
+    homed AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.vc) / (e.nrm * c.nc)
+                          DESC, c.cell) AS rn
+        FROM e CROSS JOIN {cN} c) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id, b.cell, a.vec_id AS keep_id,
+             list_dot_product(b.v, a.v) / (b.nrm * a.nrm) AS cos_sim
+      FROM homed b JOIN homed a
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(b.v, a.v) / (b.nrm * a.nrm)
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT vec_id, cell, keep_id AS dup_of, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cos_sim DESC, keep_id) AS rn
+      FROM pairs) WHERE rn = 1
+    """
+
+
+@register("semdedup_removals", oracle=_semdedup_oracle())
+def semdedup_removals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by exact cosine
+    WITHIN learned k-means clusters — blocking follows the data's
+    density instead of random hyperplanes, so near-dups co-block with
+    higher probability at equal block volume. Reuses the fitted
+    codebook and IVF assignment checkpoints (the SemDeDup clustering
+    IS the IVF index — one fit serves both search and dedup). The
+    oracle unrolls the same Lloyd iterations, homes each vector, and
+    replays the min-id-keeper policy, so the whole pipeline — fit,
+    assignment, pair scoring, keeper choice — is hash-verified."""
+    from map_reduce_library_spark.operators.similarity import (
+        semdedup_removals,
+    )
+
+    return semdedup_removals(
+        load_table(spark, sf_dir, "embeddings"),
+        SEMDEDUP_TAU,
+        n_centroids=N_CENTROIDS,
+        assigned=shared_ivf_assigned(
+            spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
+        ),
+    )

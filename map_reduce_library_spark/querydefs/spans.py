@@ -242,3 +242,59 @@ def remove_repeated_spans_q(
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
     return remove_repeated_spans(shared_doc_tokens(spark, sf_dir))
+
+
+@register(
+    "remove_repeated_spans_keep_first",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    sc AS (SELECT s.doc_id, s.span_start, s.span_end,
+                  md5(array_to_string(
+                    array_slice(t.toks, s.span_start, s.span_end),
+                    ' ')) AS sh
+           FROM spans s JOIN t USING (doc_id)),
+    cut AS (SELECT doc_id, span_start, span_end FROM (
+              SELECT sc.*,
+                     row_number() OVER (PARTITION BY sh
+                       ORDER BY doc_id, span_start) AS occ
+              FROM sc)
+            WHERE occ > 1),
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(generate_series(1, len(toks))) AS pos
+          FROM t),
+    kept AS (SELECT p.doc_id, p.tok, p.pos FROM p
+             WHERE NOT EXISTS (SELECT 1 FROM cut s
+                               WHERE s.doc_id = p.doc_id
+                                 AND p.pos BETWEEN s.span_start
+                                               AND s.span_end)),
+    agg AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def remove_repeated_spans_keep_first_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring dedup with Lee et al.'s KEEP-ONE-COPY policy: per
+    mined-interval content (md5 of the island's token slice), the
+    globally first occurrence — min (doc_id, span_start) — survives;
+    every other occurrence of that content is cut (uniqueness is per
+    merged island, not per embedded substring — see the operator
+    docstring). The exemption ranking runs over the tiny
+    mined-interval relation, so versus the cut-all sibling it costs
+    one small-relation window and nothing else. Oracle: same shared
+    span CTE chain, plus the identical content-hash ranking (DuckDB
+    array_slice is 1-based inclusive = Spark slice(start, length))
+    and the NOT EXISTS + ordered string_agg reconstruction."""
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    return remove_repeated_spans(
+        shared_doc_tokens(spark, sf_dir), keep_first=True
+    )

@@ -185,3 +185,38 @@ def test_pq_codebooks_shape_and_determinism(spark):
     assert all(r["count"] == PQ_M for r in per_vec)
     rng = codes.agg({"code": "min"}).collect()[0][0], codes.agg({"code": "max"}).collect()[0][0]
     assert 0 <= rng[0] and rng[1] < PQ_CODES
+
+
+def test_semdedup_removals_planted(spark):
+    """Planted near-identical vectors in the same cluster: the min-id
+    copy survives, every other copy is removed with dup_of pointing at
+    a kept lower-id vector; vectors in different clusters are never
+    paired even at cosine 1."""
+    from map_reduce_library_spark.operators.similarity import (
+        semdedup_removals,
+    )
+
+    rows = [
+        # cluster around +x: ids 0 (seed/keeper), 2, 3 are near-dups
+        (0, [1.0, 0.0, 0.05, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.99, 0.0, 0.02, 0.0]),
+        # cluster around +y: ids 1 (seed), 4 — far from each other
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.05, 0.8, 0.6, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.dup_of
+        for r in semdedup_removals(emb, 0.95, n_centroids=2).collect()
+    }
+    # 2 and 3 duplicate 0 (or each other -> highest-cos lower id);
+    # 0 survives; 1 and 4 are below tau so both survive
+    assert set(got) == {2, 3}, got
+    assert got[2] == 0 and got[3] in (0, 2), got
+
+
+def test_semdedup_removals_oracle(spark):
+    assert_oracle_match(spark, "semdedup_removals")

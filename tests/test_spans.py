@@ -263,3 +263,39 @@ def test_remove_repeated_spans_oracle(spark):
 
 def test_repeated_span_intervals_oracle(spark):
     assert_oracle_match(spark, "repeated_span_intervals")
+
+
+def test_remove_repeated_spans_keep_first_exempts_first_occurrence(spark):
+    """keep_first=True keeps the globally-first occurrence — min
+    (doc_id, span_start) — of each span content and cuts the rest;
+    distinct span contents are ranked independently."""
+    from map_reduce_library_spark.operators.spans import (
+        remove_repeated_spans,
+    )
+
+    planted = [f"shared{i}" for i in range(12)]
+    other = [f"tmpl{i}" for i in range(8)]
+    doc0 = [f"a{i}" for i in range(7)] + planted
+    doc1 = [f"b{i}" for i in range(3)] + planted + other
+    doc2 = list(other) + [f"c{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2)],
+        "doc_id bigint, toks array<string>",
+    )
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_repeated_spans(docs, keep_first=True).collect()
+    }
+    # doc0 holds the first occurrence of `planted` -> untouched
+    assert got[0] == (" ".join(doc0), 0), got[0]
+    # doc1's `planted` copy is cut; its `other` copy is FIRST -> kept
+    assert got[1] == (
+        " ".join([f"b{i}" for i in range(3)] + other), 12,
+    ), got[1]
+    # doc2's `other` copy is the second occurrence -> cut
+    assert got[2] == (" ".join(f"c{i}" for i in range(4)), 8), got[2]
+
+
+def test_remove_repeated_spans_keep_first_oracle(spark):
+    assert_oracle_match(spark, "remove_repeated_spans_keep_first")

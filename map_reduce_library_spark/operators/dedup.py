@@ -58,12 +58,21 @@ def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
     family h_i(x) = (a_i * x + b_i) mod P. Deterministic (Knuth
     multiplicative constants), so the DuckDB oracle generators can
     rebuild the identical family from ``k`` alone. Every a_i < P and
-    x < P keep a_i * x inside signed 64-bit in both engines; a_i = 0
-    (a degenerate constant permutation) cannot occur for any k ≤ P
-    because 2_654_435_761 mod P has multiplicative order > 2^30."""
+    x < P keep a_i * x inside signed 64-bit in both engines. a_i is
+    an affine bijection of i mod P, so EXACTLY ONE index below P is
+    degenerate: a_i = 0 at i = 1_325_634_255 (i ≡ -C⁻¹ mod P) — a
+    constant permutation that would collapse that hash lane into one
+    LSH bucket corpus-wide. No practical signature is 1.3 billion
+    hashes wide, but the guard is a real raise (not an assert
+    stripped under ``python -O``) so the failure is loud, not a
+    silent recall collapse (code-review r8)."""
     a = [(i * 2_654_435_761 + 1) % MINHASH_P for i in range(k)]
     b = [(i * 1_013_904_223 + 12_345) % MINHASH_P for i in range(k)]
-    assert all(a), "degenerate MinHash permutation"
+    if not all(a):
+        raise ValueError(
+            "k exceeds the degenerate index 1_325_634_255 of this "
+            "coefficient family; pick a different affine constant"
+        )
     return a, b
 
 

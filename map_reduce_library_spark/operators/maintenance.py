@@ -74,17 +74,29 @@ def compact_parquet(
     (compressed columnar size — the right estimator for the compacted
     output, unlike row counts), measured through the Hadoop FileSystem
     API so the same call works on local disk, HDFS, and object
-    stores. If the size probe fails entirely, the fallback is sized
-    from the scan's own partition count (maxPartitionBytes-bounded)
-    rather than repartition(1): a transient FileSystem error on a
-    large directory must degrade to a slightly-conservative file
-    count, never funnel the whole source through one task
-    (ADVICE r6).
+    stores. When ``dedup_keys`` is set the source bytes over-estimate
+    the output by exactly the duplication factor (a 10x-replayed
+    landing zone would over-split 10x — the many-small-files outcome
+    this function exists to prevent), so the estimate is scaled by
+    the surviving-key ratio, measured in ONE aggregate pass with
+    ``approx_count_distinct`` — the ratio feeds a file-count
+    estimate, so sketch precision is ample and no dedup shuffle runs
+    twice (code-review r8). If the size
+    probe fails entirely, the fallback is sized from the scan's own
+    partition count (maxPartitionBytes-bounded) rather than
+    repartition(1): a transient FileSystem error on a large directory
+    must degrade to a slightly-conservative file count, never funnel
+    the whole source through one task (ADVICE r6).
     """
     df = spark.read.parquet(src_dir)
-    if dedup_keys:
-        df = df.dropDuplicates(dedup_keys)
     total = _dir_bytes(spark, src_dir)
+    if dedup_keys:
+        n_raw, n_keys = df.agg(
+            F.count(F.lit(1)), F.approx_count_distinct(F.struct(*dedup_keys))
+        ).first()
+        df = df.dropDuplicates(dedup_keys)
+        if n_raw > 0:
+            total = math.ceil(total * min(n_keys, n_raw) / n_raw)
     if total > 0:
         n = max(1, math.ceil(total / target_file_bytes))
     else:
@@ -193,6 +205,20 @@ def compact_index(
         # duplicate rows still sitting in their source files. Force
         # the whole-table dedup repair (docstring: self-healing).
         full = True
+    # Legacy residue (code-review r8): an earlier release staged its
+    # tmp at the SIBLING path <index_dir>__compact_tmp; a crash on
+    # that version leaves the orphan dir (leaked storage) and possibly
+    # inherited duplicates that the new in-dir check never sees. Tmp
+    # contents were never part of index_dir (the protocol renames out
+    # of tmp, and a pre-rename crash leaves sources intact), so the
+    # orphan is safe to delete outright; the duplicate repair is the
+    # same forced full pass.
+    legacy_jpath = jvm.org.apache.hadoop.fs.Path(
+        index_dir.rstrip("/") + "__compact_tmp"
+    )
+    if fs.exists(legacy_jpath):
+        full = True
+        fs.delete(legacy_jpath, True)
     # ONE listing feeds the partition-layout guard, the small-file
     # selection, and the total count (object-store LIST calls are
     # paginated remote I/O; code-review r7). The guard runs BEFORE

@@ -790,18 +790,25 @@ def ivf_pq_topk(
     from pyspark.sql.window import Window
 
     if assigned is None:
+        # This plan references the assignment THREE times (q, the
+        # LUT's q1, homed); without materialization the standalone
+        # form would re-run the corpus x centroid crossJoin + window
+        # per reference (code-review r8). Callers with a persisted
+        # index pass assigned= and skip this entirely.
         assigned = ivf_assign_cells(
             emb, n_centroids, id_col, vec_col, n_probe=n_probe
-        )
+        ).localCheckpoint(eager=True)
     if codebooks is None:
         codebooks = pq_codebooks(emb, dim, m, codes, id_col=id_col,
                                  vec_col=vec_col)
     if encoded is None:
         encoded = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
 
+    # NOTE: no float query vector here — the ADC path touches floats
+    # only inside the LUT build (q1 below); keeping q code-and-norm
+    # narrow preserves the memory story in the docstring.
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"),
-        F.col("v").alias("vq"),
         F.col("nrm").alias("nq"),
         "cell",
     )
@@ -982,10 +989,13 @@ def semdedup_removals(
     from pyspark.sql.window import Window
 
     if assigned is None:
+        # Both join sides below read the assignment; materialize so
+        # the standalone form runs the corpus x centroid crossJoin +
+        # window once, not twice (code-review r8).
         assigned = ivf_assign_cells(
             emb, n_centroids, id_col, vec_col, n_probe=1,
             centroids=centroids,
-        )
+        ).localCheckpoint(eager=True)
     homed = assigned.where(F.col("probe_rank") == 1)
     keep = homed.select(
         F.col(id_col).alias("keep_id"),

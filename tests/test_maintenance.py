@@ -370,3 +370,61 @@ def test_compact_parquet_publish_time_dedup(spark, tmp_path):
     # multiplicity-preserving default unchanged
     dst2 = str(tmp_path / "published_raw")
     assert compact_parquet(spark, src, dst2).count() == 600
+
+
+def test_compact_parquet_dedup_sizing_uses_surviving_ratio(
+    spark, tmp_path
+):
+    """code-review r8: with dedup_keys, the output file count must be
+    sized from the rows that SURVIVE the dedup, not the raw source
+    bytes — a heavily-replayed landing zone would otherwise over-split
+    the published table into many small files."""
+    src = str(tmp_path / "landing")
+    dst = str(tmp_path / "published")
+    df = spark.range(2000).selectExpr(
+        "id AS event_id", "md5(CAST(id AS STRING)) AS payload"
+    )
+    df.coalesce(1).write.parquet(src)
+    for _ in range(9):  # 10x duplication
+        df.coalesce(1).write.mode("append").parquet(src)
+    src_bytes = sum(
+        f.stat().st_size
+        for f in (tmp_path / "landing").glob("*.parquet")
+    )
+    target = max(1, src_bytes // 10)  # raw-bytes sizing would give ~10 files
+    got = compact_parquet(
+        spark, src, dst, target_file_bytes=target, dedup_keys=["event_id"]
+    )
+    assert got.count() == 2000
+    # surviving bytes are ~1/10 of source -> sized to very few files
+    assert len(got.inputFiles()) <= 2
+
+
+def test_compact_index_heals_legacy_sibling_tmp_residue(
+    spark, tmp_path
+):
+    """code-review r8: a crash on the old release left its staging dir
+    at the SIBLING path <index_dir>__compact_tmp plus inherited
+    duplicates inside index_dir; a new pass must detect the orphan,
+    delete it, and force the full dedup repair."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", "CAST(id % 5 AS INT) AS band_id",
+        "md5(CAST(id AS STRING)) AS band_sig"
+    )
+    df.coalesce(1).write.parquet(path)
+    df.coalesce(1).write.mode("append").parquet(path)  # crash duplicates
+    legacy = tmp_path / "idx__compact_tmp"
+    df.limit(10).coalesce(1).write.parquet(str(legacy))  # orphan staging
+    assert legacy.exists()
+
+    # target=1: without residue detection this would be a no-op
+    compact_index(spark, path, target_file_bytes=1)
+    got = spark.read.parquet(path)
+    assert got.count() == 300
+    assert got.distinct().count() == 300
+    assert not legacy.exists()

@@ -158,10 +158,18 @@ def _non_runtime_filter_single_partition(plan: str) -> bool:
     cross the injection thresholds, and is never a global sort/window
     over raw rows — so it is exempted structurally rather than by
     query name: the line directly under the exchange is the
-    `partial_bloom_filter_agg` that feeds it."""
+    `partial_bloom_filter_agg` that feeds it. A `ReusedExchange` LEAF
+    line referencing such an exchange repeats the 'Exchange
+    SinglePartition ...' text with no child underneath — the reuse of
+    an already-exempted exchange is equally benign, so a
+    ReusedExchange line is never an offender itself (its source
+    exchange is still checked where it appears with its real
+    child)."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
+            continue
+        if "ReusedExchange" in line:
             continue
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
         if "partial_bloom_filter_agg" not in nxt:

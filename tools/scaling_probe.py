@@ -106,11 +106,19 @@ def main() -> None:
     query_names = list(QUERY_NAMES)
     if "--queries" in argv:
         i = argv.index("--queries")
+        if i + 1 >= len(argv):
+            sys.exit("--queries requires a comma-separated value")
         query_names = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2 :]
     factors = [int(a) for a in argv] or [1, 3, 10]
     from map_reduce_library_spark.queries import QUERIES
     from map_reduce_library_spark.session import get_session
+
+    # Validate BEFORE the expensive fixture builds — a typo'd name
+    # must not surface as a KeyError after minutes of scale-up I/O.
+    unknown = [q for q in query_names if q not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
 
     spark = get_session(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -996,6 +996,33 @@ def semdedup_removals(
             emb, n_centroids, id_col, vec_col, n_probe=1,
             centroids=centroids,
         ).localCheckpoint(eager=True)
+    pairs = semdedup_pairs(assigned, tau, id_col=id_col)
+    w = Window.partitionBy("rm_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rm_id").alias(id_col),
+            "cell",
+            F.col("keep_id").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+
+
+def semdedup_pairs(
+    assigned: DataFrame, tau: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """SemDeDup's PAIR DISCOVERY stage, exposed for recall evaluation:
+    every within-cluster ordered pair (keep_id < rm_id) with cosine >=
+    ``tau``, before the keeper ranking collapses each removed vector
+    to its single best evictor. Comparing this relation against the
+    exact all-pairs ground truth measures what the learned k-means
+    blocking actually recovers (tests/test_similarity.py pins the
+    measured floor) — the same evaluation discipline as
+    ``emb_dedup_recall`` for the hyperplane-LSH path."""
     homed = assigned.where(F.col("probe_rank") == 1)
     keep = homed.select(
         F.col(id_col).alias("keep_id"),
@@ -1009,9 +1036,6 @@ def semdedup_removals(
         F.col("nrm").alias("nb"),
         "cell",
     )
-    w = Window.partitionBy("rm_id").orderBy(
-        F.col("cos_sim").desc(), F.col("keep_id")
-    )
     return (
         cand.join(keep, "cell")
         .where(F.col("keep_id") < F.col("rm_id"))
@@ -1019,12 +1043,5 @@ def semdedup_removals(
             "cos_sim", F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na"))
         )
         .where(F.col("cos_sim") >= tau)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("rm_id").alias(id_col),
-            "cell",
-            F.col("keep_id").alias("dup_of"),
-            "cos_sim",
-        )
+        .select("rm_id", "keep_id", "cell", "cos_sim")
     )

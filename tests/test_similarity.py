@@ -220,3 +220,41 @@ def test_semdedup_removals_planted(spark):
 
 def test_semdedup_removals_oracle(spark):
     assert_oracle_match(spark, "semdedup_removals")
+
+
+def test_semdedup_pair_recall_beats_hyperplane_lsh(spark):
+    """The SemDeDup claim MEASURED (same discipline as
+    emb_dedup_recall for the LSH path): at the same tau, within-
+    learned-cluster pair discovery recovers 18/59 = 0.305 of the
+    exact all-pairs ground truth at sf0.01 — above the hyperplane-LSH
+    production path's measured 0.22 — because k-means blocking
+    follows the data's density. Deterministic (fixed testdata, seeded
+    Lloyd fit), so the floor is pinned at the measured value."""
+    from map_reduce_library_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+    from map_reduce_library_spark.querydefs.dedup import (
+        shared_exact_emb_pairs,
+    )
+    from map_reduce_library_spark.querydefs.similarity import (
+        KMEANS_N_PROBE,
+        SEMDEDUP_TAU,
+        shared_ivf_assigned,
+    )
+    from pyspark.sql import functions as F
+
+    exact = shared_exact_emb_pairs(spark, SF_CORRECTNESS).select(
+        "vec_a", "vec_b"
+    )
+    pairs = semdedup_pairs(
+        shared_ivf_assigned(
+            spark, SF_CORRECTNESS, n_probe=KMEANS_N_PROBE, fitted=True
+        ),
+        SEMDEDUP_TAU,
+    ).select(F.col("keep_id").alias("pa"), F.col("rm_id").alias("pb"))
+    n_exact = exact.count()
+    hits = exact.join(
+        pairs, (exact.vec_a == pairs.pa) & (exact.vec_b == pairs.pb)
+    ).count()
+    assert n_exact > 0
+    assert hits / n_exact >= 0.30, (hits, n_exact)

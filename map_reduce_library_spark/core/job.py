@@ -62,6 +62,24 @@ class JobHandle:
     """
 
     def __init__(self, spark: SparkSession, action: Callable[[], Any]):
+        import os
+
+        # Job-group isolation assumes PySpark pinned-thread mode (the
+        # default since 3.2): each Python thread gets its own JVM
+        # local properties, so concurrent handles' setJobGroup calls
+        # don't clobber each other. In legacy mode (PYSPARK_PIN_THREAD
+        # =false) local properties are process-global — whichever
+        # handle sets last claims BOTH jobs, so cancel() would kill a
+        # stranger and progress would interleave. Refuse loudly
+        # rather than corrupt cross-handle state (code-review r8).
+        if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() in (
+            "false", "0",
+        ):
+            raise RuntimeError(
+                "JobHandle requires PySpark pinned-thread mode; unset "
+                "PYSPARK_PIN_THREAD=false (job-group isolation is "
+                "per-thread only when pinning is on)"
+            )
         self._spark = spark
         self._sc = spark.sparkContext
         self._group = f"mrjob-{uuid.uuid4().hex[:12]}"

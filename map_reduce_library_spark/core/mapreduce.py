@@ -228,8 +228,14 @@ def map_reduce_df(
             if len(done):
                 # dropna=False: a NULL key is a real group (Spark's
                 # groupBy keeps it); pandas' default would drop it.
+                # reset_index: every other path hands reduce_group a
+                # 0..n-1 RangeIndex (applyInPandas does, and so does
+                # the pd.concat(ignore_index=True) batch-spanning
+                # path above); a mid-batch group must not be the one
+                # place label-indexing callbacks break (code-review
+                # r8).
                 for _, group in done.groupby(keys, sort=False, dropna=False):
-                    yield reduce_group(group)
+                    yield reduce_group(group.reset_index(drop=True))
             frags, frag_key = [pdf[is_tail]], last_key
         if frags:
             carried = pd.concat(frags, ignore_index=True)

@@ -153,6 +153,19 @@ class JsonLinesSink(DataSource):
         return JsonLinesWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
+        if overwrite:
+            # complete/update output modes hand the sink a TRUNCATE
+            # flag; this sink is append-only (per-epoch manifests that
+            # readers UNION), so honoring the flag silently would make
+            # every epoch re-emit the full snapshot and readers
+            # double-count each row once per micro-batch. Refuse
+            # loudly instead of producing silently-wrong data
+            # (code-review r8).
+            raise ValueError(
+                "jsonlines_sink is append-only: complete/update output "
+                "modes would re-emit the full result every epoch and "
+                "manifest readers union epochs; use outputMode('append')"
+            )
         return JsonLinesStreamWriter(self.options)
 
 

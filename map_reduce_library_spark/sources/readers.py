@@ -50,9 +50,31 @@ def wordcount_directory(spark: SparkSession, dir_path: str) -> DataFrame:
 def write_read_csv(df: DataFrame, path: str) -> DataFrame:
     """CSV round-trip with header + explicit schema re-application
     (CSV is schemaless; reading back with the writer's schema is the
-    lossless pattern)."""
-    df.write.mode("overwrite").option("header", True).csv(path)
-    return df.sparkSession.read.schema(df.schema).option("header", True).csv(path)
+    lossless pattern). Two defaults silently break the round-trip and
+    are overridden here (code-review r8): the reader parses per
+    physical line unless ``multiLine`` is set, so a quoted string
+    containing '\\n' would split into malformed rows; and both sides'
+    default ``nullValue`` is the empty string, so '' would come back
+    NULL — writing NULL as an explicit sentinel and quoting empty
+    strings (``emptyValue``) keeps ''/NULL distinct. The sentinel
+    trade-off is documented: a literal string equal to the sentinel
+    would alias to NULL; pick a different sentinel via a wrapper if
+    the data can contain it."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(path)
+    )
 
 
 def write_read_json(df: DataFrame, path: str) -> DataFrame:

@@ -36,21 +36,14 @@ from map_reduce_library_spark.operators.similarity import (
     banded_signatures,
     incremental_emb_pairs,
 )
+from map_reduce_library_spark.streaming._util import (
+    drain_one_file_per_tick,
+    read_or_empty,
+)
 
 _SIG_SCHEMA = (
     "vec_id bigint, v array<double>, nrm double, tbl int, sig string"
 )
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(schema).parquet(path)
-        df.schema  # force path resolution inside the try
-        return df
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
 
 
 def ingest_emb_batch(
@@ -67,7 +60,7 @@ def ingest_emb_batch(
     the index append."""
     spark = batch.sparkSession
     own_ids = F.broadcast(batch.select("vec_id").distinct())
-    index_sigs = _read_or_empty(spark, sig_index_dir, _SIG_SCHEMA).join(
+    index_sigs = read_or_empty(spark, sig_index_dir, _SIG_SCHEMA).join(
         own_ids, "vec_id", "left_anti"
     )
     sigs = banded_signatures(batch, dim).localCheckpoint(eager=True)
@@ -95,13 +88,6 @@ def run_incremental_emb_ingest(
 
     sig_index_dir = os.path.join(work_dir, "sig_index")
     pairs_dir = os.path.join(work_dir, "pairs")
-    checkpoint = os.path.join(work_dir, "checkpoint")
-    schema = spark.read.parquet(chunks_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks_dir)
-    )
 
     def _tick(bdf: DataFrame, batch_id: int) -> None:
         ingest_emb_batch(bdf, sig_index_dir, pairs_dir, threshold, dim)
@@ -109,13 +95,9 @@ def run_incremental_emb_ingest(
             for d in (sig_index_dir, pairs_dir):
                 compact_index(bdf.sparkSession, d)
 
-    q = (
-        stream.writeStream.foreachBatch(_tick)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    drain_one_file_per_tick(
+        spark, chunks_dir, os.path.join(work_dir, "checkpoint"), _tick
     )
-    q.awaitTermination()
     return pairs_dir
 
 

@@ -63,6 +63,10 @@ from map_reduce_library_spark.operators.dedup import (
     shingles,
     text_digests,
 )
+from map_reduce_library_spark.streaming._util import (
+    drain_one_file_per_tick,
+    read_or_empty as _read_or_empty,
+)
 
 _BAND_SCHEMA = "doc_id bigint, band_id int, band_sig string"
 _DIGEST_SCHEMA = "d_md5 string, d_len int, doc_id bigint"
@@ -70,22 +74,6 @@ _DIGEST_SCHEMA = "d_md5 string, d_len int, doc_id bigint"
 
 def _new_bands(batch: DataFrame) -> DataFrame:
     return lsh_bands(minhash_signature(shingles(batch)))
-
-
-def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    """First-tick bootstrap: empty relation when the index table does
-    not exist yet. Existence is probed by ATTEMPTING the read, not by
-    a driver-local os.path check — on s3://-style work dirs isdir is
-    always False and every tick would silently probe an empty index
-    (code-review r6 finding)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(schema).parquet(path)
-        df.schema  # force path resolution now, inside the try
-        return df
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
 
 
 def ingest_batch(
@@ -183,26 +171,15 @@ def run_incremental_dedup_ingest(
     pairs_dir = os.path.join(work_dir, "pairs")
     digest_dir = os.path.join(work_dir, "digests")
     verdict_dir = os.path.join(work_dir, "verdicts")
-    checkpoint = os.path.join(work_dir, "checkpoint")
-    schema = spark.read.parquet(chunks_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks_dir)
-    )
 
     def _tick(bdf: DataFrame, batch_id: int) -> None:
         ingest_batch(bdf, index_dir, pairs_dir, digest_dir, verdict_dir)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_work_dir(bdf.sparkSession, work_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_tick)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    drain_one_file_per_tick(
+        spark, chunks_dir, os.path.join(work_dir, "checkpoint"), _tick
     )
-    q.awaitTermination()
     return pairs_dir
 
 

@@ -127,3 +127,28 @@ def test_sink_serializes_nested_structs_with_field_names(spark, tmp_path):
     (part,) = manifest["parts"]
     row = json.loads((out / part).read_text().strip())
     assert row["s"] == {"x": 10, "y": "z"}
+
+
+def test_jsonlines_sink_rejects_non_append_stream_modes(spark, tmp_path):
+    """code-review r8: complete/update output modes would re-emit the
+    full snapshot every epoch while manifest readers UNION epochs —
+    the sink must refuse, not double-count."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = str(tmp_path / "in")
+    spark.range(10).selectExpr("id", "id % 2 AS g").write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, g long").parquet(src)
+        .groupBy("g").count()
+    )
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        (
+            stream.writeStream.format("jsonlines_sink")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )

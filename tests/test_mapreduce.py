@@ -362,3 +362,49 @@ def test_partition_batched_null_key_group_single_reduce(spark):
         assert len(out) == 8  # NULL + 7 modulo groups
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_partition_batched_groups_get_range_index(spark):
+    """code-review r8: every path must hand reduce_group a 0..n-1
+    RangeIndex (applyInPandas does; so does the batch-spanning concat)
+    — a label-indexing callback like pdf.loc[0] must not break only
+    for mid-batch groups in partition_batched mode."""
+    df = spark.range(0, 5000).selectExpr(
+        "id % 23 AS k", "cast(id AS double) AS v"
+    )
+
+    def ident(it):
+        yield from it
+
+    def first_by_label(pdf):
+        # .loc[0] is label-based: raises KeyError unless the group
+        # frame carries a fresh RangeIndex.
+        return pd.DataFrame(
+            {"k": [pdf["k"].loc[0]], "v0": [pdf["v"].loc[0]],
+             "n": [len(pdf)]}
+        )
+
+    kw = dict(
+        intermediate_schema="k long, v double",
+        output_schema="k long, v0 double, n long",
+        key_cols="k",
+    )
+    rows = map_reduce_df(
+        df, ident, first_by_label, partition_batched=True, **kw
+    ).collect()
+    assert len(rows) == 23
+    assert sum(r.n for r in rows) == 5000
+
+
+def test_job_handle_refuses_unpinned_thread_mode(spark, monkeypatch):
+    """code-review r8: job-group isolation is per-thread only under
+    pinned-thread mode; in legacy mode concurrent handles would
+    clobber each other's job group (cancel() killing a stranger), so
+    the handle must refuse loudly."""
+    import pytest
+
+    from map_reduce_library_spark.core.job import start_map_reduce_job
+
+    monkeypatch.setenv("PYSPARK_PIN_THREAD", "false")
+    with pytest.raises(RuntimeError, match="pinned-thread"):
+        start_map_reduce_job(spark, lambda: None)

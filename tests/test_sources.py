@@ -75,3 +75,19 @@ def test_register_views_sql_surface(spark):
         """
     ).first()
     assert row.n > 0
+
+
+def test_csv_round_trip_embedded_newline_and_empty_string(
+    spark, tmp_path
+):
+    """code-review r8: the CSV round-trip must survive the two
+    classic lossy defaults — a quoted value containing '\\n' (needs
+    multiLine on the read) and ''-vs-NULL (both default nullValue to
+    the empty string)."""
+    df = spark.createDataFrame(
+        [(1, "line1\nline2"), (2, ""), (3, None), (4, "plain")],
+        "id bigint, text string",
+    )
+    back = write_read_csv(df, str(tmp_path / "tricky_csv"))
+    got = {r.id: r.text for r in back.collect()}
+    assert got == {1: "line1\nline2", 2: "", 3: None, 4: "plain"}

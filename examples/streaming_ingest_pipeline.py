@@ -51,8 +51,13 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
+    # LEFT join: an event whose user_id has no customer row yet (a
+    # late-created customer, an orphan id) must still land — an inner
+    # join would silently drop it before the landing zone with no
+    # metric recording the loss (code-review r8). Unmatched events
+    # carry a NULL c_mktsegment.
     enriched = deduped.join(
-        F.broadcast(dim), deduped.user_id == dim.c_custkey
+        F.broadcast(dim), deduped.user_id == dim.c_custkey, "left"
     ).drop("c_custkey")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:

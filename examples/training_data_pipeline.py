@@ -72,6 +72,19 @@ EVAL_SET_MAX_ID = 50  # held-out eval docs: doc_id < 50
 CLASS_CAP = 200
 
 
+def _gate(df):
+    """Materialize one gate's survivors (eager localCheckpoint) and
+    return (survivors, count). Every gate boundary used to pay a
+    count() that re-executed the ENTIRE upstream filter chain from
+    the raw scan — O(stages²) total work across seven gates plus the
+    final write/BPE/stats consumers (code-review r8). Checkpointing
+    each gate makes every stage execute once; at corpus scale the
+    same role is played by writing each gate's survivors to parquet
+    (or deriving stage counts from observe() metrics in-line)."""
+    out = df.localCheckpoint()
+    return out, out.count()
+
+
 def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
 
@@ -88,12 +101,15 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
             "mean_quality": F.avg("quality_score"),
         },
     )
-    good = docs.join(
-        stats.where(F.col("quality_score") >= QUALITY_MIN).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    good, n_good = _gate(
+        docs.join(
+            stats.where(
+                F.col("quality_score") >= QUALITY_MIN
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     )
-    n_good = good.count()
     gate = gate_obs.get  # filled by the count() action above
     n_raw = int(gate["rows"])
 
@@ -111,21 +127,18 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .where(F.col("avg_nll") > F.col("cut"))
         .select("doc_id")
     )
-    good = good.join(surprising, "doc_id", "left_anti")
-    n_ppl = good.count()
+    good, n_ppl = _gate(good.join(surprising, "doc_id", "left_anti"))
 
     # 3. exact dedup (keep min-id representative)
     reps = exact_dedup(good).select(F.col("doc_id"))
-    good = good.join(reps, "doc_id", "left_semi")
-    n_exact = good.count()
+    good, n_exact = _gate(good.join(reps, "doc_id", "left_semi"))
 
     # 4. near-dedup: LSH pairs → clusters → drop non-representatives
     clusters = connected_components(minhash_lsh_pairs(good))
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    good = good.join(drop, "doc_id", "left_anti")
-    n_near = good.count()
+    good, n_near = _gate(good.join(drop, "doc_id", "left_anti"))
 
     # 4b. span-dedup gate: token mass inside content-defined chunks
     # whose text repeats across >= 2 surviving docs, per doc; drop
@@ -157,8 +170,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .where(F.col("dup_tok") * 2 > F.col("tot"))
         .select("doc_id")
     )
-    good = good.join(spammy, "doc_id", "left_anti")
-    n_span = good.count()
+    good, n_span = _gate(good.join(spammy, "doc_id", "left_anti"))
 
     # 5. decontamination: the eval set is held out entirely, and any
     # surviving train doc sharing a word 8-gram with it is dropped
@@ -169,12 +181,12 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .select(F.col("train_doc_id").alias("doc_id"))
         .distinct()
     )
-    good = train_docs.join(tainted, "doc_id", "left_anti")
-    n_decon = good.count()
+    good, n_decon = _gate(
+        train_docs.join(tainted, "doc_id", "left_anti")
+    )
 
     # 6. class balancing: cap every language at a stable hash-picked N
-    good = class_balanced_topn(good, "lang", CLASS_CAP)
-    n_balanced = good.count()
+    good, n_balanced = _gate(class_balanced_topn(good, "lang", CLASS_CAP))
 
     # 7. token accounting + 8. split + 9. packing
     toks = token_accounting(good).select("doc_id", "ws_tokens")
@@ -196,7 +208,12 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     # to the shards — the artifact a trainer loads alongside the data.
     merges = bpe_learn(packed.where(F.col("split") == "train"))
     merges.write.mode("overwrite").parquet(f"{out_dir}_bpe_merges")
-    first_merge = merges.orderBy("step").limit(1).collect()[0]
+    # bpe_learn documents an EMPTY result (empty train shard, or all
+    # surviving words single-character) — report "no merges" instead
+    # of IndexError-ing after every shard was already written
+    # (code-review r8).
+    head = merges.orderBy("step").limit(1).collect()
+    first_merge = head[0] if head else None
 
     shard_stats = {
         (r.split, r.seq_bin): r.n
@@ -215,7 +232,11 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "after_decontamination": n_decon,
         "after_class_balance": n_balanced,
         "n_shards": len(shard_stats),
-        "bpe_first_merge": f"{first_merge.left_sym}+{first_merge.right_sym}",
+        "bpe_first_merge": (
+            f"{first_merge.left_sym}+{first_merge.right_sym}"
+            if first_merge is not None
+            else None
+        ),
     }
 
 

@@ -53,17 +53,32 @@ def extract_binary_meta(binary_df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
+            # None payloads (a corrupt/missing media row — nulls ARE
+            # an admitted input upstream) yield NULL metadata instead
+            # of TypeError-ing the whole scan (code-review r8). The
+            # nullable Int64/Int32 pandas dtypes carry the NULLs
+            # through Arrow.
+            rows = pdf["payload"].map(
+                lambda b: (None, None, None)
+                if b is None
+                else (
+                    len(b),
+                    b[0] if len(b) else -1,
+                    b[-1] if len(b) else -1,
+                )
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "last_byte": payloads.map(
-                        lambda b: b[-1] if len(b) else -1
-                    ).astype("int32"),
+                    "n_bytes": pd.array(
+                        [r[0] for r in rows], dtype="Int64"
+                    ),
+                    "first_byte": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "last_byte": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
                 }
             )
 
@@ -87,8 +102,13 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # None payload -> NULL features (code-review r8): a
+            # missing media blob has no embedding, and one corrupt
+            # row must not kill the scan.
             feats = pdf["payload"].map(
-                lambda b: [
+                lambda b: None
+                if b is None
+                else [
                     float(len(b)),
                     float(b[0]) if len(b) else -1.0,
                     float(b[-1]) if len(b) else -1.0,
@@ -112,6 +132,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no media -> no frames (cr r8)
+                    continue
                 for i, off in enumerate(range(0, len(payload), every)):
                     if i >= max_frames:
                         break
@@ -141,12 +163,22 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            resized = payloads.map(lambda b: b[::stride][:max_bytes])
+            # None payload -> NULL thumbnail + NULL lengths, 1:1 row
+            # contract preserved without crashing the scan (cr r8).
+            resized = payloads.map(
+                lambda b: None if b is None else b[::stride][:max_bytes]
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "orig_len": payloads.map(len).astype("int64"),
-                    "new_len": resized.map(len).astype("int64"),
+                    "orig_len": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "new_len": pd.array(
+                        [None if b is None else len(b) for b in resized],
+                        dtype="Int64",
+                    ),
                     "resized": resized,
                 }
             )

@@ -152,6 +152,10 @@ def pack_sequences(
     (within ``group_col`` if given) and a document belongs to the bin
     where its span STARTS (bin = floor(preceding-tokens / budget)) —
     the contiguous-stream packing used for LLM pretraining shards.
+    Pass a UNIQUE ``order_col`` (the doc_id default is) for a fully
+    deterministic layout; with a non-unique key (e.g. a timestamp)
+    the tokens_col tie-break still pins the bin arithmetic but equal
+    (key, tokens) rows may swap positions between runs.
 
     One window cumsum = one shuffle on the group key; bins never span
     groups, so shards can be written partitioned by (group, bin).
@@ -162,9 +166,24 @@ def pack_sequences(
     corpus scale pass a real sharding key (e.g. a hash_bucket-derived
     shard id, salted) so each window task holds one shard, and treat
     (shard, seq_bin) as the bin identity."""
+    # ROWS frame + unique tie-break, both load-bearing: the default
+    # window frame is RANGE, under which rows TIED on order_col each
+    # see every peer's tokens in their cumulative sum — two tied
+    # 10-token docs at budget=5 both land in bin 2, emitting phantom
+    # empty bins and a 4x-overfilled shard (code-review r8, verified).
+    # A ROWS frame makes the sum positional, and the order_col →
+    # tokens_col tie-break pins WHICH total order the stream is laid
+    # out in, deterministically, when order_col alone is non-unique
+    # (e.g. a timestamp).
     w = (
-        Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    ).orderBy(order_col)
+        (
+            Window.partitionBy(group_col)
+            if group_col
+            else Window.partitionBy()
+        )
+        .orderBy(order_col, tokens_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(tokens_col).over(w)
     return df.withColumn(
         "seq_bin",

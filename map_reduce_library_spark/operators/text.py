@@ -89,11 +89,22 @@ def text_stats(
         .withColumn("stop_ratio", F.expr(_hit_ratio("toks", en)))
         .withColumn(
             "quality_score",
-            F.round(
-                F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
-                + F.least(F.col("ttr") * 2, F.lit(1.0)) * 0.4
-                + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.2,
-                6,
+            # Guard NULL text explicitly: least() SKIPS null args, so
+            # without the guard every least(NULL_metric, 1.0) term
+            # collapses to 1.0 and a null-text document scores a
+            # PERFECT 1.0 — sailing through any quality gate it
+            # should fail first (code-review r8, verified). NULL
+            # score = "no text, no verdict", consistent with the
+            # other stat columns.
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.round(
+                    F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+                    * 0.4
+                    + F.least(F.col("ttr") * 2, F.lit(1.0)) * 0.4
+                    + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.2,
+                    6,
+                ),
             ),
         )
         .select(
@@ -126,10 +137,17 @@ def lang_id(
     struct_list = ", ".join(
         f"struct(score_{lang} AS s, '{lang}' AS l)" for lang in STOPWORDS
     )
+    top = f"greatest({', '.join(f'score_{l}' for l in STOPWORDS)})"
     return scored.withColumn(
         "pred_lang",
+        # NULL guard first: with NULL text every score is NULL, the
+        # '< 0.02' test is NULL (not true), and the CASE would fall
+        # into the argmax branch — whose struct-max over all-NULL
+        # scores returns the lexicographically greatest language code
+        # ('fr'), silently counting corrupt docs as French
+        # (code-review r8, verified). NULL scores are 'und'.
         F.expr(
-            f"CASE WHEN greatest({', '.join(f'score_{l}' for l in STOPWORDS)}) < 0.02 "
+            f"CASE WHEN {top} IS NULL OR {top} < 0.02 "
             f"THEN 'und' ELSE array_max(array({struct_list})).l END"
         ),
     ).select(id_col, *[f"score_{lang}" for lang in STOPWORDS], "pred_lang")
@@ -233,7 +251,13 @@ def quality_filter(
     stats = text_stats(df, text_col, id_col)
     langs = lang_id(df, text_col, id_col).select(id_col, "pred_lang")
     j = stats.join(langs, id_col)
+    # 'null' leads the reason list: for a NULL-text doc every numeric
+    # gate condition is NULL, F.when(NULL, tag) yields NULL, and
+    # concat_ws silently skips it — without the explicit tag the
+    # audit column would claim only a language mismatch for a doc
+    # that has no text at all (code-review r8, verified).
     reasons = [
+        (F.col("n_tokens").isNull(), "null"),
         (
             ~F.col("n_tokens").between(QF_MIN_TOKENS, QF_MAX_TOKENS),
             "len",

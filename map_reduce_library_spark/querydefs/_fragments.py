@@ -61,9 +61,10 @@ TEXT_STATS_SQL = _norm(f"""
            (n_chars_calc - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
            n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
            stop_ratio,
-           round(least(n_tokens / 50.0, 1.0) * 0.4
-                 + least((n_distinct / CAST(n_tokens AS DOUBLE)) * 2, 1.0) * 0.4
-                 + least(stop_ratio * 5, 1.0) * 0.2, 6) AS quality_score
+           CASE WHEN n_tokens IS NULL THEN NULL
+                ELSE round(least(n_tokens / 50.0, 1.0) * 0.4
+                     + least((n_distinct / CAST(n_tokens AS DOUBLE)) * 2, 1.0) * 0.4
+                     + least(stop_ratio * 5, 1.0) * 0.2, 6) END AS quality_score
     FROM m
     """)
 
@@ -83,7 +84,8 @@ LANG_ID_SQL = _norm(f"""
       FROM t
     )
     SELECT doc_id, {_LANG_GREATEST},
-           CASE WHEN greatest({_LANG_GREATEST}) < 0.02 THEN 'und'
+           CASE WHEN greatest({_LANG_GREATEST}) IS NULL
+                  OR greatest({_LANG_GREATEST}) < 0.02 THEN 'und'
                 ELSE list_max([{_LANG_STRUCTS}]).l END AS pred_lang
     FROM s
     """)

@@ -131,6 +131,7 @@ def _quality_filter_oracle() -> str:
     flagged AS (
       SELECT ts.doc_id, ts.n_tokens, ts.quality_score, li.pred_lang,
              concat_ws(',',
+               CASE WHEN ts.n_tokens IS NULL THEN 'null' END,
                CASE WHEN NOT (ts.n_tokens
                               BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
                     THEN 'len' END,

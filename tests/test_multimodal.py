@@ -73,3 +73,32 @@ def test_corpus_payload_is_ascii_so_byte_and_char_strides_agree(spark):
             f"{sf}: {non_ascii} non-ASCII documents - byte-stride "
             "resize_images no longer matches the char-stride oracle"
         )
+
+
+def test_null_payloads_do_not_crash_the_scan(spark):
+    """code-review r8 (verified): a NULL payload used to TypeError the
+    whole job in every mapInPandas stage. One corrupt row must yield
+    NULL outputs (or zero frames), never kill a 100-TB scan."""
+    from map_reduce_library_spark.operators.multimodal import (
+        extract_binary_meta,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"abcdef")],
+        "doc_id bigint, payload binary",
+    )
+    meta = {r.doc_id: r for r in extract_binary_meta(df).collect()}
+    assert meta[1].n_bytes is None and meta[2].n_bytes == 6
+
+    feats = {r.doc_id: r.features for r in extract_features(df).collect()}
+    assert feats[1] is None and feats[2][0] == 6.0
+
+    frames = sample_frames(df, every=2, max_frames=2).collect()
+    assert {r.doc_id for r in frames} == {2}
+
+    rz = {r.doc_id: r for r in resize_images(df).collect()}
+    assert rz[1].resized is None and rz[1].orig_len is None
+    assert rz[2].orig_len == 6

@@ -177,3 +177,25 @@ def test_weighted_sample_keys_resolve_at_large_weights(spark):
     ids = sorted(r.doc_id for r in picked)
     assert ids != list(range(50))
     assert max(ids) > 1000
+
+
+def test_pack_sequences_ties_use_rows_frame(spark):
+    """code-review r8 (verified): under the default RANGE frame, two
+    docs tied on order_col each summed BOTH documents' tokens and
+    landed together in an overfilled bin. With the ROWS frame one
+    starts at offset 0 (bin 0) and the next at offset 10 (bin 2)."""
+    from map_reduce_library_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 10)],  # tied order key, 10 tokens each
+        "doc_id bigint, ts bigint, n_tokens bigint",
+    )
+    bins = sorted(
+        r.seq_bin
+        for r in pack_sequences(
+            df, "n_tokens", budget=5, order_col="ts"
+        ).collect()
+    )
+    assert bins == [0, 2], bins

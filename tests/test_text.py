@@ -109,3 +109,31 @@ def test_bm25_topk_cut_is_deterministic(spark):
     )
     rows = bm25_topk(df, ("term",), top_k=3).collect()
     assert [r.doc_id for r in rows] == [0, 1, 2]  # identical scores -> id order
+
+
+def test_null_text_gets_no_quality_score_and_und_lang(spark):
+    """code-review r8 (verified bugs): least() skips NULL args, so a
+    null-text doc used to score a PERFECT 1.0; and the lang argmax
+    over all-NULL scores used to return 'fr'. Null text must yield
+    NULL score, 'und' language, and an explicit 'null' fail reason."""
+    from map_reduce_library_spark.operators.text import (
+        lang_id,
+        quality_filter,
+        text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the of and to a in is it you that " * 5)],
+        "doc_id bigint, text string",
+    )
+    stats = {r.doc_id: r for r in text_stats(df).collect()}
+    assert stats[1].quality_score is None
+    assert stats[2].quality_score is not None
+
+    langs = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert langs[1] == "und"
+    assert langs[2] == "en"
+
+    qf = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert not qf[1].keep
+    assert "null" in qf[1].fail_reasons.split(",")

@@ -47,10 +47,33 @@ BLOOM_K = 5
 
 
 def bloom_positions(key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[Column]:
-    """The k bit positions of ``key``: pmod(xxhash64(key, i), m)."""
+    """The k bit positions of ``key``: pmod(xxhash64(key, i), m).
+
+    The key is hashed through a CANONICAL string cast: xxhash64 hashes
+    an int and a bigint holding the same value differently, so a
+    build/probe dtype mismatch (int dimension key vs bigint fact key —
+    exactly the pair a plain equi-join would implicitly cast and
+    match) would otherwise prune 100% of true matches, a silent
+    false-negative wipeout of the 'no false negatives' contract
+    (code-review r8, verified). String canonicalization makes every
+    integral width agree; fractional types should be cast to a common
+    type by the caller, as they would be for the join itself."""
+    kc = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+        F.pmod(F.xxhash64(kc, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
+
+
+def _check_m_bits(m_bits: int) -> None:
+    """The dense layout packs bits into 64-bit words; a non-multiple
+    of 64 would silently drop the last partial word's bits at build
+    (false negatives) and read past the array at probe (ANSI
+    INVALID_ARRAY_INDEX) — validated loudly instead (code-review
+    r8, verified)."""
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
 
 
 def _bit_mask(p: Column) -> Column:
@@ -82,6 +105,7 @@ def bloom_build(
     dropped: NULL never equi-joins, so encoding it would only add
     false positives.
     """
+    _check_m_bits(m_bits)
     pos = F.array(*bloom_positions(F.col(key), m_bits, k))
     words = (
         df.where(F.col(key).isNotNull())
@@ -139,10 +163,21 @@ def bloom_prune(
     join with a scalar build side — constant size, linear probe work
     (the reviewed ALLOWED_SCALAR_ATTACH plan shape) — and the bit test
     runs inside whole-stage codegen on the scan, before any shuffle.
+
+    The broadcast column is attached under a collision-proof internal
+    name: a probe relation with its own 'bloom' column used to hit an
+    ambiguous reference (or lose its column to the trailing drop)
+    (code-review r8).
     """
+    _check_m_bits(m_bits)
+    tmp = "__bloom_bits"
+    if tmp in probe.columns:
+        raise ValueError(f"probe may not contain a column named {tmp!r}")
     pruned = (
-        probe.crossJoin(F.broadcast(bloom_row))
-        .where(bloom_might_contain(F.col("bloom"), F.col(key), m_bits, k))
-        .drop("bloom")
+        probe.crossJoin(
+            F.broadcast(bloom_row.select(F.col("bloom").alias(tmp)))
+        )
+        .where(bloom_might_contain(F.col(tmp), F.col(key), m_bits, k))
+        .drop(tmp)
     )
     return pruned

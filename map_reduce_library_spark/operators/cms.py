@@ -4,10 +4,13 @@ The scale story: exact per-item counts over a 100-TB token stream keep
 state proportional to the number of DISTINCT items (billions); a CMS
 keeps exactly ``d x w`` integer cells no matter how wide the stream
 gets, answers point frequency queries with a one-sided error
-(``est >= exact``, overshoot <= eN/w with probability 1-e^-d), and
-merges by cell-wise addition — the same partial-then-merge shape
-Spark's own partial aggregation uses, so sketches built per
-partition/day/shard combine by a groupBy-sum.
+(``est >= exact`` for NON-NULL items, overshoot <= eN/w with
+probability 1-e^-d), and merges by cell-wise addition — the same
+partial-then-merge shape Spark's own partial aggregation uses, so
+sketches built per partition/day/shard combine by a groupBy-sum.
+NULL items are excluded at build and estimate 0 at lookup: NULL
+hashes to a NULL bucket that could never be matched, so encoding it
+would only corrupt the state bound (code-review r8).
 
 Unlike HLL/approx_percentile (whose estimates are implementation-
 defined and therefore rows-only checked in this corpus), a CMS is
@@ -44,59 +47,68 @@ def _x60(item):
     return md5_prefix60(item) % CMS_P
 
 
-def _bucket(j: int, x):
-    return ((x * F.lit(CMS_A[j]) + F.lit(CMS_B[j])) % CMS_P) % CMS_W
+def _bucket(j: int, x, w: int):
+    return ((x * F.lit(CMS_A[j]) + F.lit(CMS_B[j])) % CMS_P) % w
+
+
+def _cells(item_col: str, d: int, w: int):
+    """The exploded (item-anchored) d-cell coordinate column — the
+    sketch's IDENTITY, shared by build and lookup so the two can never
+    drift apart (the hash-drift hazard md5_prefix60 was centralized to
+    prevent; code-review r8 found this block duplicated with the w
+    parameter silently ignored in one copy)."""
+    if d > CMS_D:
+        raise ValueError("extend CMS_A/CMS_B for deeper sketches")
+    x = _x60(F.col(item_col))
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _bucket(j, x, w).alias("bucket")
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("cell")
 
 
 def cms_build(
     df: DataFrame, item_col: str, d: int = CMS_D, w: int = CMS_W
 ) -> DataFrame:
     """Sparse sketch relation [j, bucket, cnt] over the occurrences of
-    ``df[item_col]`` (one increment per row). At most d*w rows ever
-    exist; the (j, bucket) key domain is tiny, so map-side partial
-    aggregation collapses the shuffle to ~d*w rows per task
-    regardless of input size. Merge two sketches by unioning and
-    summing cnt per (j, bucket)."""
-    assert d <= CMS_D, "extend CMS_A/CMS_B for deeper sketches"
-    x = _x60(F.col(item_col))
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), _bucket(j, x).alias("bucket")
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.j", "cell.bucket")
+    ``df[item_col]`` (one increment per row; NULL items dropped — see
+    module docstring). At most d*w rows ever exist; the (j, bucket)
+    key domain is tiny, so map-side partial aggregation collapses the
+    shuffle to ~d*w rows per task regardless of input size. Merge two
+    sketches by unioning and summing cnt per (j, bucket). Probe with
+    the SAME (d, w) geometry via ``cms_lookup``."""
+    cells = (
+        df.where(F.col(item_col).isNotNull())
+        .select(_cells(item_col, d, w))
+        .select("cell.j", "cell.bucket")
+    )
     return cells.groupBy("j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
 
 
 def cms_lookup(
-    cms: DataFrame, items: DataFrame, item_col: str, d: int = CMS_D
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
 ) -> DataFrame:
     """Point-frequency estimates for ``items[item_col]``: min over the
-    d cells each item hashes to (absent cell -> 0). The sketch is at
-    most d*w rows — broadcast it; the lookup is then a scan-side
-    broadcast join however many items are probed."""
-    x = _x60(F.col(item_col))
-    probes = items.select(
-        item_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), _bucket(j, x).alias("bucket")
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("cell"),
-    ).select(item_col, "cell.j", "cell.bucket")
+    d cells each item hashes to (absent cell -> 0; NULL items -> 0,
+    they are never encoded). ``(d, w)`` must match the geometry the
+    sketch was built with — w used to be silently pinned to CMS_W
+    here, making non-default sketches unprobeable (code-review r8).
+    The sketch is at most d*w rows — broadcast it; the lookup is then
+    a scan-side broadcast join however many items are probed."""
+    probes = items.select(item_col, _cells(item_col, d, w)).select(
+        item_col, "cell.j", "cell.bucket"
+    )
     joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left")
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n")

@@ -130,6 +130,16 @@ def decode_stats(binary_df: DataFrame) -> DataFrame:
                 "mean_lum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                # NULL payload -> NULL stats row (the multimodal.py
+                # convention): a missing blob is not a format error,
+                # and one corrupt row must not TypeError the whole
+                # scan (code-review r8). Malformed non-null payloads
+                # still raise, by design.
+                if payload is None:
+                    for k in ("height", "width", "channels", "mean_lum"):
+                        rows[k].append(None)
+                    continue
                 a = decode_netpbm(payload)
                 if a.ndim == 3:
                     lum = (
@@ -141,11 +151,12 @@ def decode_stats(binary_df: DataFrame) -> DataFrame:
                 else:
                     lum = a.mean()
                     ch = 1
-                rows["doc_id"].append(doc_id)
                 rows["height"].append(a.shape[0])
                 rows["width"].append(a.shape[1])
                 rows["channels"].append(ch)
                 rows["mean_lum"].append(float(lum))
+            for k in ("height", "width", "channels"):
+                rows[k] = pd.array(rows[k], dtype="Int32")
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -166,14 +177,20 @@ def thumbnail(binary_df: DataFrame, factor: int = 4) -> DataFrame:
                 "thumb": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                small = box_resize(decode_netpbm(payload), factor)
                 rows["doc_id"].append(doc_id)
+                if payload is None:  # NULL blob -> NULL thumb (cr r8)
+                    for k in ("height", "width", "channels", "thumb"):
+                        rows[k].append(None)
+                    continue
+                small = box_resize(decode_netpbm(payload), factor)
                 rows["height"].append(small.shape[0])
                 rows["width"].append(small.shape[1])
                 rows["channels"].append(
                     small.shape[2] if small.ndim == 3 else 1
                 )
                 rows["thumb"].append(encode_ppm(small))
+            for k in ("height", "width", "channels"):
+                rows[k] = pd.array(rows[k], dtype="Int32")
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(batches, schema=THUMB_SCHEMA)

@@ -41,6 +41,10 @@ def expectations_report(
     # colliding name would silently corrupt the report (duplicate
     # rule rows or an AnalysisException on a duplicate alias), so
     # reject the reserved shapes up front (ADVICE r5).
+    if len(set(unique_keys)) != len(tuple(unique_keys)):
+        # duplicate keys would generate two identical __d_<k> aliases
+        # and an ambiguous reference downstream (code-review r8)
+        raise ValueError(f"unique_keys contains duplicates: {unique_keys}")
     reserved = {f"{k}_unique" for k in unique_keys}
     for name in violations:
         if name.startswith("__") or name in reserved:

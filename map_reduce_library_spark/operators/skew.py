@@ -51,6 +51,16 @@ def salted_join(
             "the replicated right side would duplicate unmatched right "
             "rows under right/full outer semantics"
         )
+    # The internal salt column must not clobber (and then drop) a
+    # caller's column of the same name — e.g. the output of a previous
+    # salting stage — which would be silent data loss relative to the
+    # plain join this function promises parity with (code-review r8).
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "__salt" in cols:
+            raise ValueError(
+                f"{side} input already has a '__salt' column; rename it "
+                "before salted_join"
+            )
     left_salted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )
@@ -90,6 +100,11 @@ def two_phase_agg(
     (key, salt) partial, which is harmless for sum/count."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    if "__salt" in df.columns:  # same clobber guard as salted_join
+        raise ValueError(
+            "input already has a '__salt' column; rename it before "
+            "two_phase_agg"
+        )
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
     )

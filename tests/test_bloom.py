@@ -109,3 +109,50 @@ def test_bloom_prune_survives_smoke_scale(spark):
     rows = df.collect()
     assert rows
     assert all(r.n_lines > 0 and r.revenue > 0 for r in rows)
+
+
+def test_bloom_prune_matches_across_integral_widths(spark):
+    """code-review r8 (verified): an int build key probed by a bigint
+    fact key used to prune 100% of true matches (xxhash64 hashes the
+    two widths differently) — the exact dtype pair a plain equi-join
+    implicitly casts and matches. The canonical string cast makes
+    every integral width agree."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(50).selectExpr("CAST(id AS INT) AS k")
+    probe = spark.range(100).selectExpr("id AS k")  # bigint
+    kept = bloom_prune(probe, bloom_build(build, "k"), "k")
+    got = {r.k for r in kept.collect()}
+    assert set(range(50)) <= got  # no false negatives across widths
+
+
+def test_bloom_rejects_unaligned_m_bits(spark):
+    """code-review r8 (verified): a non-multiple-of-64 m_bits used to
+    drop the final partial word at build and read past the array at
+    probe — must raise up front."""
+    import pytest
+
+    from map_reduce_library_spark.operators.bloom import bloom_build
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(spark.range(5), "id", m_bits=1000)
+
+
+def test_bloom_prune_preserves_user_bloom_column(spark):
+    """code-review r8: a probe relation with its own 'bloom' column
+    must survive pruning intact (the broadcast column now rides under
+    an internal name)."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(10).selectExpr("id AS k")
+    probe = spark.range(20).selectExpr("id AS k", "id * 2 AS bloom")
+    kept = bloom_prune(probe, bloom_build(build, "k"), "k")
+    rows = {r.k: r.bloom for r in kept.collect()}
+    assert all(rows[k] == 2 * k for k in rows)
+    assert set(range(10)) <= set(rows)

@@ -45,3 +45,17 @@ def test_bucketed_join_no_exchange_and_correct(spark):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_exchanges_in_plan_stable_across_execution(spark):
+    """code-review r8 (verified): after an action, the AQE plan's
+    toString appends an '== Initial Plan ==' section that used to
+    double the exchange count exactly when auditing is most natural."""
+    from map_reduce_library_spark.operators.bucketing import (
+        exchanges_in_plan,
+    )
+
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    before = exchanges_in_plan(df)
+    df.collect()
+    assert exchanges_in_plan(df) == before == 1

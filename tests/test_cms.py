@@ -75,3 +75,27 @@ def test_cms_plan_has_broadcast_probe_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cms_honors_custom_width_and_skips_nulls(spark):
+    """code-review r8 (verified): w was silently pinned to CMS_W in
+    the bucket expression, and NULL items produced unmatchable
+    null-bucket cells breaking the est >= exact guarantee."""
+    from map_reduce_library_spark.operators.cms import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 2, "tok string"
+    )
+    sketch = cms_build(df, "tok", w=8)
+    assert sketch.agg({"bucket": "max"}).first()[0] < 8
+    # null items contribute no cells
+    assert sketch.where("bucket IS NULL").count() == 0
+    items = spark.createDataFrame([("a",), ("b",)], "tok string")
+    est = {
+        r.tok: r.est_n
+        for r in cms_lookup(sketch, items, "tok", w=8).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3  # one-sided guarantee

@@ -137,3 +137,28 @@ def test_composes_with_multimodal_payload_layout(spark):
     )
     rows = decode_stats(thumbs).collect()
     assert {(r.height, r.width) for r in rows} == {(4, 4)}
+
+
+def test_imaging_null_payloads_yield_null_rows(spark):
+    """code-review r8: a NULL payload used to TypeError the whole scan
+    inside decode; it now yields a NULL stats/thumb row (the
+    multimodal.py convention) while malformed non-null payloads still
+    raise."""
+    from map_reduce_library_spark.operators.imaging import (
+        decode_stats,
+        encode_ppm,
+        thumbnail,
+    )
+    import numpy as np
+
+    img = encode_ppm(np.zeros((8, 8, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, None), (2, img)], "doc_id bigint, payload binary"
+    )
+    stats = {r.doc_id: r for r in decode_stats(df).collect()}
+    assert stats[1].height is None and stats[1].mean_lum is None
+    assert stats[2].height == 8 and stats[2].channels == 3
+
+    th = {r.doc_id: r for r in thumbnail(df).collect()}
+    assert th[1].thumb is None
+    assert th[2].thumb is not None

@@ -92,3 +92,21 @@ def test_skew_query_oracles(spark):
 
     assert_oracle_match(spark, "skew_two_phase_agg")
     assert_oracle_match(spark, "skew_salted_join")
+
+
+def test_salted_ops_refuse_salt_column_collision(spark):
+    """code-review r8: a pre-existing __salt column used to be
+    silently clobbered and then dropped from the output."""
+    import pytest
+
+    from map_reduce_library_spark.operators.skew import (
+        salted_join,
+        two_phase_agg,
+    )
+
+    left = spark.range(10).selectExpr("id AS k", "id AS __salt")
+    right = spark.range(10).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left, right, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        two_phase_agg(left, "k", "k")

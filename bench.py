@@ -87,7 +87,10 @@ def _warm_python_datasource(spark) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.removeprefix("sf") or "0")
+    try:  # custom-named dirs report sf=None, never abort the bench
+        sf = float(Path(sf_dir).name.removeprefix("sf") or "0")
+    except ValueError:
+        sf = None
     spark = get_session(app_name="mrls-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

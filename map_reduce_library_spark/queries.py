@@ -35,9 +35,12 @@ def register(name: str, oracle: str | None = None):
 
 
 # Registration modules (import side-effects populate the registry).
-# Highest-risk families first: the driver verifies registry entries in
-# order (and may cap or time out partway through the corpus), so the
-# queries that most need a hard correctness signal must register first.
+# Import order is NOT the driver check order — the sorted() rebuild at
+# the bottom of this file fully determines it (staleness tiers, then
+# name), so new querydef modules can be appended anywhere here
+# (code-review r8: an older comment claimed position mattered).
+# Cross-module ORACLE references do constrain a few imports: dedup
+# composes text's oracle SQL, so text must import first.
 from map_reduce_library_spark.querydefs import mapreduce_parity  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import text  # noqa: E402,F401
 from map_reduce_library_spark.querydefs import dedup  # noqa: E402,F401  (needs text's oracle)
@@ -119,9 +122,14 @@ def deps_md5(fn) -> str | None:
         return None
     pkg_root = Path(__file__).resolve().parent
     dep_re = re.compile(
-        r"map_reduce_library_spark\.(operators|streaming|core|sources)"
-        r"\.(\w+)"
+        r"map_reduce_library_spark\.(operators|streaming|core|sources"
+        r"|querydefs)\.(\w+)"
     )
+    # Top-level package modules querydefs import directly (code-review
+    # r8: `from map_reduce_library_spark.tables import load_table` and
+    # friends were outside the regex closure, so a behavior edit to
+    # tables.normalize_event_ts kept every event query's stale green).
+    top_re = re.compile(r"map_reduce_library_spark\.(tables|session)\b")
     visited: set[Path] = set()
     dep_files: set[Path] = set()
     stack = [Path(src)]
@@ -136,6 +144,11 @@ def deps_md5(fn) -> str | None:
             continue
         for m in dep_re.finditer(text):
             dp = pkg_root / m.group(1) / (m.group(2) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+        for m in top_re.finditer(text):
+            dp = pkg_root / (m.group(1) + ".py")
             if dp.exists() and dp not in visited:
                 dep_files.add(dp)
                 stack.append(dp)
@@ -171,6 +184,7 @@ def _load_verified() -> dict[str, int]:
     for name, entry in ledger.items():
         if name not in QUERIES or not isinstance(entry, dict):
             continue
+        _IN_LEDGER.add(name)
         if entry.get("oracle_md5") != md5(ORACLES.get(name)):
             _STALE_SELF.add(name)
             continue  # oracle changed since green -> stale
@@ -198,6 +212,11 @@ def _load_verified() -> dict[str, int]:
 # 50-slot cap, the self-changed ones carry the most re-verification
 # risk and must be sampled first.
 _STALE_SELF: set[str] = set()
+# Every query with ANY ledger entry (fresh or stale). An ever-green
+# query ABSENT here was red-regressed (update_ledger deletes reds) —
+# after a fix it must re-check in the highest-risk tier, not compete
+# alphabetically at the bottom of the deps-only pool (code-review r8).
+_IN_LEDGER: set[str] = set()
 # name -> "driver" | "local": where the last trustworthy green came
 # from. "local" means tools/update_ledger.py --local folded a local
 # drive_entry.py differential (same hash procedure, this machine);
@@ -270,8 +289,8 @@ def _order_key(name: str) -> tuple:
     # operator module the querydef references was edited).
     if name not in _EVER_GREEN:
         tier = 0
-    elif name in _STALE_SELF:
-        tier = 1
+    elif name in _STALE_SELF or name not in _IN_LEDGER:
+        tier = 1  # own-source change, or a red-evicted green (cr r8)
     else:
         tier = 2
     # Among verified: canaries first, then queries the DRIVER has

@@ -49,11 +49,22 @@ def get_session(
     from pyspark import SparkConf
 
     par = _default_parallelism()
+    # spark-submit detection must NOT rely on SparkConf() alone: in a
+    # fresh python process (no JVM yet) SparkConf is a plain python
+    # dict that never sees the submit-time spark.master system
+    # property, so the r6 guard was blind exactly under
+    # `spark-submit --master yarn app.py` and would have overridden
+    # the cluster master with local[*] (code-review r8). spark-submit
+    # launches python drivers through PythonRunner, which always
+    # exports PYSPARK_GATEWAY_PORT (and MASTER is the classic env
+    # override) — treat either as "master is externally managed".
+    submit_managed = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or os.environ.get("MASTER")
+        or SparkConf().contains("spark.master")
+    )
     if master is None:
-        if SparkConf().contains("spark.master"):
-            # spark-submit --master governs: calling .master() here
-            # would override it and silently run the job single-node
-            # on the driver (code-review r6).
+        if submit_managed:
             master = None
         else:
             # SPARK_GRAFT_CPUS is validated like _default_parallelism
@@ -106,7 +117,10 @@ def get_session(
     effective_master = (
         master
         if master is not None
-        else SparkConf().get("spark.master", "")
+        else (
+            os.environ.get("MASTER")
+            or SparkConf().get("spark.master", "")
+        )
     )
     if effective_master.startswith("local"):
         # The 4 MB default openCostInBytes models remote-FS open

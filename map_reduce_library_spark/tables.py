@@ -31,10 +31,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor: they
-# grow sub-linearly (region/nation are constant-size in TPC-H).
-BROADCASTABLE = ("region", "nation", "supplier", "part", "customer")
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -73,8 +69,18 @@ def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(ts_type, LongType):
-        # nanos as int64: floor-divide to micros (DuckDB's ns→µs).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanos as int64 -> micros. DuckDB FLOORS the ns->us
+        # conversion while Spark's `div` truncates toward zero — they
+        # disagree by 1us on pre-epoch (negative) nanos, so spell out
+        # floor division with pmod: (ts - pmod(ts, 1000)) div 1000
+        # (code-review r8; the test corpus is post-epoch, but the
+        # comment claimed floor semantics the code didn't have).
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("(ts - pmod(ts, 1000)) div 1000")
+            ),
+        )
     if isinstance(ts_type, TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -277,8 +277,10 @@ def test_deps_md5_covers_called_operators():
     fn = q.QUERIES["ivf_kmeans_topk"]
     pkg = P(q.__file__).resolve().parent
     dep_re = re.compile(
-        r"map_reduce_library_spark\.(operators|streaming|core|sources)\.(\w+)"
+        r"map_reduce_library_spark\.(operators|streaming|core|sources"
+        r"|querydefs)\.(\w+)"
     )
+    top_re = re.compile(r"map_reduce_library_spark\.(tables|session)\b")
     # replicate deps_md5's walk, but replace similarity.py's bytes
     visited, dep_files = set(), set()
     stack = [P(sys.modules[fn.__module__].__file__)]
@@ -287,8 +289,14 @@ def test_deps_md5_covers_called_operators():
         if p in visited:
             continue
         visited.add(p)
-        for m in dep_re.finditer(p.read_text()):
+        text = p.read_text()
+        for m in dep_re.finditer(text):
             dp = pkg / m.group(1) / (m.group(2) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+        for m in top_re.finditer(text):
+            dp = pkg / (m.group(1) + ".py")
             if dp.exists() and dp not in visited:
                 dep_files.add(dp)
                 stack.append(dp)
@@ -301,6 +309,59 @@ def test_deps_md5_covers_called_operators():
             h.update(dp.name.encode())
             data = dp.read_bytes()
             if tamper and dp == sim:
+                data += b"# rewritten"
+            h.update(data)
+        return h.hexdigest()
+
+    assert digest(False) == q.deps_md5(fn)
+    assert digest(True) != q.deps_md5(fn)
+
+
+def test_deps_md5_covers_top_level_tables_module():
+    """code-review r8: `from map_reduce_library_spark.tables import
+    load_table` was outside the dep-closure regex, so a behavior edit
+    to tables.normalize_event_ts kept every event query's stale green.
+    Replicate the walk and assert tables.py is in the covered set and
+    that its bytes move the digest."""
+    import hashlib
+    import re
+    import sys
+    from pathlib import Path as P
+
+    fn = q.QUERIES["wordcount"]
+    pkg = P(q.__file__).resolve().parent
+    dep_re = re.compile(
+        r"map_reduce_library_spark\.(operators|streaming|core|sources"
+        r"|querydefs)\.(\w+)"
+    )
+    top_re = re.compile(r"map_reduce_library_spark\.(tables|session)\b")
+    visited, dep_files = set(), set()
+    stack = [P(sys.modules[fn.__module__].__file__)]
+    while stack:
+        p = stack.pop()
+        if p in visited:
+            continue
+        visited.add(p)
+        text = p.read_text()
+        for m in dep_re.finditer(text):
+            dp = pkg / m.group(1) / (m.group(2) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+        for m in top_re.finditer(text):
+            dp = pkg / (m.group(1) + ".py")
+            if dp.exists() and dp not in visited:
+                dep_files.add(dp)
+                stack.append(dp)
+    tables = pkg / "tables.py"
+    assert tables in dep_files, "tables.py must be in the dep closure"
+
+    def digest(tamper: bool) -> str:
+        h = hashlib.md5()
+        for dp in sorted(dep_files):
+            h.update(dp.name.encode())
+            data = dp.read_bytes()
+            if tamper and dp == tables:
                 data += b"# rewritten"
             h.update(data)
         return h.hexdigest()

@@ -36,6 +36,10 @@ def norm(v):
             return "NULL"
     except (TypeError, ValueError):
         pass
+    if isinstance(v, float) and math.isinf(v):
+        # int(inf) raises OverflowError; both engines print inf the
+        # same way, so normalize textually (code-review r8)
+        return "inf" if v > 0 else "-inf"
     if isinstance(v, float) and not math.isnan(v) and v == int(v):
         return str(int(v))
     return str(v)
@@ -44,7 +48,6 @@ import duckdb
 from pyspark.sql import SparkSession
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 
 def main():

@@ -73,7 +73,8 @@ def _registry(source: Path):
     """Import the (queries, oracles, deps_md5) registry from a source
     tree. ``deps_md5`` is None for older trees that predate the
     operator-dependency hash."""
-    sys.path.insert(0, str(source))
+    inserted = str(source)
+    sys.path.insert(0, inserted)
     try:
         import __spark_entry__ as entry_mod  # noqa: PLC0415
 
@@ -82,7 +83,14 @@ def _registry(source: Path):
         deps_fn = getattr(queries_mod, "deps_md5", None)
         return entry_mod.queries(), entry_mod.oracle_sql(), deps_fn
     finally:
-        sys.path.pop(0)
+        # remove by VALUE, not position: the import itself may insert
+        # further entries at index 0 (e.g. a resolved script dir), so
+        # pop(0) could evict the wrong path and leave the source tree
+        # permanently first on sys.path (code-review r8)
+        try:
+            sys.path.remove(inserted)
+        except ValueError:
+            pass
 
 
 def _fn_md5(fn) -> str | None:

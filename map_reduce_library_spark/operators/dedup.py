@@ -127,10 +127,12 @@ def normalize_for_dedup(c: "F.Column | str") -> "F.Column":
     world"); shingling the canonical form catches them. Built only
     from lower/regexp_replace/trim so the DuckDB oracle reproduces it
     byte-for-byte (both regex engines support \\p{L}/\\p{N} classes).
-    NFC unicode normalization is deliberately absent: Spark has no
-    JVM-side builtin for it, and a per-row Python UDF in the shingle
-    hot path is the one cost this module refuses — NFC-variant text
-    should be normalized at ingest."""
+    NFC unicode normalization is deliberately absent HERE: Spark has
+    no JVM-side builtin for it, and Python in the per-shingle hot
+    path is the one cost this module refuses — NFC-variant text is
+    normalized at ingest instead, where the pass runs once per
+    document (``operators/text.py::unicode_normalize``, an Arrow
+    ``mapInPandas`` stage)."""
     c = F.col(c) if isinstance(c, str) else c
     out = F.lower(c)
     out = F.regexp_replace(out, r"[^\p{L}\p{N}\s]", " ")

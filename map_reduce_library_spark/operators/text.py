@@ -300,6 +300,54 @@ def doc_fingerprints(
     )
 
 
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def unicode_normalize(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize a text column at INGEST time (Arrow
+    ``mapInPandas``), returning the input schema unchanged.
+
+    This is the stage ``operators/dedup.py::normalize_for_dedup``
+    points at for NFC-variant text: Spark has no JVM builtin for
+    unicode normalization, and the dedup module refuses Python in the
+    per-shingle hot path — but ingest runs ONCE per document (not once
+    per shingle), so an Arrow-batched pass here is the right cost
+    point. Composed ("é", U+00E9) and decomposed ("e"+U+0301) spellings
+    of the same text hash to different shingles raw; after this stage
+    they are byte-identical, so every downstream fingerprint
+    (exact-dedup md5, MinHash, SimHash) unifies them for free.
+
+    Scale: one narrow Arrow pass, no shuffle; batches stream through
+    ``unicodedata.normalize`` (C-implemented in CPython). Nulls pass
+    through; non-text columns ride along untouched. Written for the
+    write-your-canonical-corpus-once pipeline shape — normalize at
+    ingest, then every query reads canonical bytes."""
+    import unicodedata
+
+    if form not in _UNICODE_FORMS:
+        raise ValueError(f"form must be one of {_UNICODE_FORMS}: {form!r}")
+    if text_col not in df.columns:
+        raise ValueError(f"no column {text_col!r} in {df.columns}")
+    schema = df.schema
+    if not schema[text_col].dataType.typeName() == "string":
+        raise ValueError(
+            f"{text_col!r} must be string, got {schema[text_col].dataType}"
+        )
+
+    def batches(it):
+        for pdf in it:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: unicodedata.normalize(form, s)
+                if isinstance(s, str)
+                else s
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 # PII scrubbing: the conservative regex family every training-data
 # pipeline runs before anything else. Patterns are deliberately
 # restricted to syntax with identical semantics in Java regex (Spark)

@@ -61,6 +61,7 @@ from map_reduce_library_spark.operators.lm import (  # noqa: E402
 from map_reduce_library_spark.operators.text import (  # noqa: E402
     text_stats,
     token_accounting,
+    unicode_normalize,
 )
 from map_reduce_library_spark.session import get_session  # noqa: E402
 from map_reduce_library_spark.tables import load_table  # noqa: E402
@@ -86,7 +87,12 @@ def _gate(df):
 
 
 def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
-    docs = load_table(spark, sf_dir, "documents")
+    # 0. ingest canonicalization: NFC-normalize text ONCE, up front,
+    # so every downstream fingerprint (exact md5, MinHash shingles,
+    # CDC chunk hashes, 8-gram decontamination) sees canonical bytes —
+    # composed vs decomposed spellings of the same doc would otherwise
+    # slip every dedup gate. Once per document, before any fan-out.
+    docs = unicode_normalize(load_table(spark, sf_dir, "documents"))
 
     # 1. quality gate — input size, pass count, and mean quality are
     # observed DURING the gate's own action (no extra scans)

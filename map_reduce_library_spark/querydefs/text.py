@@ -200,11 +200,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = docs.count()  # scalar; drives the idf constant only
+    # Corpus size rides a one-row broadcast (the scalar-attach
+    # convention — bm25's n_rel, PMI's n_docs) instead of an eager
+    # count() action at plan-build time: queries() callables are
+    # lazy-build by contract, and a build-time job would also execute
+    # outside anything the bench times.
+    n_rel = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
     return (
         tf.join(F.broadcast(dfreq), "tok")
-        .withColumn("score", F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
+        .crossJoin(F.broadcast(n_rel))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(

@@ -38,6 +38,9 @@ ALLOWED_SCALAR_ATTACH = {
     "temperature_mix",
     # single-row corpus size (n_docs) attached to the PMI pairs
     "token_cooccurrence_pmi",
+    # same single-row n_docs scalar attached to the idf expression
+    # (r8 — replaced an eager plan-build-time count())
+    "tfidf_top_terms",
     # one-row Bloom signature map broadcast against the probe scan
     "bloom_pruned_part_revenue",
     # single-row vocabulary-size constant attached to the NLL terms
@@ -100,6 +103,8 @@ ALLOWED_SINGLE_PARTITION = {
     "forecast_revenue_change",
     # final merge of the single-row n_docs corpus-size aggregate
     "token_cooccurrence_pmi",
+    # same single-row n_docs merge (scalar-attach idf constant, r8)
+    "tfidf_top_terms",
     "gap_fill_daily_revenue",
     "global_sales_opportunity",
     "heavy_hitter_tokens",

@@ -62,6 +62,41 @@ def test_downstream_dedup_unifies_after_normalization(spark, docs):
     assert canon[1] == canon[2]
 
 
+# Curated hard cases: combining marks (single + stacked), Hangul
+# jamo composition, ligatures and full-width forms (NFC-invariant,
+# NFKC-folded), astral-plane text, and the empty string.
+BATTERY = [
+    "é",  # e + combining acute -> é
+    "ȩ́",  # stacked combining marks (acute + cedilla)
+    "각",  # Hangul jamo -> 각 (composed syllable)
+    "ﬃ ㎒ ２４",  # ligature / squared unit / full-width digits
+    "\U0001f600 \U00010400",  # astral plane (emoji, Deseret)
+    "",  # empty string
+    "already ascii",
+]
+
+
+def test_battery_matches_unicodedata_for_every_form(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(BATTERY)], "doc_id bigint, text string"
+    )
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {
+            r.doc_id: r.text
+            for r in unicode_normalize(df, form=form).collect()
+        }
+        for i, s in enumerate(BATTERY):
+            assert got[i] == unicodedata.normalize(form, s), (form, s)
+        # idempotence: a normalized corpus re-normalizes to itself
+        twice = {
+            r.doc_id: r.text
+            for r in unicode_normalize(
+                unicode_normalize(df, form=form), form=form
+            ).collect()
+        }
+        assert twice == got, form
+
+
 def test_bad_arguments_raise_eagerly(spark, docs):
     with pytest.raises(ValueError, match="form"):
         unicode_normalize(docs, form="NFX")

@@ -1,0 +1,164 @@
+"""Data-layout operators: Z-order (Morton) clustering for write-time
+file organization.
+
+Parquet readers prune whole files (and row groups) whose min/max
+column statistics cannot satisfy a predicate. A table sorted by one
+key prunes perfectly on that key and not at all on any other: every
+file's min/max for the second column spans the whole domain. Z-order
+interleaves the bits of several quantized key columns into one Morton
+code and lays files out along that curve, so each file covers a small
+RECTANGLE of the key space — a selective predicate on ANY of the
+clustered columns overlaps only the files whose rectangle intersects
+it (~N^((d-1)/d) of N files for a point/range query over one of d
+dimensions, vs all N under a foreign sort).
+
+This extends the reference's output stage (SURVEY.md §2D sinks —
+ABSENT in reference: its client writes one driver-side text file,
+FileWordCounter.cpp) with the layout decision every 100-TB ingest has
+to make before anyone queries the data.
+
+Scale notes:
+- The z-value is pure JVM bit arithmetic (shiftright/shiftleft/&/|
+  folded into whole-stage codegen) over per-column linear
+  quantization; no Python anywhere.
+- ``write_zordered`` range-partitions on the z-value (sampled range
+  boundaries — one Spark-internal sampling pass, the same mechanism
+  as any global sort) then sorts WITHIN partitions: total one wide
+  exchange, the unavoidable cost of any clustered rewrite.
+- Column min/max for quantization ride one small aggregate; the
+  collect is a write-side action by design (writing IS an action) —
+  this is an ingest/compaction-time operator, never a query-path one.
+- Statistics-based pruning is measured, not assumed:
+  ``parquet_overlap_fraction`` reads the written footers and reports
+  the fraction of files a range predicate must touch
+  (tests/test_layout.py pins z-order < single-key sort on the
+  second dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ZORDER_DEFAULT_BITS = 16
+
+
+def _quantize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Linear quantization of a numeric column into [0, 2^bits):
+    floor((x - lo) / (hi - lo) * (2^bits - 1)), clamped; NULL and the
+    degenerate constant-column case (hi == lo) map to 0."""
+    n_codes = float((1 << bits) - 1)
+    span = (hi - lo).cast("double")
+    scaled = F.floor(
+        (c.cast("double") - lo.cast("double")) / span * F.lit(n_codes)
+    )
+    clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
+    return (
+        F.when(c.isNull() | (span <= F.lit(0.0)), F.lit(0))
+        .otherwise(clamped)
+        .cast("bigint")
+    )
+
+
+def zorder_key(quantized: list[Column], bits: int) -> Column:
+    """Interleave the bits of pre-quantized [0, 2^bits) codes into one
+    Morton code: output bit (b * d + i) is bit b of column i. Pure
+    shift/mask expression tree — 2 * bits * d JVM ops, codegen-fused."""
+    d = len(quantized)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered along the
+    Z-order curve of ``cols`` (2-4 numeric columns).
+
+    Per-column quantization bounds come from one min/max aggregate
+    over the input (a write-side action — acceptable here and only
+    here; query-path operators attach scalars lazily). Bits per
+    column are capped so the interleaved code stays inside a signed
+    64-bit long."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"z-order wants 2-4 columns, got {cols}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no column(s) {missing} in {df.columns}")
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1: {n_files}")
+    d = len(cols)
+    bits = min(bits, 62 // d)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs).collect()[0]
+    qs = [
+        _quantize(
+            F.col(c),
+            F.lit(bounds[f"__lo_{c}"]),
+            F.lit(bounds[f"__hi_{c}"]),
+            bits,
+        )
+        for c in cols
+    ]
+    zv = zorder_key(qs, bits).alias("__zv")
+    (
+        df.withColumn("__zv", zv)
+        .repartitionByRange(n_files, "__zv")
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def parquet_overlap_fraction(
+    path: str, col: str, lo, hi
+) -> float:
+    """Fraction of data files under ``path`` whose footer min/max for
+    ``col`` overlaps [lo, hi] — i.e., the files a stats-pruning reader
+    must actually open for that range predicate. Footer-only reads
+    (pyarrow), no data pages touched. A layout-evaluation utility for
+    ingest/compaction jobs and tests; at warehouse scale the same
+    numbers live in the table catalog."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        p
+        for p in pathlib.Path(path).glob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    )
+    if not files:
+        raise ValueError(f"no parquet data files under {path}")
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col_md = md.row_group(rg).column(ci)
+                if col_md.path_in_schema != col:
+                    continue
+                st = col_md.statistics
+                if st is None or not st.has_min_max:
+                    # no stats -> reader must open the file
+                    fmin, fmax = lo, hi
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None:
+            raise ValueError(f"column {col!r} not found in {f}")
+        if fmax >= lo and fmin <= hi:
+            overlapping += 1
+    return overlapping / len(files)

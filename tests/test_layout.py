@@ -1,0 +1,123 @@
+"""Z-order layout (operators/layout.py): Morton-code correctness and
+MEASURED file pruning vs a single-key sort, via real parquet footers."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.layout import (
+    parquet_overlap_fraction,
+    write_zordered,
+    zorder_key,
+    _quantize,
+)
+
+SF = "/root/testdata/sf0.01"
+N_FILES = 32
+
+
+def test_morton_code_matches_python_reference(spark):
+    """zorder_key's JVM shift/mask tree against a pure-Python bit
+    interleave over an exhaustive small grid."""
+    bits = 4
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a",
+            "b",
+            zorder_key([F.col("a"), F.col("b")], bits).alias("z"),
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for a, b in rows:
+        assert got[(a, b)] == ref(a, b), (a, b)
+    # the curve is a bijection on the grid
+    assert len(set(got.values())) == len(rows)
+
+
+def test_quantize_edges(spark):
+    df = spark.createDataFrame(
+        [(None,), (-5,), (0,), (5,)], "x bigint"
+    )
+    q = df.select(
+        _quantize(F.col("x"), F.lit(-5), F.lit(5), 4).alias("q")
+    ).collect()
+    vals = [r.q for r in q]
+    assert vals[0] == 0  # NULL -> 0
+    assert vals[1] == 0 and vals[3] == 15  # bounds hit the code range
+    assert 0 <= vals[2] <= 15
+    # constant column (hi == lo) degenerates to 0, not a divide error
+    const = df.select(
+        _quantize(F.col("x"), F.lit(7), F.lit(7), 4).alias("q")
+    ).collect()
+    assert all(r.q == 0 for r in const)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    sorted_dir = str(base / "sorted_by_orderkey")
+    z_dir = str(base / "zordered")
+    (
+        li.repartitionByRange(N_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(sorted_dir)
+    )
+    write_zordered(li, z_dir, ["l_orderkey", "l_partkey"], N_FILES)
+    return li, sorted_dir, z_dir
+
+
+def test_zorder_preserves_rows(spark, layouts):
+    li, _, z_dir = layouts
+    back = spark.read.parquet(z_dir)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    # exact multiset round-trip
+    key = [F.col(c).cast("string") for c in sorted(back.columns)]
+    h = lambda d: d.select(  # noqa: E731
+        F.md5(F.concat_ws("|", *key)).alias("h")
+    ).groupBy("h").count()
+    assert h(back).exceptAll(h(li)).isEmpty()
+
+
+def test_zorder_prunes_secondary_column(spark, layouts):
+    """The point of the operator: a selective l_partkey range must
+    touch (measurably) fewer files under z-order than under the
+    orderkey sort, where every file spans the whole partkey domain —
+    checked against the REAL written footers."""
+    li, sorted_dir, z_dir = layouts
+    hi_key = li.agg(F.max("l_partkey")).collect()[0][0]
+    lo, hi = 1, max(1, hi_key // 10)  # ~10% range on the 2nd dim
+    frac_sorted = parquet_overlap_fraction(sorted_dir, "l_partkey", lo, hi)
+    frac_z = parquet_overlap_fraction(z_dir, "l_partkey", lo, hi)
+    assert frac_sorted >= 0.9  # foreign sort: essentially no pruning
+    assert frac_z <= 0.6, (frac_z, frac_sorted)  # rectangles prune
+    # and the primary column still prunes under z-order
+    hi_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    frac_z_primary = parquet_overlap_fraction(
+        z_dir, "l_orderkey", 1, max(1, hi_ok // 10)
+    )
+    assert frac_z_primary <= 0.6, frac_z_primary
+
+
+def test_write_zordered_validates_eagerly(spark, layouts):
+    li, _, _ = layouts
+    with pytest.raises(ValueError, match="2-4 columns"):
+        write_zordered(li, "/tmp/x", ["l_orderkey"], 4)
+    with pytest.raises(ValueError, match="no column"):
+        write_zordered(li, "/tmp/x", ["l_orderkey", "nope"], 4)
+    with pytest.raises(ValueError, match="n_files"):
+        write_zordered(li, "/tmp/x", ["l_orderkey", "l_partkey"], 0)

@@ -73,15 +73,16 @@ def zorder_key(quantized: list[Column], bits: int) -> Column:
     return z
 
 
-def write_zordered(
+def zorder_arrange(
     df: DataFrame,
-    path: str,
     cols: list[str],
     n_files: int,
     bits: int = ZORDER_DEFAULT_BITS,
-) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered along the
-    Z-order curve of ``cols`` (2-4 numeric columns).
+) -> DataFrame:
+    """Arrange ``df`` into ``n_files`` partitions clustered along the
+    Z-order curve of ``cols`` (2-4 numeric columns), ready to write —
+    the shared core of ``write_zordered`` and
+    ``compact_parquet(zorder_cols=...)``.
 
     Per-column quantization bounds come from one min/max aggregate
     over the input (a write-side action — acceptable here and only
@@ -95,6 +96,8 @@ def write_zordered(
         raise ValueError(f"no column(s) {missing} in {df.columns}")
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1: {n_files}")
+    if "__zv" in df.columns:
+        raise ValueError("input already carries a __zv column")
     d = len(cols)
     bits = min(bits, 62 // d)
     aggs = []
@@ -111,14 +114,26 @@ def write_zordered(
         for c in cols
     ]
     zv = zorder_key(qs, bits).alias("__zv")
-    (
+    return (
         df.withColumn("__zv", zv)
         .repartitionByRange(n_files, "__zv")
         .sortWithinPartitions("__zv")
         .drop("__zv")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered along the
+    Z-order curve of ``cols`` — see ``zorder_arrange``."""
+    zorder_arrange(df, cols, n_files, bits).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def parquet_overlap_fraction(

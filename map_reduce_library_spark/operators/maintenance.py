@@ -57,8 +57,19 @@ def compact_parquet(
     dst_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     dedup_keys: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite a parquet directory into ~target_file_bytes files.
+
+    ``zorder_cols`` re-clusters the output along the Morton curve of
+    2-4 key columns (``operators/layout.py::zorder_arrange``) instead
+    of hash-repartitioning. Compaction is exactly where a streaming
+    landing zone regains layout: micro-batch appends arrive
+    time-ordered, so their file stats prune nothing on the keys
+    queries actually filter by; the compaction rewrite is the one
+    pass every row already flows through, so clustering it is free of
+    extra reads (one extra min/max aggregate for quantization bounds
+    plus the range-exchange that replaces the hash-exchange).
 
     ``dedup_keys`` (ADVICE r7): publish-time key dedup. A landing
     zone fed by an at-least-once stream can legitimately hold
@@ -101,7 +112,13 @@ def compact_parquet(
         n = max(1, math.ceil(total / target_file_bytes))
     else:
         n = max(1, df.rdd.getNumPartitions())
-    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
+    if zorder_cols:
+        from map_reduce_library_spark.operators.layout import zorder_arrange
+
+        out = zorder_arrange(df, zorder_cols, n)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir)
 
 

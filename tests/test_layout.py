@@ -113,6 +113,28 @@ def test_zorder_prunes_secondary_column(spark, layouts):
     assert frac_z_primary <= 0.6, frac_z_primary
 
 
+def test_compact_parquet_zorder_reclusters(spark, layouts, tmp_path):
+    """compact_parquet(zorder_cols=...) restores clustering on a
+    time-ordered landing zone: same rows, pruned footers."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    li, sorted_dir, _ = layouts
+    dst = str(tmp_path / "compacted_z")
+    out = compact_parquet(
+        spark,
+        sorted_dir,
+        dst,
+        target_file_bytes=64 * 1024,  # force a multi-file output
+        zorder_cols=["l_orderkey", "l_partkey"],
+    )
+    assert out.count() == li.count()
+    hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    frac = parquet_overlap_fraction(dst, "l_partkey", 1, max(1, hi // 10))
+    assert frac <= 0.6, frac
+
+
 def test_write_zordered_validates_eagerly(spark, layouts):
     li, _, _ = layouts
     with pytest.raises(ValueError, match="2-4 columns"):

@@ -95,9 +95,18 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     q.awaitTermination()
 
     # Publish-time dedup: exactly one row per event_id regardless of
-    # replay or compaction timing (see write_batch comment).
+    # replay or compaction timing (see write_batch comment). The same
+    # rewrite re-clusters the published table along the (ts, user_id)
+    # Morton curve: micro-batch appends arrive time-ordered, so the
+    # landing files' stats prune nothing on user_id — the publish pass
+    # is where the table gains a layout that serves both time-range
+    # and per-user scans (operators/layout.py).
     return compact_parquet(
-        spark, landing, compacted, dedup_keys=["event_id"]
+        spark,
+        landing,
+        compacted,
+        dedup_keys=["event_id"],
+        zorder_cols=["ts", "user_id"],
     )
 
 

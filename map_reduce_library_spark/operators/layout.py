@@ -60,6 +60,35 @@ def _quantize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
     )
 
 
+def _as_numeric(df: DataFrame, col: str) -> Column:
+    """Column as a quantizable numeric expression. Time is the
+    commonest landing-zone layout key, so timestamps map to epoch
+    micros and dates to epoch days (both order-preserving, both
+    JVM-side); numerics pass through; anything else (strings, arrays)
+    is refused eagerly — hash a string key to a numeric surrogate
+    yourself if its ordering genuinely matters to your scans."""
+    dt = df.schema[col].dataType.typeName()
+    c = F.col(col)
+    if dt in ("timestamp", "timestamp_ntz"):
+        # unix_micros needs TimestampType; NTZ casts losslessly
+        return F.unix_micros(c.cast("timestamp"))
+    if dt == "date":
+        return F.datediff(c, F.lit("1970-01-01"))
+    if dt in (
+        "byte",
+        "short",
+        "integer",
+        "long",
+        "float",
+        "double",
+        "decimal",
+    ) or dt.startswith("decimal"):
+        return c
+    raise ValueError(
+        f"z-order column {col!r} has non-orderable-numeric type {dt}"
+    )
+
+
 def zorder_key(quantized: list[Column], bits: int) -> Column:
     """Interleave the bits of pre-quantized [0, 2^bits) codes into one
     Morton code: output bit (b * d + i) is bit b of column i. Pure
@@ -100,18 +129,19 @@ def zorder_arrange(
         raise ValueError("input already carries a __zv column")
     d = len(cols)
     bits = min(bits, 62 // d)
+    exprs = [_as_numeric(df, c) for c in cols]
     aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    for c, e in zip(cols, exprs):
+        aggs += [F.min(e).alias(f"__lo_{c}"), F.max(e).alias(f"__hi_{c}")]
     bounds = df.agg(*aggs).collect()[0]
     qs = [
         _quantize(
-            F.col(c),
+            e,
             F.lit(bounds[f"__lo_{c}"]),
             F.lit(bounds[f"__hi_{c}"]),
             bits,
         )
-        for c in cols
+        for c, e in zip(cols, exprs)
     ]
     zv = zorder_key(qs, bits).alias("__zv")
     return (

@@ -135,6 +135,21 @@ def test_compact_parquet_zorder_reclusters(spark, layouts, tmp_path):
     assert frac <= 0.6, frac
 
 
+def test_zorder_on_timestamp_key(spark, tmp_path):
+    """(ts, user_id) — the landing-zone layout pair — clusters and
+    prunes on both dimensions."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    dst = str(tmp_path / "ev_z")
+    write_zordered(ev, dst, ["ts", "user_id"], 16)
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    hi_u = ev.agg(F.max("user_id")).collect()[0][0]
+    frac_u = parquet_overlap_fraction(dst, "user_id", 1, max(1, hi_u // 10))
+    assert frac_u <= 0.7, frac_u
+
+
 def test_write_zordered_validates_eagerly(spark, layouts):
     li, _, _ = layouts
     with pytest.raises(ValueError, match="2-4 columns"):
@@ -143,3 +158,6 @@ def test_write_zordered_validates_eagerly(spark, layouts):
         write_zordered(li, "/tmp/x", ["l_orderkey", "nope"], 4)
     with pytest.raises(ValueError, match="n_files"):
         write_zordered(li, "/tmp/x", ["l_orderkey", "l_partkey"], 0)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        write_zordered(ev, "/tmp/x", ["ts", "event_type"], 4)

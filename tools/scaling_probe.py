@@ -75,10 +75,34 @@ def _semdedup_scaled(factor: int):
     return run
 
 
+def _zorder_scaled(factor: int):
+    """Z-order clustered-rewrite cost at constant file size: the
+    arranged DataFrame's materialization IS the work (bounds
+    aggregate + one range exchange + in-partition sort); file count
+    grows with the corpus (32 × factor) the way a fixed
+    target_file_bytes would make it, so per-partition sort depth
+    stays constant and the claim under test is linear total wall."""
+
+    def run(spark, sf_dir):
+        from map_reduce_library_spark.operators.layout import (
+            zorder_arrange,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars", "lang"
+        )
+        return zorder_arrange(docs, ["doc_id", "n_chars"], 32 * factor)
+
+    return run
+
+
 # name -> factory(factor) -> (spark, sf_dir) -> DataFrame; probed
 # INSTEAD of the registry entry of the same name when requested via
 # --queries. Registry names stay untouched.
-SCALED_VARIANTS = {"semdedup_scaled_centroids": _semdedup_scaled}
+SCALED_VARIANTS = {
+    "semdedup_scaled_centroids": _semdedup_scaled,
+    "zorder_arrange_scaled": _zorder_scaled,
+}
 
 
 def build(spark, factor: int) -> str:

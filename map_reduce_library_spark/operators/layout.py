@@ -48,7 +48,12 @@ def _quantize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
     floor((x - lo) / (hi - lo) * (2^bits - 1)), clamped; NULL and the
     degenerate constant-column case (hi == lo) map to 0."""
     n_codes = float((1 << bits) - 1)
-    span = (hi - lo).cast("double")
+    # cast BEFORE subtracting: a raw long (hi - lo) overflows for
+    # wide-range keys (e.g. a 64-bit hash surrogate whose min/max
+    # straddle most of the signed range) — ANSI mode throws, non-ANSI
+    # wraps negative and the span guard would silently collapse the
+    # whole column to code 0 (code-review r8 session 2)
+    span = hi.cast("double") - lo.cast("double")
     scaled = F.floor(
         (c.cast("double") - lo.cast("double")) / span * F.lit(n_codes)
     )
@@ -70,7 +75,12 @@ def _as_numeric(df: DataFrame, col: str) -> Column:
     dt = df.schema[col].dataType.typeName()
     c = F.col(col)
     if dt in ("timestamp", "timestamp_ntz"):
-        # unix_micros needs TimestampType; NTZ casts losslessly
+        # unix_micros needs TimestampType; the NTZ cast interprets
+        # wall-clock values in the SESSION timezone, so it is only
+        # order-preserving under a fixed-offset zone (this repo pins
+        # sessions to UTC) — under a DST zone, spring-forward-gap
+        # values invert and fall-back values collapse, degrading (not
+        # breaking) clustering near transitions
         return F.unix_micros(c.cast("timestamp"))
     if dt == "date":
         return F.datediff(c, F.lit("1970-01-01"))
@@ -102,11 +112,27 @@ def zorder_key(quantized: list[Column], bits: int) -> Column:
     return z
 
 
+def zorder_bounds_aggs(df: DataFrame, cols: list[str]) -> list[Column]:
+    """The min/max aggregate expressions ``zorder_arrange`` needs for
+    its quantization bounds, aliased ``__lo_<col>``/``__hi_<col>`` —
+    exposed so a caller already running an aggregate over the same
+    input (``compact_parquet``'s dedup-ratio pass) can fold the
+    bounds in and hand the result Row to ``zorder_arrange(bounds=)``
+    instead of paying a second scan. Validates the column types
+    eagerly (same rules as the arrange itself)."""
+    exprs = [_as_numeric(df, c) for c in cols]
+    aggs: list[Column] = []
+    for c, e in zip(cols, exprs):
+        aggs += [F.min(e).alias(f"__lo_{c}"), F.max(e).alias(f"__hi_{c}")]
+    return aggs
+
+
 def zorder_arrange(
     df: DataFrame,
     cols: list[str],
     n_files: int,
     bits: int = ZORDER_DEFAULT_BITS,
+    bounds=None,
 ) -> DataFrame:
     """Arrange ``df`` into ``n_files`` partitions clustered along the
     Z-order curve of ``cols`` (2-4 numeric columns), ready to write —
@@ -115,9 +141,14 @@ def zorder_arrange(
 
     Per-column quantization bounds come from one min/max aggregate
     over the input (a write-side action — acceptable here and only
-    here; query-path operators attach scalars lazily). Bits per
-    column are capped so the interleaved code stays inside a signed
-    64-bit long."""
+    here; query-path operators attach scalars lazily), or from
+    ``bounds``: any row/mapping indexable by the
+    ``zorder_bounds_aggs`` alias names, letting a caller fold the
+    bounds into an aggregate it already runs. Bounds from a SUPERSET
+    of the rows (e.g. pre-dedup) are valid — a wider range only
+    coarsens quantization, never misorders it. Bits per column are
+    capped so the interleaved code stays inside a signed 64-bit
+    long."""
     if not 2 <= len(cols) <= 4:
         raise ValueError(f"z-order wants 2-4 columns, got {cols}")
     missing = [c for c in cols if c not in df.columns]
@@ -130,10 +161,8 @@ def zorder_arrange(
     d = len(cols)
     bits = min(bits, 62 // d)
     exprs = [_as_numeric(df, c) for c in cols]
-    aggs = []
-    for c, e in zip(cols, exprs):
-        aggs += [F.min(e).alias(f"__lo_{c}"), F.max(e).alias(f"__hi_{c}")]
-    bounds = df.agg(*aggs).collect()[0]
+    if bounds is None:
+        bounds = df.agg(*zorder_bounds_aggs(df, cols)).collect()[0]
     qs = [
         _quantize(
             e,

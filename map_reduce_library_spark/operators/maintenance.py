@@ -22,7 +22,7 @@ import math
 import os
 from urllib.parse import urlparse
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -67,9 +67,10 @@ def compact_parquet(
     landing zone regains layout: micro-batch appends arrive
     time-ordered, so their file stats prune nothing on the keys
     queries actually filter by; the compaction rewrite is the one
-    pass every row already flows through, so clustering it is free of
-    extra reads (one extra min/max aggregate for quantization bounds
-    plus the range-exchange that replaces the hash-exchange).
+    pass every row already flows through. Cost: the range-exchange
+    replaces the hash-exchange; quantization bounds ride the
+    dedup-ratio aggregate when ``dedup_keys`` is set (zero extra
+    scans) and one min/max aggregate scan otherwise.
 
     ``dedup_keys`` (ADVICE r7): publish-time key dedup. A landing
     zone fed by an at-least-once stream can legitimately hold
@@ -101,13 +102,35 @@ def compact_parquet(
     """
     df = spark.read.parquet(src_dir)
     total = _dir_bytes(spark, src_dir)
+    # Quantization bounds fold into whatever aggregate already runs
+    # over the source (the dedup-ratio pass when dedup_keys is set),
+    # and are taken over the PRE-dedup rows either way — a superset's
+    # min/max only widens the range, never misorders the curve — so
+    # the z-order path costs ONE extra scan at most and never re-runs
+    # the dedup shuffle for bounds (code-review r8 session 2).
+    zbounds = None
+    zb_aggs = []
+    if zorder_cols:
+        from map_reduce_library_spark.operators.layout import (
+            zorder_bounds_aggs,
+        )
+
+        zb_aggs = zorder_bounds_aggs(df, zorder_cols)
     if dedup_keys:
-        n_raw, n_keys = df.agg(
-            F.count(F.lit(1)), F.approx_count_distinct(F.struct(*dedup_keys))
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n_raw"),
+            F.approx_count_distinct(F.struct(*dedup_keys)).alias(
+                "__n_keys"
+            ),
+            *zb_aggs,
         ).first()
+        n_raw, n_keys = row["__n_raw"], row["__n_keys"]
+        zbounds = row
         df = df.dropDuplicates(dedup_keys)
         if n_raw > 0:
             total = math.ceil(total * min(n_keys, n_raw) / n_raw)
+    elif zb_aggs:
+        zbounds = df.agg(*zb_aggs).first()
     if total > 0:
         n = max(1, math.ceil(total / target_file_bytes))
     else:
@@ -115,7 +138,7 @@ def compact_parquet(
     if zorder_cols:
         from map_reduce_library_spark.operators.layout import zorder_arrange
 
-        out = zorder_arrange(df, zorder_cols, n)
+        out = zorder_arrange(df, zorder_cols, n, bounds=zbounds)
     else:
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst_dir)
@@ -363,49 +386,10 @@ def snapshot_upsert(
     return survivors.unionByName(updates)
 
 
-def _morton_spread(c: Column) -> Column:
-    """Spread a 31-bit int's bits to even positions (0,2,...,60) via
-    the standard 2-D mask-shift cascade — pure JVM bit ops,
-    codegen-able."""
-    c = c.bitwiseAND(F.lit(0x7FFFFFFF))
-    for shift, mask in (
-        (16, 0x0000FFFF0000FFFF),
-        (8, 0x00FF00FF00FF00FF),
-        (4, 0x0F0F0F0F0F0F0F0F),
-        (2, 0x3333333333333333),
-        (1, 0x5555555555555555),
-    ):
-        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
-    return c
-
-
-def zorder_key(x: Column | str, y: Column | str) -> Column:
-    """64-bit Morton (Z-order) key interleaving two non-negative
-    31-bit dimensions: bit i of x lands at position 2i, bit i of y at
-    2i+1.  Rows close in BOTH dimensions get nearby keys, so sorting
-    by the key clusters 2-D neighborhoods into the same files — parquet
-    min/max stats then skip most files for a 2-D box predicate, which
-    a 1-D sort can only do for its leading column."""
-    cx = F.col(x) if isinstance(x, str) else x
-    cy = F.col(y) if isinstance(y, str) else y
-    return _morton_spread(cx.cast("bigint")).bitwiseOR(
-        F.shiftleft(_morton_spread(cy.cast("bigint")), 1)
-    )
-
-
-def cluster_by_zorder(
-    df: DataFrame, x: str, y: str, path: str, files: int = 16
-) -> None:
-    """Rewrite ``df`` Z-order-clustered on (x, y): range-partition by
-    the Morton key (balanced output files), sort within partitions,
-    write parquet.  A maintenance pass, like ``compact_parquet`` —
-    at 100 TB it runs per-partition and only one shuffle (the range
-    exchange) regardless of file count."""
-    keyed = df.withColumn("_zk", zorder_key(x, y))
-    (
-        keyed.repartitionByRange(files, "_zk")
-        .sortWithinPartitions("_zk")
-        .drop("_zk")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+# Z-order clustering moved to operators/layout.py (r8 consolidation:
+# this module's original 2-column, unquantized Morton trio —
+# _morton_spread/zorder_key/cluster_by_zorder — was superseded by the
+# general 2-4-column quantized implementation, which also handles
+# negative/wide-range/timestamp keys the 31-bit mask here silently
+# scrambled). Use layout.write_zordered, or
+# compact_parquet(zorder_cols=...) for the maintenance-pass shape.

@@ -12,7 +12,8 @@ from map_reduce_library_spark.operators.layout import (
     _quantize,
 )
 
-SF = "/root/testdata/sf0.01"
+from conftest import SF_CORRECTNESS as SF
+
 N_FILES = 32
 
 
@@ -133,6 +134,71 @@ def test_compact_parquet_zorder_reclusters(spark, layouts, tmp_path):
     hi = li.agg(F.max("l_partkey")).collect()[0][0]
     frac = parquet_overlap_fraction(dst, "l_partkey", 1, max(1, hi // 10))
     assert frac <= 0.6, frac
+
+
+def test_zorder_bounds_worst_case_across_query_dimensions(spark, tmp_path):
+    """A 1-D sort is perfect for predicates on its leading column and
+    degenerate (touches every file) for the other dimension; Z-order
+    keeps BOTH strip queries bounded. Actual-scan file counting via
+    input_file_name (complementing the footer-stat fraction above).
+    Migrated from the superseded maintenance.cluster_by_zorder test
+    (r8 consolidation)."""
+    n, files, side = 1 << 14, 16, 1 << 7
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    ypath = str(tmp_path / "lin_y")
+    write_zordered(df, zpath, ["x", "y"], files)
+    df.repartitionByRange(files, "y").sortWithinPartitions("y").write.mode(
+        "overwrite"
+    ).parquet(ypath)
+
+    def touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .where(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    x_strip, y_strip = F.col("x") < 8, F.col("y") < 8
+    # y-sorted layout: perfect on y, degenerate on x
+    assert touched(ypath, y_strip) <= 2
+    assert touched(ypath, x_strip) == files
+    # z-order: bounded on BOTH dimensions
+    assert touched(zpath, x_strip) <= files // 2
+    assert touched(zpath, y_strip) <= files // 2
+    # and near-perfect on an aligned 2-D box
+    assert touched(zpath, (F.col("x") < 16) & (F.col("y") < 16)) <= 2
+    # correctness: clustering is a pure re-layout
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_quantize_survives_wide_range_keys(spark, tmp_path):
+    """64-bit hash-surrogate keys whose min/max straddle most of the
+    signed range: a raw long (hi - lo) would overflow and collapse
+    every code to 0 (code-review r8 session 2); the double-space span
+    must keep distinct codes and a usable layout."""
+    lo, hi = -(1 << 62), (1 << 62)
+    df = spark.createDataFrame(
+        [(lo, 1), (-1000, 2), (0, 3), (1000, 4), (hi, 5)],
+        "k bigint, v bigint",
+    )
+    q = df.select(
+        _quantize(F.col("k"), F.lit(lo), F.lit(hi), 8).alias("q")
+    ).collect()
+    vals = [r.q for r in q]
+    assert vals[0] == 0 and vals[-1] == 255
+    assert len(set(vals)) >= 2, vals  # not collapsed
+    assert vals == sorted(vals)  # order preserved
+    # end-to-end: the write still produces a multi-code layout
+    dst = str(tmp_path / "wide")
+    write_zordered(df, dst, ["k", "v"], 2)
+    back = spark.read.parquet(dst)
+    assert back.count() == df.count()
 
 
 def test_zorder_on_timestamp_key(spark, tmp_path):

@@ -55,75 +55,6 @@ def test_orc_roundtrip(spark, tmp_path):
     assert got.exceptAll(df).count() == 0
 
 
-def _py_morton(x: int, y: int) -> int:
-    out = 0
-    for i in range(31):
-        out |= ((x >> i) & 1) << (2 * i)
-        out |= ((y >> i) & 1) << (2 * i + 1)
-    return out
-
-
-def test_zorder_key_matches_bitwise_reference(spark):
-    from pyspark.sql import functions as F
-
-    from map_reduce_library_spark.operators.maintenance import zorder_key
-
-    vals = [(0, 0), (1, 0), (0, 1), (1, 1), (12345, 54321),
-            (0x7FFFFFFF, 0x7FFFFFFF), (7, 2097151), (1048576, 3)]
-    df = spark.createDataFrame(vals, "x long, y long")
-    got = {
-        (r["x"], r["y"]): r["zk"]
-        for r in df.withColumn("zk", zorder_key("x", "y")).collect()
-    }
-    for x, y in vals:
-        assert got[(x, y)] == _py_morton(x, y), (x, y)
-
-
-def test_zorder_bounds_worst_case_across_query_dimensions(spark, tmp_path):
-    """A 1-D sort is perfect for predicates on its leading column and
-    degenerate (touches every file) for the other dimension; Z-order
-    keeps BOTH strip queries bounded.  Measured on a 128x128 grid in 16
-    files: x-strip z=6/liny=16, y-strip z=5/linx=16."""
-    from pyspark.sql import functions as F
-
-    from map_reduce_library_spark.operators.maintenance import (
-        cluster_by_zorder,
-    )
-
-    n, files, side = 1 << 14, 16, 1 << 7
-    df = spark.range(n).select(
-        (F.col("id") % side).alias("x"),
-        (F.col("id") / side).cast("long").alias("y"),
-    )
-    zpath = str(tmp_path / "zorder")
-    ypath = str(tmp_path / "lin_y")
-    cluster_by_zorder(df, "x", "y", zpath, files=files)
-    df.repartitionByRange(files, "y").sortWithinPartitions("y").write.mode(
-        "overwrite"
-    ).parquet(ypath)
-
-    def touched(path, cond):
-        return (
-            spark.read.parquet(path)
-            .where(cond)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .count()
-        )
-
-    x_strip, y_strip = F.col("x") < 8, F.col("y") < 8
-    # y-sorted layout: perfect on y, degenerate on x
-    assert touched(ypath, y_strip) <= 2
-    assert touched(ypath, x_strip) == files
-    # z-order: bounded on BOTH dimensions
-    assert touched(zpath, x_strip) <= files // 2
-    assert touched(zpath, y_strip) <= files // 2
-    # and near-perfect on an aligned 2-D box
-    assert touched(zpath, (F.col("x") < 16) & (F.col("y") < 16)) <= 2
-    # correctness: clustering is a pure re-layout
-    assert spark.read.parquet(zpath).count() == n
-
-
 def test_dynamic_partition_overwrite_touches_only_written_partitions(
     spark, tmp_path
 ):

@@ -120,6 +120,7 @@ def remove_repeated_spans(
     min_occurrences: int = SPAN_MIN_OCCURRENCES,
     min_span_tokens: int = SPAN_MIN_TOKENS,
     keep_first: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Substring dedup APPLIED: rewrite each document with every
     mined repeated span cut out. Returns
@@ -150,10 +151,18 @@ def remove_repeated_spans(
     and the cut itself is a JVM-side higher-order filter over the
     token array (positions covered by no interval survive) — zero
     Python, zero extra shuffle beyond the interval mining, and docs
-    with no repeated spans pass through the left join untouched."""
-    spans = repeated_span_intervals(
-        tok_df, n, min_occurrences, min_span_tokens
-    )
+    with no repeated spans pass through the left join untouched.
+
+    ``spans`` short-circuits the mining with a precomputed
+    ``repeated_span_intervals`` relation (the mine-once/cut-many
+    pattern — both cut policies and the interval report share ONE
+    mining pass via a session checkpoint, querydefs/spans.py::
+    shared_repeated_spans); the n/min_occurrences/min_span_tokens
+    knobs then belong to the caller that mined it."""
+    if spans is None:
+        spans = repeated_span_intervals(
+            tok_df, n, min_occurrences, min_span_tokens
+        )
     if keep_first:
         w = Window.partitionBy("sh").orderBy("doc_id", "span_start")
         spans = (

@@ -179,6 +179,29 @@ _SPAN_CTES = f"""
 """
 
 
+_SHARED_SPANS: dict = {}
+
+
+def shared_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined repeated-span intervals, checkpointed once per session:
+    the interval report and BOTH cut policies read the SAME mining
+    pass (gram explode + duplicate groupBy + island merge — the
+    expensive part) instead of re-running it per query. The
+    production shape: the span table is written once, every dedup
+    policy pass reads it."""
+    from map_reduce_library_spark.querydefs._shared import (
+        shared_checkpoint,
+    )
+    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
+
+    return shared_checkpoint(
+        _SHARED_SPANS,
+        spark,
+        sf_dir,
+        lambda: repeated_span_intervals(shared_doc_tokens(spark, sf_dir)),
+    )
+
+
 @register(
     "repeated_span_intervals",
     oracle=f"""
@@ -196,9 +219,7 @@ def repeated_span_intervals_q(
     (gaps-and-islands over duplicated gram start positions; the SCD2
     idiom applied to token offsets). Oracle rebuilds the identical
     intervals relationally from the same md5 gram hashes."""
-    from map_reduce_library_spark.querydefs.text import shared_doc_tokens
-
-    return repeated_span_intervals(shared_doc_tokens(spark, sf_dir))
+    return shared_repeated_spans(spark, sf_dir)
 
 
 @register(
@@ -238,10 +259,14 @@ def remove_repeated_spans_q(
     per-doc interval list — zero Python, no shuffle beyond the
     interval mining. Oracle re-derives the same intervals (shared CTE
     chain) and reconstructs clean text via NOT EXISTS + ordered
-    string_agg."""
+    string_agg. Reads the session-shared mined-interval checkpoint
+    (mine-once/cut-many)."""
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
-    return remove_repeated_spans(shared_doc_tokens(spark, sf_dir))
+    return remove_repeated_spans(
+        shared_doc_tokens(spark, sf_dir),
+        spans=shared_repeated_spans(spark, sf_dir),
+    )
 
 
 @register(
@@ -292,9 +317,12 @@ def remove_repeated_spans_keep_first_q(
     one small-relation window and nothing else. Oracle: same shared
     span CTE chain, plus the identical content-hash ranking (DuckDB
     array_slice is 1-based inclusive = Spark slice(start, length))
-    and the NOT EXISTS + ordered string_agg reconstruction."""
+    and the NOT EXISTS + ordered string_agg reconstruction. Reads the
+    session-shared mined-interval checkpoint (mine-once/cut-many)."""
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
     return remove_repeated_spans(
-        shared_doc_tokens(spark, sf_dir), keep_first=True
+        shared_doc_tokens(spark, sf_dir),
+        keep_first=True,
+        spans=shared_repeated_spans(spark, sf_dir),
     )

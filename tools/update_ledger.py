@@ -201,6 +201,13 @@ def main() -> None:
         return
     if args.round is None:
         ap.error("--round is required unless --invalidate is given")
+    if args.tag is None and args.file is None:
+        # A round fold without --file is by definition folding the
+        # driver's own CORRECTNESS_r{N}.json — stamp it as such so the
+        # driver-vs-local freshness tier in queries.py sees it
+        # (VERDICT r8 "What's wrong" §1: an untagged fold left zero
+        # driver-fresh entries and broke the rotation).
+        args.tag = "driver"
     ledger = update(args.round, args.source, args.file, args.tag)
     print(f"ledger: {len(ledger)} verified entries after round {args.round}")
 

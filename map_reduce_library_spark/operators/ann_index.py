@@ -1,0 +1,192 @@
+"""Persisted IVF-PQ index lifecycle: build → write → load → search →
+incremental append.
+
+``pq_encode``'s relation (m small-int codes per vector) is only an
+index once it OUTLIVES the session that fit it. This module gives the
+IVF-PQ family the same persisted-artifact discipline the text-LSH
+side already has (``streaming/emb_ingest.py`` writes its signature
+index to parquet; ``operators/maintenance.compact_index`` maintains
+it): the fitted index is four parquet tables under one directory,
+
+    <path>/centroids   (cell bigint, vc array<double>, nc double)
+    <path>/codebooks   (sub int, cell bigint, vc array<double>)
+    <path>/cells       (vec_id, cell)          -- home cell per vector
+    <path>/codes       (vec_id, sub, code)     -- PQ codes per vector
+
+and a fresh session serves top-k from those tables alone — the float
+corpus is touched only on the (bounded) query side. Appending new
+vectors follows the FAISS ``train``-then-``add`` discipline: encode
+against the FROZEN codebooks and assign against the FROZEN coarse
+centroids, append to ``cells``/``codes``, never re-fit (re-training
+would silently re-code the whole corpus; at 100 TB that is a rebuild,
+a deliberate operation, not an append). Because each vector's cell
+and codes depend only on the frozen artifacts, build(A)+append(B) is
+row-identical to build(A∪B, train=A) — the convergence contract
+``tests/test_ann_index.py`` pins.
+
+At 100 TB: ``cells``/``codes`` are id-and-small-int relations (the
+memory story of ``ivf_pq_topk``); write them partitioned/bucketed by
+``cell`` so a query's probed cells map to file-pruned reads.
+``centroids``/``codebooks`` are tiny (≤ n_centroids and m×codes rows)
+and broadcast at query time.
+
+Reference: the reference engine (IdoSagiv/map-reduce-library) has no
+vector ops — SURVEY.md §2D extension (VERDICT r8 next-round item 1).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.similarity import (
+    PQ_CODES,
+    PQ_ITERS,
+    PQ_M,
+    _ivf_pq_adc_topk,
+    _prep,
+    ivf_assign_cells,
+    pq_codebooks,
+    pq_encode,
+)
+
+
+class IvfPqIndex(NamedTuple):
+    """The four relations of a fitted IVF-PQ index (see module doc)."""
+
+    centroids: DataFrame
+    codebooks: DataFrame
+    cells: DataFrame
+    codes: DataFrame
+
+
+_PARTS = ("centroids", "codebooks", "cells", "codes")
+
+
+def seed_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic seed coarse quantizer — first ``n_centroids``
+    vectors by id, exactly the fallback ``ivf_assign_cells`` derives
+    internally, materialized as an explicit (cell, vc, nc) relation so
+    it can be WRITTEN (a persisted index must carry its own coarse
+    quantizer; deriving it from "the corpus" again in a later session
+    would silently drift once vectors are appended)."""
+    base = _prep(emb, id_col, vec_col)
+    return base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("cell"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    train: DataFrame | None = None,
+) -> IvfPqIndex:
+    """Fit the index over ``emb``: coarse centroids (``centroids`` if
+    given, else the deterministic seed), per-subspace PQ codebooks
+    Lloyd-fit on ``train`` (default: the whole corpus — pass a bounded
+    sample at scale; the fit cost must not grow with the corpus), then
+    one assignment + one encode pass over the full corpus."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(emb, n_centroids, id_col, vec_col)
+    )
+    cbs = pq_codebooks(
+        train if train is not None else emb,
+        dim, m, codes, iters, id_col=id_col, vec_col=vec_col,
+    )
+    cells = ivf_assign_cells(
+        emb, n_centroids, id_col, vec_col, n_probe=1, centroids=cents
+    ).select(id_col, "cell")
+    enc = pq_encode(emb, cbs, dim, m, id_col, vec_col)
+    return IvfPqIndex(cents, cbs, cells, enc)
+
+
+def write_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist all four relations under ``path``. ``overwrite`` on the
+    fitted artifacts (a re-write is a rebuild); the row tables write
+    ``overwrite`` too — appends go through ``append_ivf_pq_index``."""
+    for name, df in zip(_PARTS, index):
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Load a persisted index. Plain parquet reads — every query plan
+    built on top starts from a scan of the stored relations, never
+    from the float corpus."""
+    return IvfPqIndex(
+        *(spark.read.parquet(os.path.join(path, n)) for n in _PARTS)
+    )
+
+
+def append_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """FAISS-``add`` discipline: assign + encode ``new_emb`` against
+    the index's FROZEN centroids/codebooks and append to the row
+    tables. One broadcast-join pass over the new vectors only — the
+    existing corpus is never rescanned (the ``incremental_emb_pairs``
+    property, applied to the PQ index)."""
+    idx = read_ivf_pq_index(spark, path)
+    new_cells = ivf_assign_cells(
+        new_emb, 0, id_col, vec_col, n_probe=1, centroids=idx.centroids
+    ).select(id_col, "cell")
+    new_codes = pq_encode(new_emb, idx.codebooks, dim, m, id_col, vec_col)
+    new_cells.write.mode("append").parquet(os.path.join(path, "cells"))
+    new_codes.write.mode("append").parquet(os.path.join(path, "codes"))
+
+
+def ivf_pq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_probe: int = 1,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ADC top-k from a (persisted) index: the query vectors are
+    assigned to their ``n_probe`` nearest stored centroids (broadcast
+    join — the only place query floats appear), then scored against
+    the stored codes via the shared ``_ivf_pq_adc_topk`` core. Row-
+    identical to ``ivf_pq_topk`` when the index was built from the
+    same corpus with the same geometry (the persisted-vs-in-session
+    oracle equality ``ivf_pq_persisted_topk`` pins)."""
+    q_assigned = ivf_assign_cells(
+        queries, 0, id_col, vec_col, n_probe=n_probe,
+        centroids=index.centroids,
+    )
+    return _ivf_pq_adc_topk(
+        q_assigned,
+        index.cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        index.codebooks,
+        index.codes,
+        k,
+        dim,
+        m=m,
+        id_col=id_col,
+    )

@@ -804,10 +804,44 @@ def ivf_pq_topk(
     if encoded is None:
         encoded = pq_encode(emb, codebooks, dim, m, id_col, vec_col)
 
+    return _ivf_pq_adc_topk(
+        assigned.where(query_pred),
+        assigned.where(F.col("probe_rank") == 1).select(
+            F.col(id_col).alias("neighbor_id"), "cell"
+        ),
+        codebooks,
+        encoded,
+        k,
+        dim,
+        m=m,
+        id_col=id_col,
+    )
+
+
+def _ivf_pq_adc_topk(
+    q_assigned: DataFrame,
+    homed: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    k: int,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ADC scoring core shared by ``ivf_pq_topk`` (in-session
+    index relations) and ``ann_index.ivf_pq_search`` (persisted index
+    loaded from parquet). ``q_assigned`` is the QUERY-side
+    ``ivf_assign_cells`` relation (id, v, nrm, cell, probe_rank) with
+    n_probe rows per query; ``homed`` is the corpus home-cell relation
+    (neighbor_id, cell) — exactly what the persisted ``cells`` table
+    stores, so the index never needs the float vectors at query
+    time."""
+    from pyspark.sql.window import Window
+
     # NOTE: no float query vector here — the ADC path touches floats
     # only inside the LUT build (q1 below); keeping q code-and-norm
     # narrow preserves the memory story in the docstring.
-    q = assigned.where(query_pred).select(
+    q = q_assigned.select(
         F.col(id_col).alias("query_id"),
         F.col("nrm").alias("nq"),
         "cell",
@@ -818,13 +852,12 @@ def ivf_pq_topk(
     # of them would hold every (query, sub, code) entry n_probe
     # times — each scoring sum then double-counts and every cosine
     # inflates by sqrt(n_probe) (caught by the DuckDB differential).
-    q1 = assigned.where(query_pred).where(F.col("probe_rank") == 1)
+    q1 = q_assigned.where(F.col("probe_rank") == 1)
     qsv = pq_subvectors(
         q1,
         dim,
         m,
         id_col=id_col,
-        vec_col=vec_col,
         prepped=q1.select(id_col, "v"),
     ).select(F.col(id_col).alias("query_id"), "sub", "sv")
     lut = (
@@ -838,9 +871,6 @@ def ivf_pq_topk(
     )
     cnorm2 = codebooks.select(
         "sub", F.col("cell").alias("code"), F.expr(_dot("vc", "vc")).alias("cn2")
-    )
-    homed = assigned.where(F.col("probe_rank") == 1).select(
-        F.col(id_col).alias("neighbor_id"), "cell"
     )
     cand = (
         q.select("query_id", "nq", "cell")

@@ -631,12 +631,17 @@ def shared_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_lloyd_ctes(iters: int = PQ_ITERS) -> str:
+def _pq_lloyd_ctes(iters: int = PQ_ITERS, train_max: int | None = None) -> str:
     """Grouped per-subspace Lloyd as chained CTEs — the DuckDB twin of
     ``operators.similarity.pq_codebooks``. The ARGMIN distance is the
     un-rounded fold identity (|a|^2+|b|^2-2ab, the same expression
     text both engines evaluate as left folds); per-iteration means
-    round to 6 decimals exactly like the Spark side."""
+    round to 6 decimals exactly like the Spark side. ``train_max``
+    restricts the Lloyd iterations to vec_id < train_max (the
+    ``build_ivf_pq_index(train=...)`` twin — codebooks fit on the
+    initial corpus only, later vectors encoded frozen); the seed
+    codebook (vec_id < PQ_CODES) is inside any sane train set."""
+    train = f"WHERE sv.vec_id < {train_max}" if train_max is not None else ""
     parts = [
         f"""sv AS (
       SELECT e.vec_id, s.sub,
@@ -657,7 +662,7 @@ def _pq_lloyd_ctes(iters: int = PQ_ITERS) -> str:
                            + list_dot_product(c.vc, c.vc))
                           - 2 * list_dot_product(sv.sv, c.vc) ASC,
                           c.cell) AS rn
-        FROM sv JOIN {prev} c ON sv.sub = c.sub) WHERE rn = 1
+        FROM sv JOIN {prev} c ON sv.sub = c.sub {train}) WHERE rn = 1
     ),
     pm{it} AS (
       SELECT sub, cell, i, round(avg(sv[i]), 6) AS mval
@@ -671,7 +676,7 @@ def _pq_lloyd_ctes(iters: int = PQ_ITERS) -> str:
     return ",".join(parts)
 
 
-def _ivf_pq_oracle(limit: int = TOPK) -> str:
+def _ivf_pq_oracle(limit: int = TOPK, train_max: int | None = None) -> str:
     cb = f"pq{PQ_ITERS}"
     return f"""
     WITH e AS (
@@ -680,7 +685,7 @@ def _ivf_pq_oracle(limit: int = TOPK) -> str:
       FROM embeddings
       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
-    {_pq_lloyd_ctes()},
+    {_pq_lloyd_ctes(train_max=train_max)},
     codesq AS (
       SELECT vec_id, sub, cell AS code FROM (
         SELECT sv.vec_id, sv.sub, c.cell,
@@ -841,6 +846,96 @@ def ivf_pq_rerank_recall_at_k(
         TOPK,
     )
     return _recall_df(exact, ivf_pq_rerank_topk_q(spark, sf_dir))
+
+
+# ---- persisted IVF-PQ index lifecycle (VERDICT r8 item 1) -------------------
+
+# Codebook train cutoff for the incremental query: the first half of
+# the smallest embeddings table (500 rows at sf0.001/sf0.01) — the
+# "initial corpus" the index is fit on before later vectors arrive.
+PQ_TRAIN_MAX = 250
+
+
+@register("ivf_pq_persisted_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED index: build → write the four
+    index tables (centroids/codebooks/cells/codes) to parquet → load
+    them back → ADC top-k from the stored relations only. Oracle is
+    byte-identical to ``ivf_pq_topk``'s — the persisted artifact must
+    reproduce the in-session answer exactly (the round-trip is the
+    thing under test; ``tests/test_ann_index.py`` additionally proves
+    a FRESH session serves the same answer). Scratch dir removed after
+    materializing (the foreach_batch_event_counts discipline)."""
+    import shutil
+    import tempfile
+
+    from map_reduce_library_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="mrls_ivfpq_")
+    try:
+        write_ivf_pq_index(
+            build_ivf_pq_index(emb, EMB_DIM, n_centroids=N_CENTROIDS), base
+        )
+        return ivf_pq_search(
+            read_ivf_pq_index(spark, base),
+            emb.where(F.col("vec_id") < N_QUERIES),
+            TOPK,
+            EMB_DIM,
+            n_probe=N_PROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "ivf_pq_incremental_topk",
+    oracle=_ivf_pq_oracle(train_max=PQ_TRAIN_MAX),
+)
+def ivf_pq_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth, the FAISS train-then-add discipline:
+    the index is fit on the first {PQ_TRAIN_MAX} vectors, written,
+    then the REST of the corpus is appended by encoding against the
+    FROZEN codebooks and assigning against the FROZEN centroids — the
+    existing corpus is never rescanned and the fit never reruns. The
+    oracle fits the Lloyd codebooks on the same train slice and
+    encodes everything with them, so hash-green here proves
+    append == batch-build-with-frozen-train exactly."""
+    import shutil
+    import tempfile
+
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.where(F.col("vec_id") < PQ_TRAIN_MAX)
+    arriving = emb.where(F.col("vec_id") >= PQ_TRAIN_MAX)
+    base = tempfile.mkdtemp(prefix="mrls_ivfpq_inc_")
+    try:
+        write_ivf_pq_index(
+            build_ivf_pq_index(initial, EMB_DIM, n_centroids=N_CENTROIDS),
+            base,
+        )
+        append_ivf_pq_index(spark, base, arriving, EMB_DIM)
+        return ivf_pq_search(
+            read_ivf_pq_index(spark, base),
+            emb.where(F.col("vec_id") < N_QUERIES),
+            TOPK,
+            EMB_DIM,
+            n_probe=N_PROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ---- SemDeDup: clustered semantic deduplication ----------------------------

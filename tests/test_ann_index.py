@@ -1,0 +1,128 @@
+"""Persisted IVF-PQ index lifecycle (operators/ann_index.py):
+round-trip identity, fresh-session restart survival, incremental
+append convergence, and the registered queries' oracle differentials
+(VERDICT r8 next-round item 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_library_spark.operators.ann_index import (
+    append_ivf_pq_index,
+    build_ivf_pq_index,
+    ivf_pq_search,
+    read_ivf_pq_index,
+    write_ivf_pq_index,
+)
+from map_reduce_library_spark.operators.similarity import ivf_pq_topk
+from map_reduce_library_spark.tables import load_table
+
+from conftest import SF_SMOKE, assert_oracle_match
+
+DIM = 64
+K = 5
+N_Q = 20
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_persisted_index_reproduces_in_session_topk(spark, emb, tmp_path):
+    """write → read → search must be row-identical to the in-session
+    ivf_pq_topk with the same geometry (same seed centroids, same
+    codebooks, same probe width)."""
+    expected = _rows(
+        ivf_pq_topk(
+            emb, F.col("vec_id") < N_Q, K, dim=DIM,
+            n_centroids=16, n_probe=2,
+        )
+    )
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    got = _rows(
+        ivf_pq_search(
+            read_ivf_pq_index(spark, path),
+            emb.where(F.col("vec_id") < N_Q),
+            K, DIM, n_probe=2,
+        )
+    )
+    assert got == expected and len(got) == N_Q * K
+
+
+def test_index_survives_session_restart(spark, emb, tmp_path):
+    """The restart-survival contract: a DIFFERENT session (fresh
+    SparkSession state, fresh catalog — ``newSession`` shares only the
+    SparkContext) serves the same top-k from the parquet artifacts,
+    with no access to the builder session's checkpoints or the
+    original float corpus relation."""
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    expected = _rows(
+        ivf_pq_search(
+            read_ivf_pq_index(spark, path),
+            emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2,
+        )
+    )
+
+    fresh = spark.newSession()
+    emb2 = load_table(fresh, SF_SMOKE, "embeddings")
+    got = _rows(
+        ivf_pq_search(
+            read_ivf_pq_index(fresh, path),
+            emb2.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2,
+        )
+    )
+    assert got == expected
+
+
+def test_append_converges_with_frozen_train_batch_build(spark, emb, tmp_path):
+    """FAISS add-discipline convergence: build(A) + append(B) serves
+    exactly what build(A∪B, train=A) serves — cell assignment and PQ
+    codes depend only on the frozen centroids/codebooks, so arrival
+    order cannot change any answer."""
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    p1 = str(tmp_path / "inc")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), p1)
+    append_ivf_pq_index(spark, p1, b, DIM)
+    p2 = str(tmp_path / "batch")
+    write_ivf_pq_index(
+        build_ivf_pq_index(emb, DIM, n_centroids=16, train=a), p2
+    )
+    q = emb.where(F.col("vec_id") < N_Q)
+    r1 = _rows(ivf_pq_search(read_ivf_pq_index(spark, p1), q, K, DIM, n_probe=2))
+    r2 = _rows(ivf_pq_search(read_ivf_pq_index(spark, p2), q, K, DIM, n_probe=2))
+    assert r1 == r2 and len(r1) == N_Q * K
+
+
+def test_append_never_rescans_existing_rows(spark, emb, tmp_path):
+    """The append pass reads ONLY the new vectors plus the two tiny
+    fitted artifacts: after append, the cells table holds exactly
+    old∪new rows and the pre-existing rows are byte-identical (no
+    re-assignment, no re-encode of the old corpus)."""
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    before = _rows(read_ivf_pq_index(spark, path).cells)
+    append_ivf_pq_index(spark, path, b, DIM)
+    after = read_ivf_pq_index(spark, path)
+    old_rows = _rows(after.cells.where(F.col("vec_id") < 250))
+    assert old_rows == before
+    assert after.cells.count() == emb.count()
+    assert after.codes.count() == emb.count() * 4  # PQ_M subspaces
+
+
+def test_persisted_query_matches_oracle(spark):
+    assert_oracle_match(spark, "ivf_pq_persisted_topk")
+
+
+def test_incremental_query_matches_oracle(spark):
+    assert_oracle_match(spark, "ivf_pq_incremental_topk")

@@ -239,6 +239,60 @@ def test_red_round_evicts_earlier_green():
     assert ledger["synthetic_q"]["round"] == 5
 
 
+def test_local_fold_never_downgrades_fresh_driver_provenance():
+    """Round-9 rule: a LOCAL fold over a driver-tagged entry whose
+    hashes are unchanged keeps the driver entry (source AND round) —
+    the driver's green still covers the current source, and the
+    driver-vs-local freshness tier must not lose it. When the source
+    HAS changed (different fn hash), the local green takes over."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.update_ledger import merge_round
+    finally:
+        sys.path.pop(0)
+
+    def fake_query(spark, sf_dir):  # pragma: no cover - hashed only
+        return None
+
+    queries = {"synthetic_q": fake_query}
+    oracles = {"synthetic_q": "SELECT 1 AS one"}
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+
+    ledger: dict = {}
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 8,
+                tag="driver")
+    assert ledger["synthetic_q"]["source"] == "driver"
+
+    # same source -> local fold is a no-op on the entry
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 9,
+                tag="local")
+    assert ledger["synthetic_q"]["source"] == "driver"
+    assert ledger["synthetic_q"]["round"] == 8
+
+    # changed source (simulate by mutating the stored fn hash) ->
+    # local green must take over
+    ledger["synthetic_q"]["fn_md5"] = "stale"
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 9,
+                tag="local")
+    assert ledger["synthetic_q"]["source"] == "local"
+    assert ledger["synthetic_q"]["round"] == 9
+
+    # and a DRIVER fold always overwrites (fresh driver evidence)
+    merge_round(ledger, {"synthetic_q": green}, queries, oracles, 10,
+                tag="driver")
+    assert ledger["synthetic_q"]["source"] == "driver"
+    assert ledger["synthetic_q"]["round"] == 10
+
+
 def test_operator_rewrite_demotes_dependents():
     """deps_md5 staleness (ADVICE r4 medium): a ledger entry whose
     recorded deps_md5 no longer matches the current operator-module

@@ -145,6 +145,24 @@ def merge_round(
                 entry["deps_md5"] = deps_fn(queries[name])
             if tag is not None:
                 entry["source"] = tag
+            # A LOCAL fold must never downgrade driver provenance when
+            # the evidence target is identical: if the existing entry
+            # is driver-tagged and every hash matches the new entry,
+            # the driver's green still covers the current source —
+            # keep it (source AND round), or the driver-vs-local
+            # freshness tier in queries.py loses the distinction the
+            # instant a full local differential runs (round 9).
+            prev = ledger.get(name)
+            if (
+                tag == "local"
+                and isinstance(prev, dict)
+                and prev.get("source") == "driver"
+                and all(
+                    prev.get(k) == entry.get(k)
+                    for k in ("oracle_md5", "fn_md5", "deps_md5")
+                )
+            ):
+                continue
             ledger[name] = entry
         else:
             ledger.pop(name, None)

@@ -43,6 +43,56 @@ def test_lsh_recall_of_high_jaccard_pairs(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_clusters_wide", "dedup_keep_best_wide"]
+)
+def test_wide_graph_family_oracle(spark, name):
+    """The dedup-graph family at the PRODUCTION K=128 / 16×8 geometry
+    (VERDICT r8 item 2) matches its recursive-CTE oracle."""
+    assert_oracle_match(spark, name)
+
+
+def test_wide_graph_keeps_high_jaccard_dups_and_differs_from_narrow(spark):
+    """Two properties of the wide candidate graph: (a) planted
+    near-dups (Jaccard ≥ 0.9; per-band collision 0.9⁸ ≈ 0.43, miss
+    all 16 bands ≈ 1.2e-4) are still co-clustered — the precision
+    gain of the 16×8 knee costs essentially no true-dup recall; (b)
+    the wide cluster assignment genuinely differs from the K=12 demo
+    graph's (otherwise the geometry knob changes nothing and the
+    query is padding)."""
+    from map_reduce_library_spark.queries import QUERIES
+
+    wide = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_clusters_wide"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    narrow = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_clusters"](spark, SF_CORRECTNESS).collect()
+    }
+    assert wide != narrow, "wide geometry must change the cluster graph"
+
+    true_dups = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["ngram_jaccard_pairs"](
+            spark, SF_CORRECTNESS
+        ).collect()
+        if r.jaccard >= 0.9
+    ]
+    assert true_dups, "corpus should contain planted near-dups"
+    clustered = dict(wide)
+    split = [
+        (a, b)
+        for a, b in true_dups
+        if clustered.get(a) != clustered.get(b) or clustered.get(a) is None
+    ]
+    assert len(split) <= max(1, len(true_dups) // 10), (
+        f"wide graph split too many true near-dup pairs: {split}"
+    )
+
+
 def test_simhash_near_dups_have_close_fingerprints(spark):
     """Near-identical docs should differ in few SimHash bits (60-bit
     bigint fingerprints; hamming = popcount of xor)."""

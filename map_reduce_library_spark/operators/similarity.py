@@ -1042,6 +1042,194 @@ def semdedup_removals(
     )
 
 
+def semdedup_removals_centroid_far(
+    emb: DataFrame,
+    tau: float,
+    centroids: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup with the PAPER-EXACT keeper policy (Abbas et al. 2023
+    §3: within each duplicate group "we keep the example with the
+    lowest cosine similarity to the cluster centroid" — the farthest
+    copy, on the argument that it carries the most information the
+    centroid doesn't already represent). ``semdedup_removals`` keeps
+    min-id instead; pair discovery is identical, only the keeper
+    ranking differs (VERDICT r8 item 5).
+
+    Formulation: rank each cluster's members farthest-from-centroid
+    first (cosine-to-centroid ASC, ties to the lower id — the same
+    deterministic-fold cosine both engines evaluate), then remove a
+    vector iff some HIGHER-RANKED member is a >= ``tau`` duplicate of
+    it. In a duplicate chain the survivor is therefore the group's
+    farthest-from-centroid copy, exactly as keeping min-id makes it
+    the lowest-id copy — the two policies are the same ordered-pairs
+    shape under different total orders, so cost and plan are
+    identical: the ranking window runs over the (already-blocked)
+    cluster members, and the within-cluster pair join is unchanged.
+
+    ``centroids`` is REQUIRED (cell, vc, nc): the policy is defined
+    by distance to the fitted centroid, so the caller must supply the
+    same codebook the assignment used (``kmeans_centroids`` /
+    ``shared_kmeans_centroids``). Returns (vec_id, cell, dup_of,
+    cos_sim) like the sibling; ``dup_of`` is the best evictor
+    (highest cosine, ties to the lower id), evidence not necessarily
+    a survivor (see ``semdedup_removals``)."""
+    from pyspark.sql.window import Window
+
+    if assigned is None:
+        assigned = ivf_assign_cells(
+            emb, n_centroids, id_col, vec_col, n_probe=1,
+            centroids=centroids,
+        ).localCheckpoint(eager=True)
+    homed = assigned.where(F.col("probe_rank") == 1)
+    wr = Window.partitionBy("cell").orderBy(
+        F.col("cos_cent").asc(), F.col(id_col)
+    )
+    ranked = (
+        homed.join(F.broadcast(centroids), "cell")
+        .withColumn(
+            "cos_cent",
+            F.expr(_dot("v", "vc")) / (F.col("nrm") * F.col("nc")),
+        )
+        .withColumn("r", F.row_number().over(wr))
+    )
+    keep = ranked.select(
+        F.col(id_col).alias("keep_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+        F.col("r").alias("ra"),
+    )
+    cand = ranked.select(
+        F.col(id_col).alias("rm_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+        F.col("r").alias("rb"),
+    )
+    pairs = (
+        cand.join(keep, "cell")
+        .where(F.col("ra") < F.col("rb"))
+        .withColumn(
+            "cos_sim", F.expr(_dot("vb", "va")) / (F.col("nb") * F.col("na"))
+        )
+        .where(F.col("cos_sim") >= tau)
+    )
+    w2 = Window.partitionBy("rm_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rm_id").alias(id_col),
+            "cell",
+            F.col("keep_id").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+
+
+def incremental_semdedup_pairs(
+    index_members: DataFrame,
+    incoming: DataFrame,
+    tau: float,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    incoming_members: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time SemDeDup: probe a NEW batch of embeddings against
+    the persisted per-cluster member index — the ``incremental_emb_
+    pairs`` discipline applied to learned-cluster blocking instead of
+    hyperplane buckets (VERDICT r8 item 7). The corpus is never
+    rescanned: per tick, work is |batch| broadcast-assigned to its
+    home cells (FROZEN centroids — the fit is the index's train step,
+    never re-run on ingest) + one equi-join of the batch's members
+    against same-cell index rows + the in-batch within-cell
+    self-join.
+
+    ``index_members``: the persisted index relation (vec_id, v, nrm,
+    cell) — home-cell assignment WITH vector and norm, because probe-
+    time exact cosine needs them (same reasoning as the LSH signature
+    index storing v+nrm). At 100 TB: one parquet table partitioned by
+    ``cell``, appended per tick, compacted by ``compact_index``.
+
+    Returns (keep_id, rm_id, cell, cos_sim) — ``semdedup_pairs``'s
+    exact schema and semantics (ordered pairs keep_id < rm_id, cosine
+    >= tau), so the convergence contract is directly testable: the
+    union of every tick's output over ANY batch partitioning equals
+    the batch ``semdedup_pairs`` over the full corpus (each pair is
+    emitted exactly at its later-arriving side's tick; cell
+    assignment depends only on the frozen centroids). Pinned by
+    tests/test_semdedup_ingest.py.
+
+    ``incoming_members``: pass the batch's precomputed (ideally
+    checkpointed) assignment so the probe, the in-batch self-join,
+    and the caller's index append share ONE assignment pass."""
+    new = (
+        incoming_members
+        if incoming_members is not None
+        else ivf_assign_cells(
+            incoming, 0, id_col, vec_col, n_probe=1, centroids=centroids
+        )
+        .where(F.col("probe_rank") == 1)
+        .select(id_col, "v", "nrm", "cell")
+    )
+    a = index_members.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = new.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    vs_index = (
+        a.join(b, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos_sim") >= tau)
+        .select(
+            F.least("id_a", "id_b").alias("keep_id"),
+            F.greatest("id_a", "id_b").alias("rm_id"),
+            "cell",
+            "cos_sim",
+        )
+    )
+    b2 = b.select(
+        F.col("id_b").alias("id_a"),
+        F.col("vb").alias("va"),
+        F.col("nb").alias("na"),
+        "cell",
+    )
+    in_batch = (
+        b2.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.expr(_dot("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos_sim") >= tau)
+        .select(
+            F.col("id_a").alias("keep_id"),
+            F.col("id_b").alias("rm_id"),
+            "cell",
+            "cos_sim",
+        )
+    )
+    return vs_index.unionByName(in_batch).dropDuplicates(
+        ["keep_id", "rm_id"]
+    )
+
+
 def semdedup_pairs(
     assigned: DataFrame, tau: float, id_col: str = "vec_id"
 ) -> DataFrame:

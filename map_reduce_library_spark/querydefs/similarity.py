@@ -1003,3 +1003,75 @@ def semdedup_removals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
         ),
     )
+
+
+def _semdedup_centroid_far_oracle() -> str:
+    cN = f"c{KMEANS_ITERS}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    {_kmeans_cents_ctes()},
+    homed AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.vc) / (e.nrm * c.nc)
+                          DESC, c.cell) AS rn
+        FROM e CROSS JOIN {cN} c) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT h.vec_id, h.v, h.nrm, h.cell,
+             ROW_NUMBER() OVER (PARTITION BY h.cell
+               ORDER BY list_dot_product(h.v, c.vc) / (h.nrm * c.nc) ASC,
+                        h.vec_id) AS r
+      FROM homed h JOIN {cN} c ON h.cell = c.cell
+    ),
+    pairs AS (
+      SELECT b.vec_id, b.cell, a.vec_id AS keep_id,
+             list_dot_product(b.v, a.v) / (b.nrm * a.nrm) AS cos_sim
+      FROM ranked b JOIN ranked a
+        ON a.cell = b.cell AND a.r < b.r
+      WHERE list_dot_product(b.v, a.v) / (b.nrm * a.nrm)
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT vec_id, cell, keep_id AS dup_of, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cos_sim DESC, keep_id) AS rn
+      FROM pairs) WHERE rn = 1
+    """
+
+
+@register(
+    "semdedup_removals_centroid_far",
+    oracle=_semdedup_centroid_far_oracle(),
+)
+def semdedup_removals_centroid_far_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with the PAPER-EXACT keeper (Abbas et al. 2023 §3:
+    keep the duplicate-group member with the LOWEST cosine to its
+    cluster centroid — the copy carrying the most information the
+    centroid doesn't already represent). Same fitted codebook, same
+    assignment checkpoint, same pair discovery as
+    ``semdedup_removals``; only the keeper total order differs
+    (centroid-distance rank instead of id), so the bench delta is the
+    one extra broadcast join + ranking window over already-blocked
+    cluster members (VERDICT r8 item 5)."""
+    from map_reduce_library_spark.operators.similarity import (
+        semdedup_removals_centroid_far,
+    )
+
+    return semdedup_removals_centroid_far(
+        load_table(spark, sf_dir, "embeddings"),
+        SEMDEDUP_TAU,
+        centroids=shared_kmeans_centroids(spark, sf_dir),
+        n_centroids=N_CENTROIDS,
+        assigned=shared_ivf_assigned(
+            spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
+        ),
+    )

@@ -222,6 +222,54 @@ def test_semdedup_removals_oracle(spark):
     assert_oracle_match(spark, "semdedup_removals")
 
 
+def test_semdedup_centroid_far_oracle(spark):
+    assert_oracle_match(spark, "semdedup_removals_centroid_far")
+
+
+def test_semdedup_centroid_far_keeper_policy(spark):
+    """The paper-exact keeper, pinned on planted vectors: in a
+    duplicate group the FARTHEST-from-centroid copy survives (Abbas
+    et al. §3), unlike the min-id sibling. Cluster seeded at +x
+    (vec 0); vecs 0/2/3 are mutual near-dups; vec 3 is tilted
+    farthest from the fitted centroid, so it must be the survivor —
+    under min-id the survivor is 0."""
+    from map_reduce_library_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_removals,
+        semdedup_removals_centroid_far,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.05, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.97, 0.0, 0.26, 0.0]),   # same dup group, most tilted
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.05, 0.8, 0.6, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = kmeans_centroids(emb, 2).localCheckpoint(eager=True)
+    far = {
+        r.vec_id: r.dup_of
+        for r in semdedup_removals_centroid_far(
+            emb, 0.95, centroids=cents, n_centroids=2
+        ).collect()
+    }
+    minid = {
+        r.vec_id: r.dup_of
+        for r in semdedup_removals(
+            emb, 0.95, n_centroids=2, centroids=cents
+        ).collect()
+    }
+    # min-id keeps 0; paper policy keeps 3 (farthest from centroid)
+    assert set(minid) == {2, 3}, minid
+    assert set(far) == {0, 2}, far
+    # dup_of is chain evidence (highest-cosine higher-ranked member,
+    # itself possibly removed); following the chain ends at keeper 3
+    assert far[2] == 3 and far[0] in (2, 3), far
+
+
 def test_semdedup_pair_recall_beats_hyperplane_lsh(spark):
     """The SemDeDup claim MEASURED (same discipline as
     emb_dedup_recall for the LSH path): at the same tau, within-

@@ -46,7 +46,34 @@ BLOOM_M_BITS = 1 << 17
 BLOOM_K = 5
 
 
-def bloom_positions(key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[Column]:
+def canonical_bloom_key(df: DataFrame, key: str) -> Column:
+    """The dtype-aware canonical form ``df[key]`` is hashed through:
+    every NUMERIC key routes through double before the string cast,
+    so any numeric build/probe mix a plain equi-join would match via
+    its implicit cast-to-double — int vs bigint, AND int vs
+    fractional (5 vs 5.0, which the bare string cast rendered '5' vs
+    '5.0' and silently false-negatived; ADVICE r9) — hashes
+    identically on both sides. Consistent double routing cannot
+    create false negatives: a true-matching pair collapses to the
+    same double on both sides, so its bits always agree; distinct
+    keys collapsing together only add false positives, which a Bloom
+    filter tolerates by design. Non-numeric keys keep the plain
+    string cast (a numeric-vs-string mix still needs the caller to
+    pre-cast, exactly as the join itself would)."""
+    from pyspark.sql.types import NumericType
+
+    c = F.col(key)
+    if isinstance(df.schema[key].dataType, NumericType):
+        return c.cast("double").cast("string")
+    return c.cast("string")
+
+
+def bloom_positions(
+    key: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    canonical: bool = False,
+) -> list[Column]:
     """The k bit positions of ``key``: pmod(xxhash64(key, i), m).
 
     The key is hashed through a CANONICAL string cast: xxhash64 hashes
@@ -55,10 +82,11 @@ def bloom_positions(key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -
     exactly the pair a plain equi-join would implicitly cast and
     match) would otherwise prune 100% of true matches, a silent
     false-negative wipeout of the 'no false negatives' contract
-    (code-review r8, verified). String canonicalization makes every
-    integral width agree; fractional types should be cast to a common
-    type by the caller, as they would be for the join itself."""
-    kc = key.cast("string")
+    (code-review r8, verified). ``canonical=True`` marks ``key`` as
+    already in canonical form (``canonical_bloom_key``, which also
+    unifies int-vs-fractional); the build/prune entry points always
+    pass that — a bare Column here can't introspect its dtype."""
+    kc = key if canonical else key.cast("string")
     return [
         F.pmod(F.xxhash64(kc, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
@@ -106,7 +134,11 @@ def bloom_build(
     false positives.
     """
     _check_m_bits(m_bits)
-    pos = F.array(*bloom_positions(F.col(key), m_bits, k))
+    pos = F.array(
+        *bloom_positions(
+            canonical_bloom_key(df, key), m_bits, k, canonical=True
+        )
+    )
     words = (
         df.where(F.col(key).isNotNull())
         .select(F.explode(pos).alias("p"))
@@ -136,13 +168,16 @@ def bloom_might_contain(
     key: Column,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    canonical: bool = False,
 ) -> Column:
     """True iff all k bit positions of ``key`` are set (no false
     negatives; false positives at the designed FPR). The dense word
     array is indexed O(1) per position (1-based ``element_at``); an
-    all-zero (empty-build) array rejects everything."""
+    all-zero (empty-build) array rejects everything. Pass the
+    ``canonical_bloom_key`` form with ``canonical=True`` when probing
+    a filter built by ``bloom_build`` (``bloom_prune`` does)."""
     cond = F.lit(True)
-    for p in bloom_positions(key, m_bits, k):
+    for p in bloom_positions(key, m_bits, k, canonical=canonical):
         word = F.shiftright(p, 6).cast("int")
         mask = _bit_mask(p)
         bits = F.element_at(bloom, word + F.lit(1))
@@ -177,7 +212,15 @@ def bloom_prune(
         probe.crossJoin(
             F.broadcast(bloom_row.select(F.col("bloom").alias(tmp)))
         )
-        .where(bloom_might_contain(F.col(tmp), F.col(key), m_bits, k))
+        .where(
+            bloom_might_contain(
+                F.col(tmp),
+                canonical_bloom_key(probe, key),
+                m_bits,
+                k,
+                canonical=True,
+            )
+        )
         .drop(tmp)
     )
     return pruned

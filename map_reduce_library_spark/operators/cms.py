@@ -75,21 +75,42 @@ def _cells(item_col: str, d: int, w: int):
 def cms_build(
     df: DataFrame, item_col: str, d: int = CMS_D, w: int = CMS_W
 ) -> DataFrame:
-    """Sparse sketch relation [j, bucket, cnt] over the occurrences of
-    ``df[item_col]`` (one increment per row; NULL items dropped — see
-    module docstring). At most d*w rows ever exist; the (j, bucket)
-    key domain is tiny, so map-side partial aggregation collapses the
-    shuffle to ~d*w rows per task regardless of input size. Merge two
-    sketches by unioning and summing cnt per (j, bucket). Probe with
-    the SAME (d, w) geometry via ``cms_lookup``."""
+    """Sparse sketch relation [j, bucket, cnt, d, w] over the
+    occurrences of ``df[item_col]`` (one increment per row; NULL items
+    dropped — see module docstring). At most d*w rows ever exist; the
+    (j, bucket) key domain is tiny, so map-side partial aggregation
+    collapses the shuffle to ~d*w rows per task regardless of input
+    size. The trailing ``d``/``w`` literals are the sketch's OWN
+    geometry record (ADVICE r9: a sketch built at one geometry and
+    probed at another silently violated the est >= exact contract —
+    the relation now carries the facts ``cms_lookup`` validates
+    against). Merge sketches with ``cms_merge``; probe via
+    ``cms_lookup``."""
     cells = (
         df.where(F.col(item_col).isNotNull())
         .select(_cells(item_col, d, w))
         .select("cell.j", "cell.bucket")
     )
-    return cells.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        cells.groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("d", F.lit(d))
+        .withColumn("w", F.lit(w))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches — the mergeability that lets per-
+    shard/per-day sketches roll up without raw data. Geometry columns
+    ride through the union: a mixed-geometry merge leaves >1 distinct
+    (d, w) in the result, which the next ``cms_lookup`` rejects loudly
+    (cell-wise addition across different geometries is meaningless)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket", "d", "w").agg(
+        F.sum("cnt").alias("cnt")
+    ).select("j", "bucket", "cnt", "d", "w")
 
 
 def cms_lookup(
@@ -103,13 +124,54 @@ def cms_lookup(
     d cells each item hashes to (absent cell -> 0; NULL items -> 0,
     they are never encoded). ``(d, w)`` must match the geometry the
     sketch was built with — w used to be silently pinned to CMS_W
-    here, making non-default sketches unprobeable (code-review r8).
+    here, making non-default sketches unprobeable (code-review r8),
+    and a build/probe geometry MISMATCH used to return silently wrong
+    estimates that can violate the est >= exact one-sided contract
+    (ADVICE r9). The sketch now carries its (d, w); the probe attaches
+    the sketch's distinct geometry row by a broadcast equi-join on a
+    constant key (no eager driver action — the r8 TF-IDF lesson: a
+    plan-time first()/count() would re-run the sketch build pipeline)
+    and folds an ``assert_true`` into the estimate expression, so any
+    mismatch fails the JOB with a clear message instead of returning
+    wrong numbers. A legacy sketch without geometry columns is
+    probed un-validated (documented hazard, unchanged behavior).
+
     The sketch is at most d*w rows — broadcast it; the lookup is then
     a scan-side broadcast join however many items are probed."""
     probes = items.select(item_col, _cells(item_col, d, w)).select(
         item_col, "cell.j", "cell.bucket"
     )
+    est = F.coalesce(F.col("cnt"), F.lit(0))
+    if "d" in cms.columns and "w" in cms.columns:
+        geo = (
+            cms.select(
+                F.col("d").alias("_geo_d"), F.col("w").alias("_geo_w")
+            )
+            .distinct()
+            .withColumn("_geo_k", F.lit(1))
+        )
+        probes = probes.withColumn("_geo_k", F.lit(1)).join(
+            F.broadcast(geo), "_geo_k", "left"
+        )
+        geo_ok = F.col("_geo_d").isNull() | (
+            (F.col("_geo_d") == F.lit(d)) & (F.col("_geo_w") == F.lit(w))
+        )
+        # assert_true returns NULL on success and raises otherwise;
+        # folding it into est_n keeps it un-prunable by the optimizer
+        # (a freestanding projected-away guard column would be
+        # optimized out before it could ever fire).
+        est = est + F.coalesce(
+            F.assert_true(
+                geo_ok,
+                F.concat(
+                    F.lit("cms_lookup geometry mismatch: sketch built "
+                          "with (d, w) = ("),
+                    F.col("_geo_d"), F.lit(", "), F.col("_geo_w"),
+                    F.lit(f"), probed with ({d}, {w})"),
+                ),
+            ).cast("bigint"),
+            F.lit(0),
+        )
+        cms = cms.drop("d", "w")
     joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left")
-    return joined.groupBy(item_col).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n")
-    )
+    return joined.groupBy(item_col).agg(F.min(est).alias("est_n"))

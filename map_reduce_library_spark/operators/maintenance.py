@@ -251,12 +251,30 @@ def compact_index(
     # inherited duplicates that the new in-dir check never sees. Tmp
     # contents were never part of index_dir (the protocol renames out
     # of tmp, and a pre-rename crash leaves sources intact), so the
-    # orphan is safe to delete outright; the duplicate repair is the
-    # same forced full pass.
+    # orphan is safe to delete; the duplicate repair is the same
+    # forced full pass. BUT the sibling path is outside the directory
+    # this library owns, and could coincidentally hold unrelated user
+    # data — delete only when every entry looks like Spark write
+    # residue (part-* data files, _SUCCESS/_started markers, .hidden
+    # checksums), and raise otherwise instead of destroying it
+    # (ADVICE r9).
     legacy_jpath = jvm.org.apache.hadoop.fs.Path(
         index_dir.rstrip("/") + "__compact_tmp"
     )
     if fs.exists(legacy_jpath):
+        foreign = [
+            st.getPath().getName()
+            for st in fs.listStatus(legacy_jpath)
+            if st.isDirectory()
+            or not st.getPath().getName().startswith(("part-", "_", "."))
+        ]
+        if foreign:
+            raise ValueError(
+                f"{index_dir.rstrip('/')}__compact_tmp exists but does "
+                f"not look like compaction residue (unexpected entries "
+                f"{foreign[:5]!r}); refusing to delete it — remove or "
+                "rename it manually"
+            )
         full = True
         fs.delete(legacy_jpath, True)
     # ONE listing feeds the partition-layout guard, the small-file

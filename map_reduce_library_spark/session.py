@@ -34,6 +34,52 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _resolve_master(master: str | None) -> str | None:
+    """Decide the builder's master URL (None = leave unset for an
+    externally managed deployment).
+
+    spark-submit detection must NOT rely on SparkConf() alone: in a
+    fresh python process (no JVM yet) SparkConf is a plain python
+    dict that never sees the submit-time spark.master system
+    property, so the r6 guard was blind exactly under
+    `spark-submit --master yarn app.py` and would have overridden
+    the cluster master with local[*] (code-review r8). spark-submit
+    launches python drivers through PythonRunner, which always
+    exports PYSPARK_GATEWAY_PORT — treat that (or a JVM-visible
+    spark.master) as "master is externally managed".
+
+    The classic MASTER env override is DIFFERENT: Spark 4's
+    SparkSession does not read it, so merely skipping .master() made
+    a plain `python app.py` with a leftover `export MASTER=...` fail
+    with 'A master URL must be set' (ADVICE r9). Pass the value
+    through to the builder so the override actually takes effect."""
+    from pyspark import SparkConf
+
+    if master is not None:
+        return master
+    if (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or SparkConf().contains("spark.master")
+    ):
+        return None
+    env_master = os.environ.get("MASTER")
+    if env_master:
+        return env_master
+    # SPARK_GRAFT_CPUS is validated like _default_parallelism does —
+    # a malformed value interpolated raw into the URL fails session
+    # creation ('local[abc]') or hangs it ('local[0]').
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    n = None
+    if cpus:
+        try:
+            n = int(cpus)
+        except ValueError:
+            n = None
+        if n is not None and n < 1:
+            n = None
+    return f"local[{n}]" if n else "local[*]"
+
+
 def get_session(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -46,41 +92,8 @@ def get_session(
     cluster pass ``None`` and set the master through ``spark-submit``
     (an existing session is reused as-is).
     """
-    from pyspark import SparkConf
-
     par = _default_parallelism()
-    # spark-submit detection must NOT rely on SparkConf() alone: in a
-    # fresh python process (no JVM yet) SparkConf is a plain python
-    # dict that never sees the submit-time spark.master system
-    # property, so the r6 guard was blind exactly under
-    # `spark-submit --master yarn app.py` and would have overridden
-    # the cluster master with local[*] (code-review r8). spark-submit
-    # launches python drivers through PythonRunner, which always
-    # exports PYSPARK_GATEWAY_PORT (and MASTER is the classic env
-    # override) — treat either as "master is externally managed".
-    submit_managed = (
-        "PYSPARK_GATEWAY_PORT" in os.environ
-        or os.environ.get("MASTER")
-        or SparkConf().contains("spark.master")
-    )
-    if master is None:
-        if submit_managed:
-            master = None
-        else:
-            # SPARK_GRAFT_CPUS is validated like _default_parallelism
-            # does — a malformed value interpolated raw into the URL
-            # fails session creation ('local[abc]') or hangs it
-            # ('local[0]').
-            cpus = os.environ.get("SPARK_GRAFT_CPUS")
-            n = None
-            if cpus:
-                try:
-                    n = int(cpus)
-                except ValueError:
-                    n = None
-                if n is not None and n < 1:
-                    n = None
-            master = f"local[{n}]" if n else "local[*]"
+    master = _resolve_master(master)
     if shuffle_partitions is None:
         shuffle_partitions = max(par, 8)
 
@@ -114,13 +127,14 @@ def get_session(
         # real 100-TB scans.
         .config("spark.sql.files.minPartitionNum", str(par))
     )
+    from pyspark import SparkConf
+
+    # master is non-None for every path except externally-managed
+    # deployments (_resolve_master folds the MASTER env through)
     effective_master = (
         master
         if master is not None
-        else (
-            os.environ.get("MASTER")
-            or SparkConf().get("spark.master", "")
-        )
+        else SparkConf().get("spark.master", "")
     )
     if effective_master.startswith("local"):
         # The 4 MB default openCostInBytes models remote-FS open

@@ -129,6 +129,37 @@ def test_bloom_prune_matches_across_integral_widths(spark):
     assert set(range(50)) <= got  # no false negatives across widths
 
 
+def test_bloom_prune_matches_int_vs_fractional(spark):
+    """ADVICE r9: an int build key probed by a DOUBLE fact key (5 vs
+    5.0 — which a plain equi-join matches via implicit cast to
+    double) used to silently false-negative under the bare string
+    cast ('5' vs '5.0'). Numeric keys now canonicalize through double
+    before hashing, so every numeric dtype mix agrees; both
+    directions probed."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    ints = spark.range(50).selectExpr("CAST(id AS INT) AS k")
+    doubles = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS k")
+    kept = bloom_prune(doubles, bloom_build(ints, "k"), "k")
+    assert set(range(50)) <= {int(r.k) for r in kept.collect()}
+
+    kept2 = bloom_prune(
+        ints, bloom_build(doubles.where("k < 30"), "k"), "k"
+    )
+    assert set(range(30)) <= {r.k for r in kept2.collect()}
+
+    # decimal vs bigint (the DecimalType is NumericType, not
+    # FractionalType-float — must route through double too)
+    decs = spark.range(20).selectExpr("CAST(id AS DECIMAL(10,2)) AS k")
+    kept3 = bloom_prune(
+        spark.range(40).selectExpr("id AS k"), bloom_build(decs, "k"), "k"
+    )
+    assert set(range(20)) <= {r.k for r in kept3.collect()}
+
+
 def test_bloom_rejects_unaligned_m_bits(spark):
     """code-review r8 (verified): a non-multiple-of-64 m_bits used to
     drop the final partial word at build and read past the array at

@@ -51,17 +51,17 @@ def test_cms_merges_cellwise(spark):
     tok = _tokens(spark, SF_CORRECTNESS).withColumn(
         "half", F.length("token") % 2
     )
+    from map_reduce_library_spark.operators.cms import cms_merge
+
     whole = cms_build(tok, "token")
-    merged = (
-        cms_build(tok.where(F.col("half") == 0), "token")
-        .unionByName(cms_build(tok.where(F.col("half") == 1), "token"))
-        .groupBy("j", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+    merged = cms_merge(
+        cms_build(tok.where(F.col("half") == 0), "token"),
+        cms_build(tok.where(F.col("half") == 1), "token"),
     )
     diff = whole.unionByName(
-        merged.select("j", "bucket", (-F.col("cnt")).alias("cnt"))
-    ).groupBy("j", "bucket").agg(F.sum("cnt").alias("d")).where(
-        F.col("d") != 0
+        merged.withColumn("cnt", -F.col("cnt"))
+    ).groupBy("j", "bucket").agg(F.sum("cnt").alias("delta")).where(
+        F.col("delta") != 0
     )
     assert diff.count() == 0
 
@@ -99,3 +99,57 @@ def test_cms_honors_custom_width_and_skips_nulls(spark):
         for r in cms_lookup(sketch, items, "tok", w=8).collect()
     }
     assert est["a"] >= 5 and est["b"] >= 3  # one-sided guarantee
+
+
+def test_cms_lookup_rejects_geometry_mismatch(spark):
+    """ADVICE r9: a sketch built with one (d, w) probed at another
+    used to return silently wrong estimates that can break the
+    est >= exact one-sided contract. The sketch now carries its own
+    geometry and a mismatched probe fails the job loudly."""
+    import pytest
+
+    from map_reduce_library_spark.operators.cms import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "tok string")
+    items = spark.createDataFrame([("a",), ("b",)], "tok string")
+    sketch = cms_build(df, "tok", w=1024)
+
+    with pytest.raises(Exception, match="geometry mismatch"):
+        cms_lookup(sketch, items, "tok").collect()  # default CMS_W
+    with pytest.raises(Exception, match="geometry mismatch"):
+        cms_lookup(sketch, items, "tok", d=2, w=1024).collect()
+
+    # matching geometry still answers with the one-sided guarantee
+    est = {
+        r.tok: r.est_n
+        for r in cms_lookup(sketch, items, "tok", w=1024).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3
+
+    # a mixed-geometry merge is meaningless: the merged relation keeps
+    # both geometry records and ANY probe of it must fail
+    mixed = cms_merge(sketch, cms_build(df, "tok", w=8))
+    with pytest.raises(Exception, match="geometry mismatch"):
+        cms_lookup(mixed, items, "tok", w=1024).collect()
+
+
+def test_cms_lookup_legacy_sketch_without_geometry_still_probes(spark):
+    """A pre-r9 persisted sketch (no d/w columns) keeps the old
+    un-validated behavior rather than failing to probe at all."""
+    from map_reduce_library_spark.operators.cms import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame([("a",)] * 4, "tok string")
+    legacy = cms_build(df, "tok", w=64).drop("d", "w")
+    items = spark.createDataFrame([("a",)], "tok string")
+    est = {
+        r.tok: r.est_n
+        for r in cms_lookup(legacy, items, "tok", w=64).collect()
+    }
+    assert est["a"] >= 4

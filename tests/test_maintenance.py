@@ -359,3 +359,29 @@ def test_compact_index_heals_legacy_sibling_tmp_residue(
     assert got.count() == 300
     assert got.distinct().count() == 300
     assert not legacy.exists()
+
+
+def test_compact_index_refuses_to_delete_foreign_sibling_dir(
+    spark, tmp_path
+):
+    """ADVICE r9: the legacy sibling path is OUTSIDE the directory
+    this library owns — if it holds anything that isn't Spark write
+    residue (part-* files, _SUCCESS markers, hidden checksums), the
+    pass must raise instead of silently destroying user data."""
+    import pytest
+
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.range(100).selectExpr("id AS doc_id").coalesce(1).write.parquet(
+        path
+    )
+    foreign = tmp_path / "idx__compact_tmp"
+    foreign.mkdir()
+    (foreign / "users_backup.csv").write_text("id\n1\n")
+
+    with pytest.raises(ValueError, match="refusing to delete"):
+        compact_index(spark, path, target_file_bytes=1)
+    assert (foreign / "users_backup.csv").exists()

@@ -107,7 +107,9 @@ SCALED_VARIANTS = {
 
 def build(spark, factor: int) -> str:
     out = WORK / f"f{factor}"
-    if (out / "_DONE").exists():
+    # events.parquet joined the fixture in round 9 — a _DONE marker
+    # from an older probe run lacks it, so rebuild in full then.
+    if (out / "_DONE").exists() and (out / "events.parquet").exists():
         return str(out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
@@ -153,12 +155,92 @@ def build(spark, factor: int) -> str:
     for p in parts[1:]:
         acc = acc.unionByName(p)
     acc.repartition(8).write.parquet(str(out / "embeddings.parquet"))
+
+    # events ×F: replica i is a fresh user population (user_id offset
+    # by the sf0.1 user count) generating traffic in the SAME time
+    # window — the realistic growth shape for a (ts, user_id) layout
+    # question: more rows per time slice, wider user domain.
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        parts.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET))
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    acc.repartition(32).write.parquet(str(out / "events.parquet"))
     (out / "_DONE").touch()
     return str(out)
 
 
+def pruning_probe(spark, factors: list[int]) -> None:
+    """Z-order end-to-end pruning at scale (VERDICT r8 item 6): write
+    the scaled events table (a) range-sorted by ts alone and (b)
+    z-ordered on (ts, user_id), 32·factor files each (constant file
+    size as the corpus grows), then measure ACTUAL files a
+    stats-pruning reader opens — real written footers via
+    parquet_overlap_fraction — for the two canonical queries: a 10%
+    time window (the single-key layout's home turf) and a one-user
+    point lookup (its blind spot). The scaling claim under test: the
+    z-order OVERLAP FRACTIONS hold flat at 10× — pruning is a
+    property of the layout, not of the corpus size — while the
+    ts-sorted layout's user query reads 100% of a 10×-larger table."""
+    from map_reduce_library_spark.operators.layout import (
+        parquet_overlap_fraction,
+        write_zordered,
+    )
+
+    for factor in factors:
+        sf_dir = build(spark, factor)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_files = 32 * factor
+        ts_lo, ts_hi, uid_hi = ev.agg(
+            F.min("ts"), F.max("ts"), F.max("user_id")
+        ).collect()[0]
+        base = Path(sf_dir)
+        ts_dir = str(base / f"events_ts_sorted_{n_files}")
+        z_dir = str(base / f"events_zordered_{n_files}")
+        if not Path(ts_dir).exists():
+            (
+                ev.repartitionByRange(n_files, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite").parquet(ts_dir)
+            )
+        if not Path(z_dir).exists():
+            write_zordered(ev, z_dir, ["ts", "user_id"], n_files)
+        # 10% time window in the middle of the month (ts arrives as a
+        # datetime here — the rewritten fixture is TIMESTAMP(MICROS) —
+        # and timedelta arithmetic keeps the window exact)
+        span = ts_hi - ts_lo
+        w_lo, w_hi = ts_lo + span * 0.45, ts_lo + span * 0.55
+        # one user out of 1500·factor (point lookup on the 2nd dim)
+        uid = uid_hi // 2
+        rec = {"factor": factor, "n_files": n_files,
+               "rows": ev.count()}
+        for layout, path in (("ts_sorted", ts_dir), ("zorder", z_dir)):
+            rec[f"{layout}_ts_window_frac"] = round(
+                parquet_overlap_fraction(path, "ts", w_lo, w_hi), 3
+            )
+            rec[f"{layout}_user_point_frac"] = round(
+                parquet_overlap_fraction(path, "user_id", uid, uid), 3
+            )
+        print(json.dumps(rec), flush=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if "--pruning" in argv:
+        argv.remove("--pruning")
+        factors = [int(a) for a in argv] or [1, 10]
+        from map_reduce_library_spark.session import get_session
+
+        spark = get_session(app_name="scaling-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        pruning_probe(spark, factors)
+        return
     query_names = list(QUERY_NAMES)
     if "--queries" in argv:
         i = argv.index("--queries")

@@ -143,16 +143,22 @@ def cms_lookup(
     )
     est = F.coalesce(F.col("cnt"), F.lit(0))
     if "d" in cms.columns and "w" in cms.columns:
+        # Keyed on j (a REAL column both sides carry), not a constant:
+        # a constant equi-key constant-folds into a
+        # BroadcastNestedLoopJoin, tripping the corpus-wide plan
+        # audit. Hash row j=0 exists in every non-empty sketch and in
+        # every probe, so any geometry mismatch meets >= one matched
+        # row and the assert fires; an empty sketch leaves geo columns
+        # NULL and estimates 0 as before.
         geo = (
             cms.select(
-                F.col("d").alias("_geo_d"), F.col("w").alias("_geo_w")
+                "j",
+                F.col("d").alias("_geo_d"),
+                F.col("w").alias("_geo_w"),
             )
             .distinct()
-            .withColumn("_geo_k", F.lit(1))
         )
-        probes = probes.withColumn("_geo_k", F.lit(1)).join(
-            F.broadcast(geo), "_geo_k", "left"
-        )
+        probes = probes.join(F.broadcast(geo), "j", "left")
         geo_ok = F.col("_geo_d").isNull() | (
             (F.col("_geo_d") == F.lit(d)) & (F.col("_geo_w") == F.lit(w))
         )

@@ -735,9 +735,11 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as its argmin code per subspace:
     (id, sub, code). THIS is the stored ANN index at scale — m small
-    integers per vector instead of dim floats; write it partitioned
-    (bucketed by the IVF cell when combined with IVF) and the
-    original float column never needs to be resident at query time."""
+    integers per vector instead of dim floats; the original float
+    column never needs to be resident at query time. The persistence
+    lifecycle (write the 4 index tables to parquet, serve from a
+    fresh session, append with frozen codebooks) lives in
+    ``operators/ann_index.py``."""
     from pyspark.sql.window import Window
 
     sv = pq_subvectors(emb, dim, m, id_col, vec_col)

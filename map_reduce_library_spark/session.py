@@ -34,7 +34,9 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def _resolve_master(master: str | None) -> str | None:
+def _resolve_master(
+    master: str | None, managed: bool | None = None
+) -> str | None:
     """Decide the builder's master URL (None = leave unset for an
     externally managed deployment).
 
@@ -57,10 +59,16 @@ def _resolve_master(master: str | None) -> str | None:
 
     if master is not None:
         return master
-    if (
-        "PYSPARK_GATEWAY_PORT" in os.environ
-        or SparkConf().contains("spark.master")
-    ):
+    if managed is None:
+        # NOTE: once any session exists in this process, the JVM
+        # carries spark.master and the conf check reads True — which
+        # is the right answer (getOrCreate will reuse that session),
+        # but unit tests of the cold-start paths inject managed=False.
+        managed = (
+            "PYSPARK_GATEWAY_PORT" in os.environ
+            or SparkConf().contains("spark.master")
+        )
+    if managed:
         return None
     env_master = os.environ.get("MASTER")
     if env_master:

@@ -159,6 +159,49 @@ def append_ivf_pq_index(
     new_codes.write.mode("append").parquet(os.path.join(path, "codes"))
 
 
+def delete_from_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """FAISS ``remove_ids`` discipline: drop vectors from the row
+    tables (cells + codes) by anti-join rewrite; the fitted artifacts
+    (centroids, codebooks) are untouched — deletion never re-fits,
+    exactly as append never re-fits (a codebook trained on since-
+    deleted vectors is still a valid quantizer; re-training is a
+    rebuild, a deliberate operation). ``ids`` is a one-column relation
+    of ids to remove — broadcast against the row tables, one pass
+    each.
+
+    The rewrite uses the overwrite-via-tmp shape (write the surviving
+    rows beside, then swap) because parquet has no row deletes; at
+    warehouse scale the same operation is a MERGE/DELETE into a
+    log-structured table format, or tombstones compacted by
+    ``compact_index``'s cadence. Readers in THIS session must re-read
+    the path after the swap (plain parquet scans pin file listings at
+    plan time)."""
+    import shutil
+    import tempfile
+
+    key = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
+    staging = tempfile.mkdtemp(prefix="mrls_ivfpq_del_")
+    try:
+        for part in ("cells", "codes"):
+            src = os.path.join(path, part)
+            tmp = os.path.join(staging, part)
+            (
+                spark.read.parquet(src)
+                .join(key, id_col, "left_anti")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(src)
+            shutil.move(tmp, src)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def ivf_pq_search(
     index: IvfPqIndex,
     queries: DataFrame,

@@ -676,8 +676,17 @@ def _pq_lloyd_ctes(iters: int = PQ_ITERS, train_max: int | None = None) -> str:
     return ",".join(parts)
 
 
-def _ivf_pq_oracle(limit: int = TOPK, train_max: int | None = None) -> str:
+def _ivf_pq_oracle(
+    limit: int = TOPK,
+    train_max: int | None = None,
+    corpus_pred: str | None = None,
+) -> str:
+    """``corpus_pred`` restricts INDEX MEMBERSHIP (the homed corpus
+    side) without touching the fitted artifacts — the oracle twin of
+    ``delete_from_ivf_pq_index``: codebooks/centroids stay trained on
+    the full corpus, deleted vectors just stop being candidates."""
     cb = f"pq{PQ_ITERS}"
+    member = f" AND ({corpus_pred})" if corpus_pred else ""
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -708,7 +717,8 @@ def _ivf_pq_oracle(limit: int = TOPK, train_max: int | None = None) -> str:
                           DESC, cents.cell) AS rn
         FROM e CROSS JOIN cents) WHERE rn <= {N_PROBE}
     ),
-    homed AS (SELECT vec_id AS neighbor_id, cell FROM probes WHERE rn = 1),
+    homed AS (SELECT vec_id AS neighbor_id, cell FROM probes
+              WHERE rn = 1{member}),
     qs AS (SELECT vec_id AS query_id, sub, sv FROM sv
            WHERE vec_id < {N_QUERIES}),
     lut AS (
@@ -855,6 +865,20 @@ def ivf_pq_rerank_recall_at_k(
 # "initial corpus" the index is fit on before later vectors arrive.
 PQ_TRAIN_MAX = 250
 
+# Deletion set for the remove_ids query: a deterministic ~14% slice
+# of the corpus that never touches the query vectors (vec_id <
+# N_QUERIES) nor the codebook seeds. SQL twin must match exactly.
+# Built lazily: Spark-classic Column construction needs an active
+# SparkContext, and this module imports before any session exists
+# (registry import order).
+def _pq_delete_pred():
+    return (F.col("vec_id") >= N_QUERIES) & (
+        F.pmod(F.col("vec_id"), F.lit(7)) == 3
+    )
+
+
+PQ_DELETE_PRED_SQL = f"NOT (vec_id >= {N_QUERIES} AND vec_id % 7 = 3)"
+
 # (applicationId, sf_dir, variant) -> on-disk index path. The index
 # artifact is the definition of "persisted": built and WRITTEN once
 # per session, then every query (and every bench pass) serves from
@@ -879,18 +903,17 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
         write_ivf_pq_index,
     )
 
+    from map_reduce_library_spark.operators.ann_index import (
+        delete_from_ivf_pq_index,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     path = _PERSISTED_IVFPQ.get(key)
     if path is None:
         emb = load_table(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix=f"mrls_ivfpq_{variant}_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        if variant == "full":
-            write_ivf_pq_index(
-                build_ivf_pq_index(emb, EMB_DIM, n_centroids=N_CENTROIDS),
-                path,
-            )
-        else:  # "incremental": FAISS train-then-add
+        if variant == "incremental":  # FAISS train-then-add
             write_ivf_pq_index(
                 build_ivf_pq_index(
                     emb.where(F.col("vec_id") < PQ_TRAIN_MAX),
@@ -903,6 +926,16 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
                 spark, path,
                 emb.where(F.col("vec_id") >= PQ_TRAIN_MAX), EMB_DIM,
             )
+        else:  # "full" and "deleted" share the full build
+            write_ivf_pq_index(
+                build_ivf_pq_index(emb, EMB_DIM, n_centroids=N_CENTROIDS),
+                path,
+            )
+            if variant == "deleted":  # FAISS remove_ids
+                delete_from_ivf_pq_index(
+                    spark, path,
+                    emb.where(_pq_delete_pred()).select("vec_id"),
+                )
         _PERSISTED_IVFPQ[key] = path
     return path
 
@@ -926,6 +959,37 @@ def ivf_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(
         read_ivf_pq_index(
             spark, _persisted_index_path(spark, sf_dir, "full")
+        ),
+        emb.where(F.col("vec_id") < N_QUERIES),
+        TOPK,
+        EMB_DIM,
+        n_probe=N_PROBE,
+    )
+
+
+@register(
+    "ivf_pq_deleted_topk",
+    oracle=_ivf_pq_oracle(corpus_pred=PQ_DELETE_PRED_SQL),
+)
+def ivf_pq_deleted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining index-lifecycle op, deletes (FAISS remove_ids):
+    a ~14% id slice is removed from the persisted index's row tables
+    by anti-join rewrite — the fitted centroids/codebooks stay
+    trained on the pre-deletion corpus (deletion never re-fits, same
+    frozen-artifact contract as append) — and top-k is served from
+    the surviving rows. The oracle keeps the full-corpus Lloyd fit
+    and restricts only index MEMBERSHIP, so hash-green proves deleted
+    vectors are gone from every answer while quantization is
+    untouched."""
+    from map_reduce_library_spark.operators.ann_index import (
+        ivf_pq_search,
+        read_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(
+        read_ivf_pq_index(
+            spark, _persisted_index_path(spark, sf_dir, "deleted")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),
         TOPK,

@@ -120,8 +120,94 @@ def test_append_never_rescans_existing_rows(spark, emb, tmp_path):
     assert after.codes.count() == emb.count() * 4  # PQ_M subspaces
 
 
+def test_delete_removes_rows_and_answers_never_return_deleted(
+    spark, emb, tmp_path
+):
+    """FAISS remove_ids semantics: after deleting an id slice, the
+    row tables hold exactly the survivors, the fitted artifacts are
+    byte-identical (deletion never re-fits), and no served answer
+    ever names a deleted neighbor."""
+    from pyspark.sql import functions as F2
+
+    from map_reduce_library_spark.operators.ann_index import (
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    before = read_ivf_pq_index(spark, path)
+    cents_before = _rows(before.centroids)
+    cbs_before = _rows(before.codebooks)
+    doomed = emb.where(
+        (F.col("vec_id") >= N_Q) & (F2.pmod("vec_id", F2.lit(5)) == 0)
+    ).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    assert doomed_ids
+
+    delete_from_ivf_pq_index(spark, path, doomed)
+    after = read_ivf_pq_index(spark, path)
+    assert _rows(after.centroids) == cents_before
+    assert _rows(after.codebooks) == cbs_before
+    left_ids = {r.vec_id for r in after.cells.select("vec_id").collect()}
+    assert left_ids.isdisjoint(doomed_ids)
+    assert after.cells.count() == emb.count() - len(doomed_ids)
+    assert after.codes.count() == (emb.count() - len(doomed_ids)) * 4
+
+    served = ivf_pq_search(
+        after, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
+    )
+    neighbors = {r.neighbor_id for r in served.collect()}
+    assert neighbors.isdisjoint(doomed_ids)
+
+
+def test_compacting_row_tables_preserves_the_answer(spark, emb, tmp_path):
+    """The index's row tables are append-only parquet with unique
+    rows by construction, so ``compact_index``'s whole-row-dedup
+    rewrite is safe maintenance: after an append (multi-file-set
+    layout) + full compaction of cells and codes, the served top-k is
+    unchanged and the file count shrinks."""
+    import pathlib
+
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+    )
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    append_ivf_pq_index(spark, path, b, DIM)
+    q = emb.where(F.col("vec_id") < N_Q)
+    before = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
+    )
+
+    def n_files(part):
+        return sum(
+            1
+            for p in pathlib.Path(path, part).glob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        )
+
+    files_before = n_files("cells") + n_files("codes")
+    for part in ("cells", "codes"):
+        compact_index(spark, f"{path}/{part}", full=True)
+    after = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
+    )
+    assert after == before
+    assert n_files("cells") + n_files("codes") < files_before
+
+
 def test_persisted_query_matches_oracle(spark):
     assert_oracle_match(spark, "ivf_pq_persisted_topk")
+
+
+def test_deleted_query_matches_oracle(spark):
+    assert_oracle_match(spark, "ivf_pq_deleted_topk")
 
 
 def test_incremental_query_matches_oracle(spark):

@@ -84,6 +84,17 @@ ALLOWED_BOUNDED_BROADCAST = {
     # embeds cosine_topk (single pushed query vector) as its semantic
     # ranker; the lexical side is BM25's audited term-filter plan
     "hybrid_rrf_topk",
+    # persisted-index serve path (round 9): the only NLJ is the
+    # QUERY-side coarse quantizer — the bounded query set (pushed
+    # vec_id < N_QUERIES filter) crossed with the stored
+    # ≤n_centroids-row centroid relation (broadcast). Corpus-side
+    # candidate scoring goes through the cells/codes equi-joins; the
+    # corpus itself never enters a nested loop. (The in-session
+    # ivf_pq_topk hides the same shape inside its assignment
+    # checkpoint — serving from parquet exposes it to the audit.)
+    "ivf_pq_persisted_topk",
+    "ivf_pq_incremental_topk",
+    "ivf_pq_deleted_topk",
 }
 
 

@@ -96,12 +96,54 @@ def _zorder_scaled(factor: int):
     return run
 
 
+_IVFPQ_PROBE_INDEX: dict = {}
+
+
+def _ivfpq_serve_scaled(factor: int):
+    """Persisted-index SERVE cost at scale: the index (centroids,
+    codebooks, cells, codes) is built and written ONCE per factor —
+    with the IVF production knob turned, n_centroids = 16·factor, so
+    per-query candidate volume (corpus/cells × n_probe) stays
+    constant — and the probed query is ivf_pq_search from the stored
+    parquet relations. Pass 1 includes the build+write; pass 2 is the
+    steady-state serve wall (the number BASELINE.md reports)."""
+
+    def run(spark, sf_dir):
+        from map_reduce_library_spark.operators.ann_index import (
+            build_ivf_pq_index,
+            ivf_pq_search,
+            read_ivf_pq_index,
+            write_ivf_pq_index,
+        )
+
+        path = _IVFPQ_PROBE_INDEX.get(sf_dir)
+        if path is None:
+            path = str(Path(sf_dir) / f"ivfpq_index_{factor}")
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            write_ivf_pq_index(
+                build_ivf_pq_index(emb, 64, n_centroids=16 * factor),
+                path,
+            )
+            _IVFPQ_PROBE_INDEX[sf_dir] = path
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_pq_search(
+            read_ivf_pq_index(spark, path),
+            emb.where(F.col("vec_id") < 20),
+            5,
+            64,
+            n_probe=2,
+        )
+
+    return run
+
+
 # name -> factory(factor) -> (spark, sf_dir) -> DataFrame; probed
 # INSTEAD of the registry entry of the same name when requested via
 # --queries. Registry names stay untouched.
 SCALED_VARIANTS = {
     "semdedup_scaled_centroids": _semdedup_scaled,
     "zorder_arrange_scaled": _zorder_scaled,
+    "ivfpq_persisted_serve_scaled": _ivfpq_serve_scaled,
 }
 
 

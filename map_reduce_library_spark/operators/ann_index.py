@@ -127,10 +127,49 @@ def write_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(path, name))
 
 
+def _heal_interrupted_delete(path: str) -> None:
+    """Repair the observable crash states of ``delete_from_ivf_pq_
+    index``'s rename protocol (monotone-superset, like
+    ``compact_index``): a missing row table whose ``.<part>_old``
+    sibling exists is restored to the PRE-DELETE state (a superset —
+    the delete is lost, never data), and a leftover ``.<part>_rewrite``
+    beside an intact table is discarded (incomplete staging; the
+    source was never touched)."""
+    import shutil
+
+    for part in ("cells", "codes"):
+        src = os.path.join(path, part)
+        old = os.path.join(path, f".{part}_old")
+        stage = os.path.join(path, f".{part}_rewrite")
+        if not os.path.exists(src) and os.path.exists(old):
+            os.rename(old, src)
+        elif os.path.exists(src) and os.path.exists(old):
+            # both present: crash AFTER the forward swap completed but
+            # before the old copy was removed — src is authoritative
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(stage) and os.path.exists(src):
+            shutil.rmtree(stage, ignore_errors=True)
+
+
 def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     """Load a persisted index. Plain parquet reads — every query plan
     built on top starts from a scan of the stored relations, never
-    from the float corpus."""
+    from the float corpus. Heals crash residue first: interrupted
+    deletes (``_heal_interrupted_delete``) and interrupted
+    compactions — a ``.compact_tmp`` left inside a row table means a
+    ``compact_index`` pass died mid-protocol and the table may hold
+    transient duplicate rows, which the ADC scorer's per-neighbor
+    SUMS would read as inflated cosines (unlike the dup-idempotent
+    streaming index readers); forcing the full-dedup repair BEFORE
+    serving closes that window (code-review r9)."""
+    _heal_interrupted_delete(path)
+    for part in ("cells", "codes"):
+        if os.path.exists(os.path.join(path, part, ".compact_tmp")):
+            from map_reduce_library_spark.operators.maintenance import (
+                compact_index,
+            )
+
+            compact_index(spark, os.path.join(path, part), full=True)
     return IvfPqIndex(
         *(spark.read.parquet(os.path.join(path, n)) for n in _PARTS)
     )
@@ -147,14 +186,31 @@ def append_ivf_pq_index(
 ) -> None:
     """FAISS-``add`` discipline: assign + encode ``new_emb`` against
     the index's FROZEN centroids/codebooks and append to the row
-    tables. One broadcast-join pass over the new vectors only — the
-    existing corpus is never rescanned (the ``incremental_emb_pairs``
-    property, applied to the PQ index)."""
+    tables. One broadcast-join pass over the new vectors — the
+    existing corpus floats are never rescanned (the
+    ``incremental_emb_pairs`` property, applied to the PQ index).
+
+    REPLAY GUARD (code-review r9): ids already present in ``cells``
+    are excluded before the append. Unlike the LSH signature index
+    (whose duplicated rows only re-emit pair rows the reader dedups),
+    the ADC scorer SUMS per-(query, neighbor) code contributions, so
+    a duplicated codes row would inflate that neighbor's cosine by
+    √2 silently — a crash-retried append must therefore be
+    idempotent at the row level. Cost: one column-pruned scan of the
+    cells id column, semi-joined against the (bounded, broadcast)
+    batch ids."""
     idx = read_ivf_pq_index(spark, path)
+    batch_ids = F.broadcast(
+        new_emb.select(F.col(id_col)).distinct()
+    )
+    already = F.broadcast(
+        idx.cells.select(id_col).join(batch_ids, id_col, "semi")
+    )
+    fresh = new_emb.join(already, id_col, "left_anti")
     new_cells = ivf_assign_cells(
-        new_emb, 0, id_col, vec_col, n_probe=1, centroids=idx.centroids
+        fresh, 0, id_col, vec_col, n_probe=1, centroids=idx.centroids
     ).select(id_col, "cell")
-    new_codes = pq_encode(new_emb, idx.codebooks, dim, m, id_col, vec_col)
+    new_codes = pq_encode(fresh, idx.codebooks, dim, m, id_col, vec_col)
     new_cells.write.mode("append").parquet(os.path.join(path, "cells"))
     new_codes.write.mode("append").parquet(os.path.join(path, "codes"))
 
@@ -174,32 +230,38 @@ def delete_from_ivf_pq_index(
     of ids to remove — broadcast against the row tables, one pass
     each.
 
-    The rewrite uses the overwrite-via-tmp shape (write the surviving
-    rows beside, then swap) because parquet has no row deletes; at
-    warehouse scale the same operation is a MERGE/DELETE into a
-    log-structured table format, or tombstones compacted by
-    ``compact_index``'s cadence. Readers in THIS session must re-read
-    the path after the swap (plain parquet scans pin file listings at
-    plan time)."""
+    The rewrite is a rename protocol, not a delete-then-copy: the
+    surviving rows are staged to a dot-dir INSIDE ``path`` (same
+    filesystem, so each swap step is an atomic directory rename,
+    never a cross-mount recursive copy), then
+    ``src → .<part>_old``, ``.<part>_rewrite → src``, drop the old
+    copy. Every crash-observable state is a SUPERSET of the
+    post-delete rows (at worst the pre-delete table, i.e. the delete
+    is lost and must be re-run — never corrupted or truncated) and is
+    healed automatically by the next ``read_ivf_pq_index``
+    (code-review r9; the monotone discipline of ``compact_index``).
+    Parquet has no row deletes; at warehouse scale the same operation
+    is a MERGE/DELETE into a log-structured table format. Readers in
+    THIS session must re-read the path after the swap (plain parquet
+    scans pin file listings at plan time)."""
     import shutil
-    import tempfile
 
+    _heal_interrupted_delete(path)
     key = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    staging = tempfile.mkdtemp(prefix="mrls_ivfpq_del_")
-    try:
-        for part in ("cells", "codes"):
-            src = os.path.join(path, part)
-            tmp = os.path.join(staging, part)
-            (
-                spark.read.parquet(src)
-                .join(key, id_col, "left_anti")
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            shutil.rmtree(src)
-            shutil.move(tmp, src)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    for part in ("cells", "codes"):
+        src = os.path.join(path, part)
+        stage = os.path.join(path, f".{part}_rewrite")
+        old = os.path.join(path, f".{part}_old")
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            spark.read.parquet(src)
+            .join(key, id_col, "left_anti")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        os.rename(src, old)
+        os.rename(stage, src)
+        shutil.rmtree(old)
 
 
 def ivf_pq_search(

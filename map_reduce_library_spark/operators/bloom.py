@@ -46,26 +46,28 @@ BLOOM_M_BITS = 1 << 17
 BLOOM_K = 5
 
 
-def canonical_bloom_key(df: DataFrame, key: str) -> Column:
-    """The dtype-aware canonical form ``df[key]`` is hashed through:
-    every NUMERIC key routes through double before the string cast,
-    so any numeric build/probe mix a plain equi-join would match via
-    its implicit cast-to-double — int vs bigint, AND int vs
-    fractional (5 vs 5.0, which the bare string cast rendered '5' vs
-    '5.0' and silently false-negatived; ADVICE r9) — hashes
-    identically on both sides. Consistent double routing cannot
-    create false negatives: a true-matching pair collapses to the
-    same double on both sides, so its bits always agree; distinct
-    keys collapsing together only add false positives, which a Bloom
-    filter tolerates by design. Non-numeric keys keep the plain
-    string cast (a numeric-vs-string mix still needs the caller to
-    pre-cast, exactly as the join itself would)."""
-    from pyspark.sql.types import NumericType
+def canonical_bloom_key(key: Column | str) -> Column:
+    """The UNIVERSAL canonical form every bloom key is hashed through:
 
-    c = F.col(key)
-    if isinstance(df.schema[key].dataType, NumericType):
-        return c.cast("double").cast("string")
-    return c.cast("string")
+        coalesce(CAST(try_cast(key AS double) AS string),
+                 CAST(key AS string))
+
+    i.e. anything double-interpretable — every numeric dtype AND
+    numeric-looking strings — canonicalizes to the double's string
+    form; everything else keeps the plain string cast. One expression,
+    no dtype introspection, so build and probe CANNOT disagree no
+    matter which side is int, bigint, float, decimal, or the string
+    '5': all the mixes a plain equi-join would match via its implicit
+    cast-to-double (5 vs 5.0 vs '5' — code-review r9: the dtype-aware
+    variant fixed int-vs-double but regressed int-vs-'5') hash
+    identically. Consistent routing cannot create false NEGATIVES: a
+    true-matching pair collapses to the same canonical string on both
+    sides; distinct keys collapsing together only add false
+    positives, which a Bloom filter tolerates by design."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.coalesce(
+        c.try_cast("double").cast("string"), c.cast("string")
+    )
 
 
 def bloom_positions(
@@ -76,17 +78,18 @@ def bloom_positions(
 ) -> list[Column]:
     """The k bit positions of ``key``: pmod(xxhash64(key, i), m).
 
-    The key is hashed through a CANONICAL string cast: xxhash64 hashes
-    an int and a bigint holding the same value differently, so a
-    build/probe dtype mismatch (int dimension key vs bigint fact key —
-    exactly the pair a plain equi-join would implicitly cast and
-    match) would otherwise prune 100% of true matches, a silent
-    false-negative wipeout of the 'no false negatives' contract
-    (code-review r8, verified). ``canonical=True`` marks ``key`` as
-    already in canonical form (``canonical_bloom_key``, which also
-    unifies int-vs-fractional); the build/prune entry points always
-    pass that — a bare Column here can't introspect its dtype."""
-    kc = key if canonical else key.cast("string")
+    The key is hashed through the CANONICAL form (see
+    ``canonical_bloom_key``): xxhash64 hashes an int and a bigint
+    holding the same value differently, so a build/probe dtype
+    mismatch (int dimension key vs bigint fact key — exactly the pair
+    a plain equi-join would implicitly cast and match) would
+    otherwise prune 100% of true matches, a silent false-negative
+    wipeout of the 'no false negatives' contract (code-review r8,
+    verified; widened to fractional and numeric-string mixes in r9).
+    ``canonical=True`` marks ``key`` as already canonicalized (skips
+    re-wrapping; the result is identical either way since the
+    canonical form is a fixed point of itself)."""
+    kc = key if canonical else canonical_bloom_key(key)
     return [
         F.pmod(F.xxhash64(kc, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
@@ -136,7 +139,7 @@ def bloom_build(
     _check_m_bits(m_bits)
     pos = F.array(
         *bloom_positions(
-            canonical_bloom_key(df, key), m_bits, k, canonical=True
+            canonical_bloom_key(key), m_bits, k, canonical=True
         )
     )
     words = (
@@ -173,9 +176,12 @@ def bloom_might_contain(
     """True iff all k bit positions of ``key`` are set (no false
     negatives; false positives at the designed FPR). The dense word
     array is indexed O(1) per position (1-based ``element_at``); an
-    all-zero (empty-build) array rejects everything. Pass the
-    ``canonical_bloom_key`` form with ``canonical=True`` when probing
-    a filter built by ``bloom_build`` (``bloom_prune`` does)."""
+    all-zero (empty-build) array rejects everything. A bare Column is
+    canonicalized automatically (code-review r9: the old default left
+    direct build+probe callers on mismatched forms), so this pairs
+    with ``bloom_build`` out of the box; ``canonical=True`` skips the
+    re-wrap for a pre-canonicalized column (identical bits either
+    way)."""
     cond = F.lit(True)
     for p in bloom_positions(key, m_bits, k, canonical=canonical):
         word = F.shiftright(p, 6).cast("int")
@@ -215,7 +221,7 @@ def bloom_prune(
         .where(
             bloom_might_contain(
                 F.col(tmp),
-                canonical_bloom_key(probe, key),
+                canonical_bloom_key(key),
                 m_bits,
                 k,
                 canonical=True,

@@ -128,13 +128,24 @@ def cms_lookup(
     and a build/probe geometry MISMATCH used to return silently wrong
     estimates that can violate the est >= exact one-sided contract
     (ADVICE r9). The sketch now carries its (d, w); the probe attaches
-    the sketch's distinct geometry row by a broadcast equi-join on a
-    constant key (no eager driver action — the r8 TF-IDF lesson: a
-    plan-time first()/count() would re-run the sketch build pipeline)
-    and folds an ``assert_true`` into the estimate expression, so any
-    mismatch fails the JOB with a clear message instead of returning
-    wrong numbers. A legacy sketch without geometry columns is
-    probed un-validated (documented hazard, unchanged behavior).
+    the sketch's ≤d-row distinct (j, d, w) relation by a broadcast
+    equi-join on the hash-row key j (no eager driver action — the r8
+    TF-IDF lesson: a plan-time first()/count() would run the sketch
+    build before the query exists; and j=0 exists in every non-empty
+    sketch, so a mismatch always meets a matched row) and folds an
+    ``assert_true`` into the estimate expression, so any mismatch
+    fails the JOB with a clear message instead of returning wrong
+    numbers. A legacy sketch without geometry columns is probed
+    un-validated (documented hazard, unchanged behavior).
+
+    Cost note (code-review r9): the geometry leg is a SECOND
+    reference to the ``cms`` plan — if the caller passes the raw
+    ``cms_build`` pipeline, that pipeline evaluates twice per lookup
+    (measured ~0.15 s at sf0.1 on the registered query). The sketch
+    is ≤ d×w rows: persist/localCheckpoint it (or write it to
+    parquet — it IS the reusable artifact) when probing more than
+    once; the validation guarantee is judged worth the one extra
+    evaluation for ad-hoc single probes.
 
     The sketch is at most d*w rows — broadcast it; the lookup is then
     a scan-side broadcast join however many items are probed."""

@@ -262,11 +262,15 @@ def compact_index(
         index_dir.rstrip("/") + "__compact_tmp"
     )
     if fs.exists(legacy_jpath):
+        # Spark write residue by NAME for files AND directories: a
+        # mid-write crash leaves a _temporary/ DIRECTORY (plus
+        # .staging variants), so classifying any directory as foreign
+        # would make the most common crash shape raise forever
+        # instead of self-healing (code-review r9).
         foreign = [
             st.getPath().getName()
             for st in fs.listStatus(legacy_jpath)
-            if st.isDirectory()
-            or not st.getPath().getName().startswith(("part-", "_", "."))
+            if not st.getPath().getName().startswith(("part-", "_", "."))
         ]
         if foreign:
             raise ValueError(

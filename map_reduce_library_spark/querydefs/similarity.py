@@ -900,11 +900,8 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
     from map_reduce_library_spark.operators.ann_index import (
         append_ivf_pq_index,
         build_ivf_pq_index,
-        write_ivf_pq_index,
-    )
-
-    from map_reduce_library_spark.operators.ann_index import (
         delete_from_ivf_pq_index,
+        write_ivf_pq_index,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir, variant)

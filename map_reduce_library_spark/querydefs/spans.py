@@ -202,8 +202,10 @@ _SPAN_CTES_PROD = _span_ctes(
 )
 
 
-# keyed n:int -> {(applicationId, sf_dir) -> checkpointed DF}
-_SHARED_SPANS: dict[int, dict] = {}
+# keyed (n, min_span_tokens) -> {(applicationId, sf_dir) -> DF} —
+# BOTH geometry knobs key the cache (code-review r9: keying on n
+# alone silently shared one checkpoint across min_span values)
+_SHARED_SPANS: dict[tuple[int, int], dict] = {}
 
 
 def shared_repeated_spans(
@@ -223,7 +225,7 @@ def shared_repeated_spans(
     )
     from map_reduce_library_spark.querydefs.text import shared_doc_tokens
 
-    cache = _SHARED_SPANS.setdefault(n, {})
+    cache = _SHARED_SPANS.setdefault((n, min_span_tokens), {})
     return shared_checkpoint(
         cache,
         spark,

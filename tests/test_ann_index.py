@@ -160,6 +160,103 @@ def test_delete_removes_rows_and_answers_never_return_deleted(
     assert neighbors.isdisjoint(doomed_ids)
 
 
+def test_replayed_append_is_row_idempotent(spark, emb, tmp_path):
+    """code-review r9: the ADC scorer SUMS per-neighbor code
+    contributions, so a crash-retried append must not duplicate rows
+    (a duplicated codes row inflates that neighbor's cosine by √2
+    silently). Appending the same batch twice leaves the row tables —
+    and therefore every served answer — identical to one append."""
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+    )
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    append_ivf_pq_index(spark, path, b, DIM)
+    q = emb.where(F.col("vec_id") < N_Q)
+    once = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
+    )
+
+    append_ivf_pq_index(spark, path, b, DIM)  # at-least-once redelivery
+    idx = read_ivf_pq_index(spark, path)
+    assert idx.cells.count() == emb.count()
+    assert idx.codes.count() == emb.count() * 4
+    assert _rows(ivf_pq_search(idx, q, K, DIM, n_probe=2)) == once
+
+
+def test_interrupted_delete_heals_to_a_superset_state(spark, emb, tmp_path):
+    """code-review r9: the delete swap is a rename protocol whose
+    crash states heal on the next read. Simulate the two windows:
+    (a) crash between the two renames — src missing, .old present →
+    restored to the PRE-delete table (delete lost, nothing
+    corrupted); (b) crash before any rename — stale .rewrite beside
+    an intact src → discarded."""
+    import os
+    import shutil
+
+    from map_reduce_library_spark.operators.ann_index import (
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    total = emb.count()
+
+    # (a) mid-swap crash: cells moved aside, rewrite staged
+    os.rename(f"{path}/cells", f"{path}/.cells_old")
+    spark.read.parquet(f"{path}/.cells_old").where(
+        F.col("vec_id") % 2 == 0
+    ).write.parquet(f"{path}/.cells_rewrite")
+    healed = read_ivf_pq_index(spark, path)
+    assert healed.cells.count() == total  # pre-delete superset
+    assert not os.path.exists(f"{path}/.cells_old")
+    assert not os.path.exists(f"{path}/.cells_rewrite")
+
+    # (b) stale staging beside an intact table
+    shutil.copytree(f"{path}/codes", f"{path}/.codes_rewrite")
+    healed = read_ivf_pq_index(spark, path)
+    assert healed.codes.count() == total * 4
+    assert not os.path.exists(f"{path}/.codes_rewrite")
+
+    # and a real delete still works after all that
+    doomed = emb.where(F.col("vec_id") == 42).select("vec_id")
+    delete_from_ivf_pq_index(spark, path, doomed)
+    left = read_ivf_pq_index(spark, path)
+    assert left.cells.count() == total - 1
+
+
+def test_read_heals_crashed_compaction_duplicates_before_serving(
+    spark, emb, tmp_path
+):
+    """code-review r9: a compact_index crash can leave transient
+    duplicate rows (its monotone-superset protocol), which the ADC
+    sums would read as √2-inflated cosines. A leftover .compact_tmp
+    marks the crash; read_ivf_pq_index must force the full-dedup
+    repair before serving. Simulate: duplicate the codes table's
+    rows and plant the marker — the healed serve equals the clean
+    answer."""
+    import pathlib
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    q = emb.where(F.col("vec_id") < N_Q)
+    clean = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
+    )
+
+    codes_dir = f"{path}/codes"
+    dup = spark.read.parquet(codes_dir)
+    dup.write.mode("append").parquet(codes_dir)  # crash-window dupes
+    pathlib.Path(codes_dir, ".compact_tmp").mkdir()  # the crash marker
+
+    healed_idx = read_ivf_pq_index(spark, path)
+    assert healed_idx.codes.count() == emb.count() * 4
+    assert _rows(ivf_pq_search(healed_idx, q, K, DIM, n_probe=2)) == clean
+
+
 def test_compacting_row_tables_preserves_the_answer(spark, emb, tmp_path):
     """The index's row tables are append-only parquet with unique
     rows by construction, so ``compact_index``'s whole-row-dedup

@@ -160,6 +160,36 @@ def test_bloom_prune_matches_int_vs_fractional(spark):
     assert set(range(20)) <= {r.k for r in kept3.collect()}
 
 
+def test_bloom_prune_matches_numeric_vs_numeric_string(spark):
+    """code-review r9: the dtype-aware canonicalization fixed
+    int-vs-double but REGRESSED int-vs-'5' (a numeric build probed by
+    a numeric-LOOKING string column, which a plain equi-join matches
+    via implicit cast). The universal try_cast-through-double form
+    restores it, both directions, while leaving non-numeric strings
+    on the plain cast."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    ints = spark.range(50).selectExpr("CAST(id AS INT) AS k")
+    strs = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    kept = bloom_prune(strs, bloom_build(ints, "k"), "k")
+    assert {str(i) for i in range(50)} <= {r.k for r in kept.collect()}
+
+    kept2 = bloom_prune(
+        ints, bloom_build(strs.where("k < 30"), "k"), "k"
+    )
+    assert set(range(30)) <= {r.k for r in kept2.collect()}
+
+    # non-numeric strings still round-trip on the plain cast
+    words = spark.createDataFrame(
+        [("alpha",), ("beta",), ("5.0",)], "k string"
+    )
+    kept3 = bloom_prune(words, bloom_build(words, "k"), "k")
+    assert {r.k for r in kept3.collect()} == {"alpha", "beta", "5.0"}
+
+
 def test_bloom_rejects_unaligned_m_bits(spark):
     """code-review r8 (verified): a non-multiple-of-64 m_bits used to
     drop the final partial word at build and read past the array at

@@ -385,3 +385,27 @@ def test_compact_index_refuses_to_delete_foreign_sibling_dir(
     with pytest.raises(ValueError, match="refusing to delete"):
         compact_index(spark, path, target_file_bytes=1)
     assert (foreign / "users_backup.csv").exists()
+
+
+def test_compact_index_heals_legacy_tmp_with_spark_staging_dir(
+    spark, tmp_path
+):
+    """code-review r9: a mid-write crash leaves a _temporary/
+    DIRECTORY inside the legacy tmp — the most common crash shape —
+    which must still classify as Spark residue and self-heal, not
+    raise forever."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.range(100).selectExpr("id AS doc_id").coalesce(1).write.parquet(
+        path
+    )
+    legacy = tmp_path / "idx__compact_tmp"
+    (legacy / "_temporary" / "0").mkdir(parents=True)
+    (legacy / "part-00000-dead.snappy.parquet").write_bytes(b"PAR1")
+
+    compact_index(spark, path, target_file_bytes=1)
+    assert not legacy.exists()
+    assert spark.read.parquet(path).count() == 100

@@ -245,13 +245,16 @@ def pruning_probe(spark, factors: list[int]) -> None:
         base = Path(sf_dir)
         ts_dir = str(base / f"events_ts_sorted_{n_files}")
         z_dir = str(base / f"events_zordered_{n_files}")
-        if not Path(ts_dir).exists():
+        # _SUCCESS gates reuse: a bare existence check would measure a
+        # crashed partial write forever (code-review r9 — the same
+        # staleness guard build() has)
+        if not (Path(ts_dir) / "_SUCCESS").exists():
             (
                 ev.repartitionByRange(n_files, "ts")
                 .sortWithinPartitions("ts")
                 .write.mode("overwrite").parquet(ts_dir)
             )
-        if not Path(z_dir).exists():
+        if not (Path(z_dir) / "_SUCCESS").exists():
             write_zordered(ev, z_dir, ["ts", "user_id"], n_files)
         # 10% time window in the middle of the month (ts arrives as a
         # datetime here — the rewritten fixture is TIMESTAMP(MICROS) —

@@ -97,12 +97,21 @@ def build_ivf_pq_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     train: DataFrame | None = None,
+    metadata_cols: list[str] | None = None,
 ) -> IvfPqIndex:
     """Fit the index over ``emb``: coarse centroids (``centroids`` if
     given, else the deterministic seed), per-subspace PQ codebooks
     Lloyd-fit on ``train`` (default: the whole corpus — pass a bounded
     sample at scale; the fit cost must not grow with the corpus), then
-    one assignment + one encode pass over the full corpus."""
+    one assignment + one encode pass over the full corpus.
+
+    ``metadata_cols``: filterable attributes (tenant, language,
+    label) carried INTO the stored ``cells`` relation — one equi-join
+    against the source table at build time — so filtered search
+    (``ivf_pq_search(filter_cols=...)``) prunes candidates by
+    metadata inside the candidate equi-join, before any distance
+    math; at warehouse scale these are the partition columns of the
+    cells table."""
     cents = (
         centroids
         if centroids is not None
@@ -115,6 +124,10 @@ def build_ivf_pq_index(
     cells = ivf_assign_cells(
         emb, n_centroids, id_col, vec_col, n_probe=1, centroids=cents
     ).select(id_col, "cell")
+    if metadata_cols:
+        cells = cells.join(
+            emb.select(id_col, *metadata_cols), id_col
+        )
     enc = pq_encode(emb, cbs, dim, m, id_col, vec_col)
     return IvfPqIndex(cents, cbs, cells, enc)
 
@@ -273,6 +286,7 @@ def ivf_pq_search(
     m: int = PQ_M,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_cols: list[str] | None = None,
 ) -> DataFrame:
     """Serve ADC top-k from a (persisted) index: the query vectors are
     assigned to their ``n_probe`` nearest stored centroids (broadcast
@@ -280,18 +294,33 @@ def ivf_pq_search(
     the stored codes via the shared ``_ivf_pq_adc_topk`` core. Row-
     identical to ``ivf_pq_topk`` when the index was built from the
     same corpus with the same geometry (the persisted-vs-in-session
-    oracle equality ``ivf_pq_persisted_topk`` pins)."""
+    oracle equality ``ivf_pq_persisted_topk`` pins).
+
+    ``filter_cols``: metadata-filtered search over the compressed
+    index — the listed columns must exist on ``queries`` AND have
+    been carried into the stored cells (``build_ivf_pq_index(
+    metadata_cols=...)``); candidates then pair only on matching
+    metadata, inside the same hash equi-join that matches cells
+    (``ivf_pq_filtered_topk`` pins it against a relational oracle)."""
+    filter_cols = list(filter_cols or [])
     q_assigned = ivf_assign_cells(
         queries, 0, id_col, vec_col, n_probe=n_probe,
         centroids=index.centroids,
     )
+    if filter_cols:
+        q_assigned = q_assigned.join(
+            queries.select(id_col, *filter_cols), id_col
+        )
     return _ivf_pq_adc_topk(
         q_assigned,
-        index.cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        index.cells.select(
+            F.col(id_col).alias("neighbor_id"), "cell", *filter_cols
+        ),
         index.codebooks,
         index.codes,
         k,
         dim,
         m=m,
         id_col=id_col,
+        match_cols=filter_cols,
     )

@@ -829,6 +829,7 @@ def _ivf_pq_adc_topk(
     dim: int,
     m: int = PQ_M,
     id_col: str = "vec_id",
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """The ADC scoring core shared by ``ivf_pq_topk`` (in-session
     index relations) and ``ann_index.ivf_pq_search`` (persisted index
@@ -837,9 +838,18 @@ def _ivf_pq_adc_topk(
     n_probe rows per query; ``homed`` is the corpus home-cell relation
     (neighbor_id, cell) — exactly what the persisted ``cells`` table
     stores, so the index never needs the float vectors at query
-    time."""
+    time.
+
+    ``match_cols``: metadata-filtered search (the "tenant/language
+    filter + ANN" production pattern on the COMPRESSED index): extra
+    columns present on BOTH ``q_assigned`` and ``homed`` that join
+    into the candidate equi-join keys alongside ``cell`` — a query
+    pairs only with same-metadata candidates, before any distance
+    math, and the join stays a hash equi-join (the
+    ``filtered_cosine_topk`` semantics on the codes path)."""
     from pyspark.sql.window import Window
 
+    match_cols = list(match_cols or [])
     # NOTE: no float query vector here — the ADC path touches floats
     # only inside the LUT build (q1 below); keeping q code-and-norm
     # narrow preserves the memory story in the docstring.
@@ -847,6 +857,7 @@ def _ivf_pq_adc_topk(
         F.col(id_col).alias("query_id"),
         F.col("nrm").alias("nq"),
         "cell",
+        *match_cols,
     )
     # per-query ADC lookup table: (query_id, sub, code, qd) — tiny.
     # Built from the probe_rank=1 rows ONLY: the multi-probe query
@@ -875,8 +886,8 @@ def _ivf_pq_adc_topk(
         "sub", F.col("cell").alias("code"), F.expr(_dot("vc", "vc")).alias("cn2")
     )
     cand = (
-        q.select("query_id", "nq", "cell")
-        .join(homed, "cell")
+        q.select("query_id", "nq", "cell", *match_cols)
+        .join(homed, ["cell", *match_cols])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "nq", "neighbor_id")
     )

@@ -680,17 +680,26 @@ def _ivf_pq_oracle(
     limit: int = TOPK,
     train_max: int | None = None,
     corpus_pred: str | None = None,
+    filter_col: str | None = None,
 ) -> str:
     """``corpus_pred`` restricts INDEX MEMBERSHIP (the homed corpus
     side) without touching the fitted artifacts — the oracle twin of
     ``delete_from_ivf_pq_index``: codebooks/centroids stay trained on
-    the full corpus, deleted vectors just stop being candidates."""
+    the full corpus, deleted vectors just stop being candidates.
+    ``filter_col`` adds metadata-filtered search: the column threads
+    through the homed relation and joins into the candidate equality
+    — the twin of ``ivf_pq_search(filter_cols=[...])``."""
     cb = f"pq{PQ_ITERS}"
     member = f" AND ({corpus_pred})" if corpus_pred else ""
+    fsel = f", {filter_col}" if filter_col else ""
+    fsel_e = f", e.{filter_col}" if filter_col else ""
+    fmatch = (
+        f" AND p.{filter_col} = h.{filter_col}" if filter_col else ""
+    )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm{fsel}
       FROM embeddings
       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
@@ -710,14 +719,14 @@ def _ivf_pq_oracle(
     cents AS (SELECT vec_id AS cell, v AS vc2, nrm AS nc FROM e
               WHERE vec_id < {N_CENTROIDS}),
     probes AS (
-      SELECT vec_id, v, nrm, cell, rn FROM (
-        SELECT e.vec_id, e.v, e.nrm, cents.cell,
+      SELECT vec_id, v, nrm, cell, rn{fsel} FROM (
+        SELECT e.vec_id, e.v, e.nrm, cents.cell{fsel_e},
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY list_dot_product(e.v, cents.vc2) / (e.nrm * cents.nc)
                           DESC, cents.cell) AS rn
         FROM e CROSS JOIN cents) WHERE rn <= {N_PROBE}
     ),
-    homed AS (SELECT vec_id AS neighbor_id, cell FROM probes
+    homed AS (SELECT vec_id AS neighbor_id, cell{fsel} FROM probes
               WHERE rn = 1{member}),
     qs AS (SELECT vec_id AS query_id, sub, sv FROM sv
            WHERE vec_id < {N_QUERIES}),
@@ -728,7 +737,7 @@ def _ivf_pq_oracle(
     ),
     cand AS (
       SELECT p.vec_id AS query_id, p.nrm AS nq, h.neighbor_id
-      FROM probes p JOIN homed h ON p.cell = h.cell
+      FROM probes p JOIN homed h ON p.cell = h.cell{fmatch}
       WHERE p.vec_id < {N_QUERIES} AND p.vec_id != h.neighbor_id
     ),
     scored AS (
@@ -923,9 +932,16 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
                 spark, path,
                 emb.where(F.col("vec_id") >= PQ_TRAIN_MAX), EMB_DIM,
             )
-        else:  # "full" and "deleted" share the full build
+        else:  # "full" and "deleted" share the full build; the full
+            # variant carries label metadata into the stored cells so
+            # the unfiltered AND filtered serve queries read ONE
+            # artifact (metadata columns are free for the unfiltered
+            # path — it projects them away)
             write_ivf_pq_index(
-                build_ivf_pq_index(emb, EMB_DIM, n_centroids=N_CENTROIDS),
+                build_ivf_pq_index(
+                    emb, EMB_DIM, n_centroids=N_CENTROIDS,
+                    metadata_cols=["label"] if variant == "full" else None,
+                ),
                 path,
             )
             if variant == "deleted":  # FAISS remove_ids
@@ -961,6 +977,39 @@ def ivf_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         EMB_DIM,
         n_probe=N_PROBE,
+    )
+
+
+@register(
+    "ivf_pq_filtered_topk",
+    oracle=_ivf_pq_oracle(filter_col="label"),
+)
+def ivf_pq_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED search over the persisted compressed index
+    (the "tenant/language filter + ANN" production pattern,
+    compressed-path edition): the stored cells carry the label
+    column, so a query pairs only with same-label candidates INSIDE
+    the candidate hash equi-join — the filter prunes before any
+    distance math, and at warehouse scale it is the cells table's
+    partition column (partition pruning does the filtering before the
+    join even scans). Complements ``filtered_cosine_topk`` (the
+    exact-float sibling); same shared full-build artifact as
+    ``ivf_pq_persisted_topk``."""
+    from map_reduce_library_spark.operators.ann_index import (
+        ivf_pq_search,
+        read_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(
+        read_ivf_pq_index(
+            spark, _persisted_index_path(spark, sf_dir, "full")
+        ),
+        emb.where(F.col("vec_id") < N_QUERIES),
+        TOPK,
+        EMB_DIM,
+        n_probe=N_PROBE,
+        filter_cols=["label"],
     )
 
 

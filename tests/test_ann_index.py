@@ -307,5 +307,45 @@ def test_deleted_query_matches_oracle(spark):
     assert_oracle_match(spark, "ivf_pq_deleted_topk")
 
 
+def test_filtered_query_matches_oracle(spark):
+    assert_oracle_match(spark, "ivf_pq_filtered_topk")
+
+
+def test_filtered_search_only_pairs_matching_metadata(spark, emb, tmp_path):
+    """Every (query, neighbor) the filtered compressed search returns
+    shares the query's label; with the filter off, cross-label pairs
+    appear (the filter is doing real work on this corpus)."""
+    from map_reduce_library_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(
+        build_ivf_pq_index(
+            emb, DIM, n_centroids=16, metadata_cols=["label"]
+        ),
+        path,
+    )
+    idx = read_ivf_pq_index(spark, path)
+    q = emb.where(F.col("vec_id") < N_Q)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+
+    filtered = ivf_pq_search(
+        idx, q, K, DIM, n_probe=2, filter_cols=["label"]
+    ).collect()
+    assert filtered
+    assert all(
+        labels[r.query_id] == labels[r.neighbor_id] for r in filtered
+    )
+
+    unfiltered = ivf_pq_search(idx, q, K, DIM, n_probe=2).collect()
+    assert any(
+        labels[r.query_id] != labels[r.neighbor_id] for r in unfiltered
+    ), "corpus should contain cross-label neighbors for the contrast"
+
+
 def test_incremental_query_matches_oracle(spark):
     assert_oracle_match(spark, "ivf_pq_incremental_topk")

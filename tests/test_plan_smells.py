@@ -95,6 +95,7 @@ ALLOWED_BOUNDED_BROADCAST = {
     "ivf_pq_persisted_topk",
     "ivf_pq_incremental_topk",
     "ivf_pq_deleted_topk",
+    "ivf_pq_filtered_topk",
 }
 
 

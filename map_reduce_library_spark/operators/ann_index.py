@@ -203,28 +203,58 @@ def append_ivf_pq_index(
     existing corpus floats are never rescanned (the
     ``incremental_emb_pairs`` property, applied to the PQ index).
 
-    REPLAY GUARD (code-review r9): ids already present in ``cells``
-    are excluded before the append. Unlike the LSH signature index
-    (whose duplicated rows only re-emit pair rows the reader dedups),
-    the ADC scorer SUMS per-(query, neighbor) code contributions, so
-    a duplicated codes row would inflate that neighbor's cosine by
-    √2 silently — a crash-retried append must therefore be
-    idempotent at the row level. Cost: one column-pruned scan of the
-    cells id column, semi-joined against the (bounded, broadcast)
-    batch ids."""
+    REPLAY GUARD, PER TABLE (code-review r9, both rounds): ids
+    already present in a row table are excluded from THAT table's
+    append. Unlike the LSH signature index (whose duplicated rows
+    only re-emit pair rows the reader dedups), the ADC scorer SUMS
+    per-(query, neighbor) code contributions, so a duplicated codes
+    row would inflate that neighbor's cosine by √2 silently — a
+    crash-retried append must be row-idempotent. And the guard must
+    be per-table, not keyed on the first-written table: a crash
+    BETWEEN the cells and codes writes would otherwise make the retry
+    a no-op and strand the batch in cells with no codes (invisible to
+    every answer through the cand⋈encoded inner join). Each table's
+    guard is one column-pruned scan of that table's id column,
+    semi-joined against the (bounded, broadcast) batch ids; each
+    fresh-rows plan feeds exactly one write, so nothing executes
+    twice. Metadata columns the index was built with
+    (``build_ivf_pq_index(metadata_cols=...)``) are carried through
+    automatically — ``new_emb`` must supply them, or the appended
+    files would fork the cells schema and appended rows would be
+    invisible to filtered search (NULL never equi-joins)."""
     idx = read_ivf_pq_index(spark, path)
-    batch_ids = F.broadcast(
-        new_emb.select(F.col(id_col)).distinct()
-    )
-    already = F.broadcast(
-        idx.cells.select(id_col).join(batch_ids, id_col, "semi")
-    )
-    fresh = new_emb.join(already, id_col, "left_anti")
+    metadata_cols = [
+        c for c in idx.cells.columns if c not in (id_col, "cell")
+    ]
+    missing = [c for c in metadata_cols if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} stores metadata columns {metadata_cols}; "
+            f"the appended batch lacks {missing}"
+        )
+    batch_ids = F.broadcast(new_emb.select(F.col(id_col)).distinct())
+
+    def _fresh_against(table: DataFrame) -> DataFrame:
+        already = F.broadcast(
+            table.select(id_col).join(batch_ids, id_col, "semi")
+        )
+        return new_emb.join(already, id_col, "left_anti")
+
+    fresh_cells = _fresh_against(idx.cells)
     new_cells = ivf_assign_cells(
-        fresh, 0, id_col, vec_col, n_probe=1, centroids=idx.centroids
+        fresh_cells, 0, id_col, vec_col, n_probe=1,
+        centroids=idx.centroids,
     ).select(id_col, "cell")
-    new_codes = pq_encode(fresh, idx.codebooks, dim, m, id_col, vec_col)
+    if metadata_cols:
+        new_cells = new_cells.join(
+            fresh_cells.select(id_col, *metadata_cols), id_col
+        )
     new_cells.write.mode("append").parquet(os.path.join(path, "cells"))
+
+    fresh_codes = _fresh_against(idx.codes)
+    new_codes = pq_encode(
+        fresh_codes, idx.codebooks, dim, m, id_col, vec_col
+    )
     new_codes.write.mode("append").parquet(os.path.join(path, "codes"))
 
 

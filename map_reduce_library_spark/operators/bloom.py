@@ -49,25 +49,30 @@ BLOOM_K = 5
 def canonical_bloom_key(key: Column | str) -> Column:
     """The UNIVERSAL canonical form every bloom key is hashed through:
 
-        coalesce(CAST(try_cast(key AS double) AS string),
-                 CAST(key AS string))
+        s := CAST(key AS string)
+        coalesce(CAST(try_cast(s AS double) AS string), s)
 
-    i.e. anything double-interpretable — every numeric dtype AND
-    numeric-looking strings — canonicalizes to the double's string
-    form; everything else keeps the plain string cast. One expression,
-    no dtype introspection, so build and probe CANNOT disagree no
+    — cast to STRING FIRST (legal for every Spark dtype, so the
+    expression never fails analysis — a direct try_cast(key AS
+    double) raises DATATYPE_MISMATCH for DATE/binary/array keys,
+    code-review r9), then re-parse: anything whose string rendering
+    is double-interpretable — every numeric dtype and numeric-looking
+    strings — canonicalizes to the parsed double's string form;
+    dates, timestamps, booleans, and non-numeric strings keep their
+    plain rendering (matching the pre-r9 behavior for those dtypes).
+    One dtype-free expression, so build and probe CANNOT disagree no
     matter which side is int, bigint, float, decimal, or the string
-    '5': all the mixes a plain equi-join would match via its implicit
-    cast-to-double (5 vs 5.0 vs '5' — code-review r9: the dtype-aware
-    variant fixed int-vs-double but regressed int-vs-'5') hash
-    identically. Consistent routing cannot create false NEGATIVES: a
-    true-matching pair collapses to the same canonical string on both
-    sides; distinct keys collapsing together only add false
-    positives, which a Bloom filter tolerates by design."""
+    '5': all the numeric mixes a plain equi-join would match via its
+    implicit cast-to-double (5 vs 5.0 vs '5') hash identically —
+    including float32 vs float64, because BOTH route through the
+    shortest-decimal string rendering rather than one side taking a
+    widening binary cast. Consistent routing cannot create false
+    NEGATIVES: a true-matching pair collapses to the same canonical
+    string on both sides; distinct keys collapsing together only add
+    false positives, which a Bloom filter tolerates by design."""
     c = F.col(key) if isinstance(key, str) else key
-    return F.coalesce(
-        c.try_cast("double").cast("string"), c.cast("string")
-    )
+    s = c.cast("string")
+    return F.coalesce(s.try_cast("double").cast("string"), s)
 
 
 def bloom_positions(

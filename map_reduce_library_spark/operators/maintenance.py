@@ -314,6 +314,19 @@ def compact_index(
         ):
             small.pop(0)
     if len(small) <= 1:
+        # Clear crash residue BEFORE the trivial-count early return
+        # (code-review r9): a pass that crashed after renaming its
+        # output in and deleting the old files — leaving ONE
+        # (already-deduplicated) file plus the tmp marker — would
+        # otherwise never delete the marker, and every marker-driven
+        # repair (read_ivf_pq_index forces full=True on seeing it)
+        # would re-trigger forever. Reaching here with the marker
+        # present means the directory holds at most one data file, so
+        # no cross-file duplicates can exist and dropping the
+        # leftover staging copy loses nothing (sources were never
+        # deleted before their compacted replacements landed).
+        if fs.exists(tmp_jpath):
+            fs.delete(tmp_jpath, True)
         return n_files
     old_paths = [p for p, _len in small]
     df = spark.read.parquet(*[p.toString() for p in old_paths])

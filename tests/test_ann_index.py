@@ -187,6 +187,119 @@ def test_replayed_append_is_row_idempotent(spark, emb, tmp_path):
     assert _rows(ivf_pq_search(idx, q, K, DIM, n_probe=2)) == once
 
 
+def test_append_crash_between_writes_repairs_on_retry(spark, emb, tmp_path):
+    """code-review r9 round 2: the replay guard must be PER TABLE — a
+    crash after the cells write but before the codes write must leave
+    the retry able to append the missing codes rows (a cells-keyed
+    guard would no-op the retry and strand the batch with no codes,
+    invisible to every answer). Simulate by appending cells only,
+    then running the real append."""
+    import os
+
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+    )
+    from map_reduce_library_spark.operators.similarity import (
+        ivf_assign_cells,
+    )
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+
+    # crash window: cells landed, codes did not
+    idx = read_ivf_pq_index(spark, path)
+    ivf_assign_cells(
+        b, 0, n_probe=1, centroids=idx.centroids
+    ).select("vec_id", "cell").write.mode("append").parquet(
+        os.path.join(path, "cells")
+    )
+
+    append_ivf_pq_index(spark, path, b, DIM)  # the retry
+    healed = read_ivf_pq_index(spark, path)
+    assert healed.cells.count() == emb.count()  # no cells duplicates
+    assert healed.codes.count() == emb.count() * 4  # codes repaired
+
+    q = emb.where(F.col("vec_id") < N_Q)
+    ref_path = str(tmp_path / "ref")
+    write_ivf_pq_index(
+        build_ivf_pq_index(emb, DIM, n_centroids=16, train=a), ref_path
+    )
+    want = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, ref_path), q, K, DIM,
+                      n_probe=2)
+    )
+    assert _rows(ivf_pq_search(healed, q, K, DIM, n_probe=2)) == want
+
+
+def test_append_into_metadata_index_carries_and_validates(
+    spark, emb, tmp_path
+):
+    """code-review r9 round 2: appending into a metadata-built index
+    must carry the metadata columns (appended rows would otherwise
+    read label=NULL and be invisible to filtered search) and must
+    reject a batch lacking them."""
+    import pytest
+
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+    )
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(
+        build_ivf_pq_index(
+            a, DIM, n_centroids=16, metadata_cols=["label"]
+        ),
+        path,
+    )
+    with pytest.raises(ValueError, match="lacks"):
+        append_ivf_pq_index(spark, path, b.drop("label"), DIM)
+
+    append_ivf_pq_index(spark, path, b, DIM)
+    idx = read_ivf_pq_index(spark, path)
+    assert idx.cells.where(F.col("label").isNull()).count() == 0
+    served = ivf_pq_search(
+        idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2,
+        filter_cols=["label"],
+    ).collect()
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    appended_hits = [
+        r for r in served if r.neighbor_id >= 250
+    ]
+    assert appended_hits, "appended vectors must be visible to filtered search"
+    assert all(
+        labels[r.query_id] == labels[r.neighbor_id] for r in served
+    )
+
+
+def test_compaction_marker_clears_even_on_single_file_tables(
+    spark, emb, tmp_path
+):
+    """code-review r9 round 2: a compaction that crashed after its
+    renames+deletes (one compacted file + the tmp marker left) must
+    clear the marker on the next pass instead of re-triggering the
+    marker-driven repair forever."""
+    import pathlib
+
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    cells_dir = f"{path}/cells"
+    compact_index(spark, cells_dir, full=True)  # -> single file
+    marker = pathlib.Path(cells_dir, ".compact_tmp")
+    marker.mkdir()
+    read_ivf_pq_index(spark, path)  # triggers the marker-driven repair
+    assert not marker.exists(), "marker must clear on the repair pass"
+
+
 def test_interrupted_delete_heals_to_a_superset_state(spark, emb, tmp_path):
     """code-review r9: the delete swap is a rename protocol whose
     crash states heal on the next read. Simulate the two windows:

@@ -190,6 +190,41 @@ def test_bloom_prune_matches_numeric_vs_numeric_string(spark):
     assert {r.k for r in kept3.collect()} == {"alpha", "beta", "5.0"}
 
 
+def test_bloom_handles_date_timestamp_bool_and_float32_keys(spark):
+    """code-review r9 round 2: the first universal form raised
+    DATATYPE_MISMATCH at analysis for DATE keys (try_cast to double is
+    a disallowed combo) and double-routed timestamps/booleans away
+    from their string renderings. The string-first form must (a) not
+    fail analysis on any dtype, (b) round-trip date/ts/bool builds,
+    (c) match float32 builds probed by float64 (both route through
+    the shortest-decimal rendering, not a widening binary cast)."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    dates = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-01-20') AS ds"
+    ).selectExpr("explode(ds) AS k")
+    kept = bloom_prune(dates, bloom_build(dates, "k"), "k")
+    assert kept.count() == 20
+
+    ts = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP'2024-01-01 00:00:00',"
+        " TIMESTAMP'2024-01-01 00:00:09', INTERVAL 1 SECOND)) AS k"
+    )
+    assert bloom_prune(ts, bloom_build(ts, "k"), "k").count() == 10
+
+    floats = spark.createDataFrame(
+        [(1.5,), (2.25,), (5.1,)], "k double"
+    ).selectExpr("CAST(k AS FLOAT) AS k")
+    doubles = spark.createDataFrame(
+        [(1.5,), (2.25,), (5.1,), (9.9,)], "k double"
+    )
+    kept_f = bloom_prune(doubles, bloom_build(floats, "k"), "k")
+    assert {1.5, 2.25, 5.1} <= {r.k for r in kept_f.collect()}
+
+
 def test_bloom_rejects_unaligned_m_bits(spark):
     """code-review r8 (verified): a non-multiple-of-64 m_bits used to
     drop the final partial word at build and read past the array at

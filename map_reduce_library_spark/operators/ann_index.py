@@ -11,7 +11,7 @@ it): the fitted index is four parquet tables under one directory,
     <path>/centroids   (cell bigint, vc array<double>, nc double)
     <path>/codebooks   (sub int, cell bigint, vc array<double>)
     <path>/cells       (vec_id, cell)          -- home cell per vector
-    <path>/codes       (vec_id, sub, code)     -- PQ codes per vector
+    <path>/codes       (vec_id, sub, code, cell) -- PQ codes per vector
 
 and a fresh session serves top-k from those tables alone — the float
 corpus is touched only on the (bounded) query side. Appending new
@@ -25,10 +25,20 @@ row-identical to build(A∪B, train=A) — the convergence contract
 ``tests/test_ann_index.py`` pins.
 
 At 100 TB: ``cells``/``codes`` are id-and-small-int relations (the
-memory story of ``ivf_pq_topk``); write them partitioned/bucketed by
-``cell`` so a query's probed cells map to file-pruned reads.
+memory story of ``ivf_pq_topk``), HIVE-PARTITIONED BY ``cell``
+(VERDICT r9 item 1) so a query's probed cells map to directory-pruned
+reads — the serve path collects the (≤ n_centroids) probed cell ids
+and pushes ``cell IN (...)`` into both scans as a partition filter;
+files read scale with n_probe, never with the corpus
+(``tests/test_ann_index.py`` asserts the numFiles scan metric). The
+``codes`` table carries the home cell alongside each code row for
+exactly this reason: a neighbor is only ever scored when its home
+cell is probed, so its codes live under the probed directory.
 ``centroids``/``codebooks`` are tiny (≤ n_centroids and m×codes rows)
-and broadcast at query time.
+and broadcast at query time. All crash-protocol filesystem steps
+(heal / delete renames) go through the Hadoop FileSystem API resolved
+from the index path itself (ADVICE r9), so the protocol holds on
+hdfs:// and s3a:// paths, not just the driver-local disk.
 
 Reference: the reference engine (IdoSagiv/map-reduce-library) has no
 vector ops — SURVEY.md §2D extension (VERDICT r8 next-round item 1).
@@ -36,7 +46,7 @@ vector ops — SURVEY.md §2D extension (VERDICT r8 next-round item 1).
 
 from __future__ import annotations
 
-import os
+import posixpath
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +74,50 @@ class IvfPqIndex(NamedTuple):
 
 
 _PARTS = ("centroids", "codebooks", "cells", "codes")
+_ROW_TABLES = ("cells", "codes")
+
+
+# ---- Hadoop FileSystem plumbing ---------------------------------------------
+# The delete/heal rename protocol used to run on os.path/os.rename
+# (driver-local only); on any non-local FS healing silently no-oped and
+# delete raised FileNotFoundError (ADVICE r9, medium). Every protocol
+# step now resolves the FileSystem FROM THE INDEX PATH, the same way
+# ``maintenance.compact_index`` does, so local/hdfs/s3a all follow the
+# same rename discipline. (On object stores a directory "rename" is a
+# copy inside the FS connector — still correct, just not O(1); a real
+# deployment would put the index on a rename-capable store.)
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path`` — whatever FS the path names."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jp(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _rename_or_raise(fs, jvm, src: str, dst: str) -> None:
+    """Hadoop rename signals most failures by returning false, not
+    raising — a false MUST abort the protocol (a half-swapped index
+    healed later beats a silently mangled one)."""
+    if not fs.rename(_jp(jvm, src), _jp(jvm, dst)):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def _cell_partition_dirs(fs, jvm, table_dir: str) -> list:
+    """The ``cell=<v>`` partition subdirectories of a row table (empty
+    for the legacy flat layout)."""
+    jpath = _jp(jvm, table_dir)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("cell=")
+    ]
 
 
 def seed_centroids(
@@ -103,15 +157,17 @@ def build_ivf_pq_index(
     given, else the deterministic seed), per-subspace PQ codebooks
     Lloyd-fit on ``train`` (default: the whole corpus — pass a bounded
     sample at scale; the fit cost must not grow with the corpus), then
-    one assignment + one encode pass over the full corpus.
+    one assignment + one encode pass over the full corpus. The encoded
+    codes carry each vector's home cell so the persisted codes table
+    can be laid out (and pruned) by cell.
 
     ``metadata_cols``: filterable attributes (tenant, language,
     label) carried INTO the stored ``cells`` relation — one equi-join
     against the source table at build time — so filtered search
     (``ivf_pq_search(filter_cols=...)``) prunes candidates by
     metadata inside the candidate equi-join, before any distance
-    math; at warehouse scale these are the partition columns of the
-    cells table."""
+    math; at warehouse scale these are secondary partition columns of
+    the cells table."""
     cents = (
         centroids
         if centroids is not None
@@ -121,47 +177,73 @@ def build_ivf_pq_index(
         train if train is not None else emb,
         dim, m, codes, iters, id_col=id_col, vec_col=vec_col,
     )
-    cells = ivf_assign_cells(
+    assigned = ivf_assign_cells(
         emb, n_centroids, id_col, vec_col, n_probe=1, centroids=cents
     ).select(id_col, "cell")
+    cells = assigned
     if metadata_cols:
         cells = cells.join(
             emb.select(id_col, *metadata_cols), id_col
-        )
-    enc = pq_encode(emb, cbs, dim, m, id_col, vec_col)
+        ).select(id_col, "cell", *metadata_cols)
+    enc = pq_encode(emb, cbs, dim, m, id_col, vec_col).join(
+        assigned, id_col
+    )
     return IvfPqIndex(cents, cbs, cells, enc)
 
 
 def write_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
     """Persist all four relations under ``path``. ``overwrite`` on the
     fitted artifacts (a re-write is a rebuild); the row tables write
-    ``overwrite`` too — appends go through ``append_ivf_pq_index``."""
-    for name, df in zip(_PARTS, index):
-        df.write.mode("overwrite").parquet(os.path.join(path, name))
+    ``overwrite`` too — appends go through ``append_ivf_pq_index``.
+
+    Layout: ``cells``/``codes`` are written ``partitionBy("cell")``
+    after a hash ``repartition("cell")``, so each cell's rows land in
+    exactly one file under its own ``cell=<v>`` directory — the probed
+    cells of a search map to directory-pruned reads and the file count
+    stays n_centroids per table, not tasks×cells. At a real 100 TB a
+    cell exceeds one file; ``repartition(n, "cell")`` plus periodic
+    ``compact_ivf_pq_index`` keep per-directory file sizes bounded
+    without changing the pruning story."""
+    id_col = index.codes.columns[0]
+    codes = index.codes
+    if "cell" not in codes.columns:
+        # an index assembled by hand (or a legacy build) without the
+        # home cell on the codes relation: derive it from cells
+        codes = codes.join(index.cells.select(id_col, "cell"), id_col)
+    for name, df in zip(_PARTS, (index.centroids, index.codebooks)):
+        df.write.mode("overwrite").parquet(posixpath.join(path, name))
+    for name, df in (("cells", index.cells), ("codes", codes)):
+        (
+            df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(posixpath.join(path, name))
+        )
 
 
-def _heal_interrupted_delete(path: str) -> None:
+def _heal_interrupted_delete(spark: SparkSession, path: str) -> None:
     """Repair the observable crash states of ``delete_from_ivf_pq_
     index``'s rename protocol (monotone-superset, like
     ``compact_index``): a missing row table whose ``.<part>_old``
     sibling exists is restored to the PRE-DELETE state (a superset —
     the delete is lost, never data), and a leftover ``.<part>_rewrite``
     beside an intact table is discarded (incomplete staging; the
-    source was never touched)."""
-    import shutil
-
-    for part in ("cells", "codes"):
-        src = os.path.join(path, part)
-        old = os.path.join(path, f".{part}_old")
-        stage = os.path.join(path, f".{part}_rewrite")
-        if not os.path.exists(src) and os.path.exists(old):
-            os.rename(old, src)
-        elif os.path.exists(src) and os.path.exists(old):
+    source was never touched). All steps via the path's own Hadoop
+    FileSystem (ADVICE r9)."""
+    fs, jvm = _fs(spark, path)
+    for part in _ROW_TABLES:
+        src = posixpath.join(path, part)
+        old = posixpath.join(path, f".{part}_old")
+        stage = posixpath.join(path, f".{part}_rewrite")
+        src_p, old_p, stage_p = _jp(jvm, src), _jp(jvm, old), _jp(jvm, stage)
+        if not fs.exists(src_p) and fs.exists(old_p):
+            _rename_or_raise(fs, jvm, old, src)
+        elif fs.exists(src_p) and fs.exists(old_p):
             # both present: crash AFTER the forward swap completed but
             # before the old copy was removed — src is authoritative
-            shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(stage) and os.path.exists(src):
-            shutil.rmtree(stage, ignore_errors=True)
+            fs.delete(old_p, True)
+        if fs.exists(stage_p) and fs.exists(src_p):
+            fs.delete(stage_p, True)
 
 
 def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -169,23 +251,67 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     built on top starts from a scan of the stored relations, never
     from the float corpus. Heals crash residue first: interrupted
     deletes (``_heal_interrupted_delete``) and interrupted
-    compactions — a ``.compact_tmp`` left inside a row table means a
-    ``compact_index`` pass died mid-protocol and the table may hold
-    transient duplicate rows, which the ADC scorer's per-neighbor
-    SUMS would read as inflated cosines (unlike the dup-idempotent
-    streaming index readers); forcing the full-dedup repair BEFORE
-    serving closes that window (code-review r9)."""
-    _heal_interrupted_delete(path)
-    for part in ("cells", "codes"):
-        if os.path.exists(os.path.join(path, part, ".compact_tmp")):
-            from map_reduce_library_spark.operators.maintenance import (
-                compact_index,
-            )
+    compactions — a ``.compact_tmp`` left inside a row table (at the
+    table root for the legacy flat layout, inside a ``cell=``
+    directory for the partitioned one) means a compaction pass died
+    mid-protocol and that directory may hold transient duplicate
+    rows, which the ADC scorer's per-neighbor SUMS would read as
+    inflated cosines (unlike the dup-idempotent streaming index
+    readers); forcing the full-dedup repair BEFORE serving closes
+    that window (code-review r9).
 
-            compact_index(spark, os.path.join(path, part), full=True)
-    return IvfPqIndex(
-        *(spark.read.parquet(os.path.join(path, n)) for n in _PARTS)
+    The ``cell`` partition column comes back from directory names with
+    Spark's narrowest-type inference (int); it is cast back to long so
+    joins and row-compares never depend on the physical layout."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
     )
+
+    _heal_interrupted_delete(spark, path)
+    fs, jvm = _fs(spark, path)
+    for part in _ROW_TABLES:
+        table = posixpath.join(path, part)
+        targets = [d.toString() for d in _cell_partition_dirs(fs, jvm, table)]
+        targets.append(table)  # legacy flat layout keeps the root check
+        for d in targets:
+            if fs.exists(_jp(jvm, posixpath.join(d, ".compact_tmp"))):
+                compact_index(spark, d, full=True)
+
+    def _load(name: str) -> DataFrame:
+        df = spark.read.parquet(posixpath.join(path, name))
+        if name in _ROW_TABLES and "cell" in df.columns:
+            cols = [c for c in df.columns if c != "cell"]
+            # stable logical order (id, cell, rest) + the long cast,
+            # whatever the physical layout
+            df = df.select(
+                cols[0],
+                F.col("cell").cast("long").alias("cell"),
+                *cols[1:],
+            )
+        return df
+
+    return IvfPqIndex(*(_load(n) for n in _PARTS))
+
+
+def _is_cell_partitioned(spark: SparkSession, table_dir: str) -> bool:
+    fs, jvm = _fs(spark, table_dir)
+    return bool(_cell_partition_dirs(fs, jvm, table_dir))
+
+
+def _append_rows(spark: SparkSession, df: DataFrame, table_dir: str) -> None:
+    """Append rows preserving the table's physical layout: cell-
+    partitioned tables get a partitioned append (one file per touched
+    cell), legacy flat tables a flat one (mixing layouts under one
+    root breaks partition discovery for every later reader)."""
+    if _is_cell_partitioned(spark, table_dir):
+        (
+            df.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(table_dir)
+        )
+    else:
+        df.write.mode("append").parquet(table_dir)
 
 
 def append_ivf_pq_index(
@@ -203,26 +329,54 @@ def append_ivf_pq_index(
     existing corpus floats are never rescanned (the
     ``incremental_emb_pairs`` property, applied to the PQ index).
 
+    BATCH HYGIENE (ADVICE r10): exact duplicate rows in the batch
+    (e.g. a union of overlapping sources) collapse to one before any
+    guard — the ADC scorer SUMS per-neighbor code contributions, so a
+    batch-internal duplicate would otherwise write duplicate codes
+    rows and inflate that neighbor's cosine by √2 silently. A batch
+    that carries the SAME id on CONFLICTING rows (different vector or
+    metadata) raises: there is no right row to pick, and encoding an
+    arbitrary one would silently drop data. An id already IN the
+    index is excluded by the replay guard whatever its vector — the
+    id is the identity; re-ingesting a changed vector under an
+    existing id is delete-then-append, a deliberate operation.
+
     REPLAY GUARD, PER TABLE (code-review r9, both rounds): ids
     already present in a row table are excluded from THAT table's
-    append. Unlike the LSH signature index (whose duplicated rows
-    only re-emit pair rows the reader dedups), the ADC scorer SUMS
-    per-(query, neighbor) code contributions, so a duplicated codes
-    row would inflate that neighbor's cosine by √2 silently — a
-    crash-retried append must be row-idempotent. And the guard must
-    be per-table, not keyed on the first-written table: a crash
-    BETWEEN the cells and codes writes would otherwise make the retry
-    a no-op and strand the batch in cells with no codes (invisible to
-    every answer through the cand⋈encoded inner join). Each table's
-    guard is one column-pruned scan of that table's id column,
-    semi-joined against the (bounded, broadcast) batch ids; each
-    fresh-rows plan feeds exactly one write, so nothing executes
-    twice. Metadata columns the index was built with
-    (``build_ivf_pq_index(metadata_cols=...)``) are carried through
-    automatically — ``new_emb`` must supply them, or the appended
-    files would fork the cells schema and appended rows would be
-    invisible to filtered search (NULL never equi-joins)."""
+    append. A crash BETWEEN the cells and codes writes must leave the
+    retry able to repair the missing table (a guard keyed on the
+    first-written table would no-op the retry and strand the batch in
+    cells with no codes, invisible to every answer through the
+    cand⋈encoded inner join). Each table's guard is one column-pruned
+    scan of that table's id column, semi-joined against the (bounded,
+    broadcast) batch ids; each fresh-rows plan feeds exactly one
+    write, so nothing executes twice. Metadata columns the index was
+    built with (``build_ivf_pq_index(metadata_cols=...)``) are
+    carried through automatically — ``new_emb`` must supply them, or
+    the appended files would fork the cells schema and appended rows
+    would be invisible to filtered search (NULL never equi-joins).
+
+    SINGLE WRITER (ADVICE r10): like ``delete_from_ivf_pq_index`` and
+    ``compact_index``, append assumes one maintenance writer at a
+    time — two concurrent appends of overlapping batches could both
+    pass the replay guard before either writes. Readers are safe
+    throughout (append is add-only; partial states are healed by the
+    per-table guard on retry)."""
     idx = read_ivf_pq_index(spark, path)
+    new_emb = new_emb.dropDuplicates()
+    conflict = (
+        new_emb.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if conflict:
+        raise ValueError(
+            f"append batch carries conflicting rows for {id_col}="
+            f"{conflict[0][0]!r} (same id, different vector or "
+            "metadata); a batch must be unambiguous per id"
+        )
     metadata_cols = [
         c for c in idx.cells.columns if c not in (id_col, "cell")
     ]
@@ -248,14 +402,25 @@ def append_ivf_pq_index(
     if metadata_cols:
         new_cells = new_cells.join(
             fresh_cells.select(id_col, *metadata_cols), id_col
-        )
-    new_cells.write.mode("append").parquet(os.path.join(path, "cells"))
+        ).select(id_col, "cell", *metadata_cols)
+    _append_rows(spark, new_cells, posixpath.join(path, "cells"))
 
     fresh_codes = _fresh_against(idx.codes)
     new_codes = pq_encode(
         fresh_codes, idx.codebooks, dim, m, id_col, vec_col
     )
-    new_codes.write.mode("append").parquet(os.path.join(path, "codes"))
+    if "cell" in idx.codes.columns:
+        # re-derive the home cell for exactly the codes-fresh rows
+        # (deterministic against the frozen centroids, so it cannot
+        # disagree with the cells table's assignment of the same id)
+        new_codes = new_codes.join(
+            ivf_assign_cells(
+                fresh_codes, 0, id_col, vec_col, n_probe=1,
+                centroids=idx.centroids,
+            ).select(id_col, "cell"),
+            id_col,
+        )
+    _append_rows(spark, new_codes, posixpath.join(path, "codes"))
 
 
 def delete_from_ivf_pq_index(
@@ -275,36 +440,86 @@ def delete_from_ivf_pq_index(
 
     The rewrite is a rename protocol, not a delete-then-copy: the
     surviving rows are staged to a dot-dir INSIDE ``path`` (same
-    filesystem, so each swap step is an atomic directory rename,
-    never a cross-mount recursive copy), then
+    filesystem, so each swap step is a directory rename, never a
+    cross-mount recursive copy), then
     ``src → .<part>_old``, ``.<part>_rewrite → src``, drop the old
     copy. Every crash-observable state is a SUPERSET of the
     post-delete rows (at worst the pre-delete table, i.e. the delete
     is lost and must be re-run — never corrupted or truncated) and is
     healed automatically by the next ``read_ivf_pq_index``
     (code-review r9; the monotone discipline of ``compact_index``).
-    Parquet has no row deletes; at warehouse scale the same operation
-    is a MERGE/DELETE into a log-structured table format. Readers in
-    THIS session must re-read the path after the swap (plain parquet
-    scans pin file listings at plan time)."""
-    import shutil
+    All protocol steps go through the path's Hadoop FileSystem
+    (ADVICE r9), and a rename that reports failure ABORTS the
+    protocol. The staged rewrite preserves the table's physical
+    layout (cell-partitioned or legacy flat). Parquet has no row
+    deletes; at warehouse scale the same operation is a MERGE/DELETE
+    into a log-structured table format.
 
-    _heal_interrupted_delete(path)
+    SINGLE WRITER (ADVICE r9): exactly ``compact_index``'s contract —
+    one maintenance writer at a time. A concurrent
+    ``read_ivf_pq_index`` during the src→old / stage→src window runs
+    the healer, which could restore old→src and make the writer's
+    stage→src rename fail; the failure is LOUD (``_rename_or_raise``)
+    and the table is back in its pre-delete state, so the race loses
+    the delete, never data — but don't run deletes, appends, or
+    compactions concurrently. Readers in THIS session must re-read
+    the path after the swap (plain parquet scans pin file listings at
+    plan time)."""
+    _heal_interrupted_delete(spark, path)
+    fs, jvm = _fs(spark, path)
     key = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    for part in ("cells", "codes"):
-        src = os.path.join(path, part)
-        stage = os.path.join(path, f".{part}_rewrite")
-        old = os.path.join(path, f".{part}_old")
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            spark.read.parquet(src)
-            .join(key, id_col, "left_anti")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        os.rename(src, old)
-        os.rename(stage, src)
-        shutil.rmtree(old)
+    for part in _ROW_TABLES:
+        src = posixpath.join(path, part)
+        stage = posixpath.join(path, f".{part}_rewrite")
+        old = posixpath.join(path, f".{part}_old")
+        fs.delete(_jp(jvm, stage), True)
+        survivors = spark.read.parquet(src).join(key, id_col, "left_anti")
+        if _is_cell_partitioned(spark, src):
+            (
+                survivors.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(stage)
+            )
+        else:
+            survivors.write.mode("overwrite").parquet(stage)
+        _rename_or_raise(fs, jvm, src, old)
+        _rename_or_raise(fs, jvm, stage, src)
+        fs.delete(_jp(jvm, old), True)
+
+
+def compact_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    full: bool = False,
+) -> int:
+    """Layout-aware compaction for the index's row tables: each
+    ``cell=<v>`` partition directory is a flat parquet directory of
+    unique-by-construction rows, compacted independently through
+    ``maintenance.compact_index`` (whose monotone-superset protocol
+    and ``.compact_tmp`` self-healing apply per directory — exactly
+    the per-partition maintenance shape of a Hive table). Legacy flat
+    row tables compact at the root. Returns the total data-file count
+    left across both row tables. Same single-writer contract as
+    ``compact_index``."""
+    from map_reduce_library_spark.operators.maintenance import (
+        compact_index,
+    )
+
+    fs, jvm = _fs(spark, path)
+    total = 0
+    for part in _ROW_TABLES:
+        table = posixpath.join(path, part)
+        parts = _cell_partition_dirs(fs, jvm, table)
+        if parts:
+            for d in parts:
+                total += compact_index(
+                    spark, d.toString(), target_file_bytes, full
+                )
+        else:
+            total += compact_index(spark, table, target_file_bytes, full)
+    return total
 
 
 def ivf_pq_search(
@@ -326,6 +541,18 @@ def ivf_pq_search(
     same corpus with the same geometry (the persisted-vs-in-session
     oracle equality ``ivf_pq_persisted_topk`` pins).
 
+    PROBED-CELL PRUNING (VERDICT r9 item 1): the query assignment is
+    materialized once (``localCheckpoint`` — it feeds the candidate
+    join, the LUT, and the probe list; unmaterialized it would re-run
+    the query×centroid assignment per branch), its distinct probed
+    cells are collected (bounded by min(queries×n_probe, n_centroids)
+    ids — the same bounded-driver-collect class as the z-order bounds
+    aggregate), and ``cell IN (probed)`` is pushed into BOTH row-table
+    scans. On the partitioned layout that is a partition filter:
+    files read scale with n_probe, not the corpus. Semantically a
+    no-op — a neighbor outside the probed cells can never join — so
+    answers are byte-identical with or without it.
+
     ``filter_cols``: metadata-filtered search over the compressed
     index — the listed columns must exist on ``queries`` AND have
     been carried into the stored cells (``build_ivf_pq_index(
@@ -336,18 +563,25 @@ def ivf_pq_search(
     q_assigned = ivf_assign_cells(
         queries, 0, id_col, vec_col, n_probe=n_probe,
         centroids=index.centroids,
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        r[0] for r in q_assigned.select("cell").distinct().collect()
     )
+    cells_src = index.cells.where(F.col("cell").isin(probed))
+    codes_src = index.codes
+    if "cell" in codes_src.columns:
+        codes_src = codes_src.where(F.col("cell").isin(probed)).drop("cell")
     if filter_cols:
         q_assigned = q_assigned.join(
             queries.select(id_col, *filter_cols), id_col
         )
     return _ivf_pq_adc_topk(
         q_assigned,
-        index.cells.select(
+        cells_src.select(
             F.col(id_col).alias("neighbor_id"), "cell", *filter_cols
         ),
         index.codebooks,
-        index.codes,
+        codes_src,
         k,
         dim,
         m=m,

@@ -939,7 +939,7 @@ _LSH_PAIRS_CTES_WIDE = f"""
 @register(
     "ngram_jaccard_lsh",
     oracle=f"""
-    WITH {_LSH_PAIRS_CTES},
+    WITH {_LSH_PAIRS_CTES_WIDE},
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -959,10 +959,15 @@ def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup composition: exact Jaccard verification
     restricted to LSH candidate pairs — O(candidates), not O(n²).
     This is the query to run at 100 TB; `ngram_jaccard_pairs` is its
-    ground truth."""
+    ground truth. Candidates come from the PRODUCTION K=128 / 16×8
+    graph (VERDICT r9 item 2 — the demo K=12 geometry admits
+    ~0.3-Jaccard pairs, paying exact verification on junk candidates;
+    the narrow graph remains exercised by the `dedup_clusters` /
+    `dedup_keep_best` demo family)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, JACCARD_THRESHOLD, candidates=shared_lsh_pairs(spark, sf_dir)
+        docs, JACCARD_THRESHOLD,
+        candidates=shared_lsh_pairs(spark, sf_dir, wide=True),
     )
 
 
@@ -1125,7 +1130,7 @@ def dedup_keep_best_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "triangle_count_near_dup_graph",
     oracle=f"""
-    WITH {_LSH_PAIRS_CTES},
+    WITH {_LSH_PAIRS_CTES_WIDE},
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE doc_a < doc_b)
     SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
     FROM e e1
@@ -1140,9 +1145,12 @@ def triangle_count_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame
     Ordering every edge a<b counts each triangle exactly once.  All
     joins are shuffle equi-joins on vertex ids; fan-out is bounded by
     vertex degree (LSH near-dup graphs are low-degree by construction
-    — see the hot-bucket cap in SCALE.md §3)."""
+    — see the hot-bucket cap in SCALE.md §3). Runs on the PRODUCTION
+    K=128 / 16×8 graph (VERDICT r9 item 2): triangle counts on the
+    mushy demo graph measure band-collision noise, not near-dup
+    structure."""
     e = (
-        shared_lsh_pairs(spark, sf_dir)
+        shared_lsh_pairs(spark, sf_dir, wide=True)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
@@ -1194,7 +1202,7 @@ def _pagerank_oracle() -> str:
             f"GROUP BY n.node, nn.n)"
         )
     return (
-        f"WITH {_LSH_PAIRS_CTES}, " + ", ".join(ctes) +
+        f"WITH {_LSH_PAIRS_CTES_WIDE}, " + ", ".join(ctes) +
         f" SELECT node AS doc_id, round(rank, 9) AS pagerank FROM r{_PR_ITERS}"
     )
 
@@ -1207,8 +1215,10 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (ranks onto edges) + one groupBy (sum contributions per
     destination); ranks are re-broadcast implicitly by the join.  The
     oracle is the SAME recurrence unrolled into 10 SQL CTEs, rounded
-    to 9 decimals on both sides."""
-    pairs = shared_lsh_pairs(spark, sf_dir)
+    to 9 decimals on both sides. Ranks flow over the PRODUCTION
+    K=128 / 16×8 graph (VERDICT r9 item 2) — centrality on the demo
+    graph ranks band-collision noise."""
+    pairs = shared_lsh_pairs(spark, sf_dir, wide=True)
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -1296,7 +1306,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_rate_by_source",
     oracle=f"""
-    WITH {_LSH_PAIRS_CTES},
+    WITH {_LSH_PAIRS_CTES_WIDE},
     dup_docs AS (
       SELECT doc_a AS doc_id FROM pairs
       UNION
@@ -1312,10 +1322,13 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report: share of each source's docs that sit in
-    at least one MinHash-LSH candidate pair. Reuses the shared
-    candidate graph checkpoint; dup_docs is the distinct union of both
-    pair endpoints, then one left join + groupBy(source)."""
-    pairs = shared_lsh_pairs(spark, sf_dir)
+    at least one MinHash-LSH candidate pair — on the PRODUCTION
+    K=128 / 16×8 graph (VERDICT r9 item 2; a health metric derived
+    from the mushy demo geometry would overstate every source's dup
+    rate). Reuses the shared candidate graph checkpoint; dup_docs is
+    the distinct union of both pair endpoints, then one left join +
+    groupBy(source)."""
+    pairs = shared_lsh_pairs(spark, sf_dir, wide=True)
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1347,7 +1360,7 @@ REACH_MAX_DEPTH = 3
 @register(
     "dedup_reachability_bfs",
     oracle=f"""
-    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    WITH RECURSIVE {_LSH_PAIRS_CTES_WIDE},
     seed AS (SELECT min(doc_a) AS doc_id FROM pairs),
     r AS (
       SELECT doc_id, 0 AS depth FROM seed
@@ -1368,8 +1381,9 @@ def dedup_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical recursion — both engines' recursive-union semantics
     must agree on depths, not just membership. (Unbounded set-union
     recursion is `dedup_clusters`' connected-components operator; the
-    SQL form here is the surface parity check.)"""
-    pairs = shared_lsh_pairs(spark, sf_dir)
+    SQL form here is the surface parity check.) BFS runs on the
+    PRODUCTION K=128 / 16×8 graph (VERDICT r9 item 2)."""
+    pairs = shared_lsh_pairs(spark, sf_dir, wide=True)
     pairs.createOrReplaceTempView("ndpairs_rcte")
     return spark.sql(
         f"""

@@ -1050,7 +1050,7 @@ def ivf_pq_deleted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_pq_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index growth, the FAISS train-then-add discipline:
-    the index is fit on the first {PQ_TRAIN_MAX} vectors, written,
+    the index is fit on the first PQ_TRAIN_MAX = 250 vectors, written,
     then the REST of the corpus is appended by encoding against the
     FROZEN codebooks and assigning against the FROZEN centroids — the
     existing corpus is never rescanned and the fit never reruns
@@ -1211,4 +1211,83 @@ def semdedup_removals_centroid_far_q(
         assigned=shared_ivf_assigned(
             spark, sf_dir, n_probe=KMEANS_N_PROBE, fitted=True
         ),
+    )
+
+
+# (applicationId, sf_dir) -> accumulated pairs dir of a REAL streaming
+# SemDeDup ingest run. Same write-once/read-many policy as
+# _PERSISTED_IVFPQ: the persisted member index + pairs table are the
+# artifact; scratch dirs removed at interpreter exit.
+_SEMDEDUP_INGEST: dict = {}
+
+
+def _semdedup_ingest_pairs_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from map_reduce_library_spark.operators.pipeline import hash_bucket
+    from map_reduce_library_spark.streaming.semdedup_ingest import (
+        run_incremental_semdedup_ingest,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SEMDEDUP_INGEST.get(key)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="mrls_semdedup_ingest_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        chunks = f"{root}/chunks"
+        b = hash_bucket("vec_id", 3)
+        for tick in range(3):
+            emb.where(b == tick).coalesce(1).write.mode("append").parquet(
+                chunks
+            )
+        path = run_incremental_semdedup_ingest(
+            spark, chunks, f"{root}/work", SEMDEDUP_TAU,
+            train=emb, n_centroids=N_CENTROIDS, compact_every=2,
+        )
+        _SEMDEDUP_INGEST[key] = path
+    return path
+
+
+@register("semdedup_ingest_verdict", oracle=_semdedup_oracle())
+def semdedup_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING member-index SemDeDup path, verdict-granular
+    (VERDICT r9 item 6): the embeddings corpus is drained through the
+    real readStream/foreachBatch ingest (3 deterministic hash-split
+    tick files; frozen centroids fit once as the train step; each
+    tick probes ONLY the persisted per-cluster member index, never a
+    corpus rescan; the member/pairs tables are compacted mid-stream),
+    and the verdicts — for each removed vector, its home cell, best
+    evictor, and cosine — are derived from the ACCUMULATED pairs
+    table with the same min-id keeper window as the batch path.
+    Oracle is ``semdedup_removals``'s, verbatim: by the convergence
+    contract (union of tick pair-sets over ANY batch partitioning ==
+    batch ``semdedup_pairs`` under the same frozen centroids;
+    tests/test_semdedup_ingest.py), the streaming path must
+    hash-match the batch answer exactly — fit, assignment, pair
+    discovery, replay dedup, compaction, and keeper policy all sit on
+    the verified path."""
+    from pyspark.sql.window import Window
+
+    from map_reduce_library_spark.streaming.semdedup_ingest import (
+        semdedup_pairs_table,
+    )
+
+    pairs = semdedup_pairs_table(
+        spark, _semdedup_ingest_pairs_dir(spark, sf_dir)
+    )
+    w = Window.partitionBy("rm_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rm_id").alias("vec_id"),
+            "cell",
+            F.col("keep_id").alias("dup_of"),
+            "cos_sim",
+        )
     )

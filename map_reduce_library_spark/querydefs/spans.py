@@ -374,9 +374,9 @@ def remove_repeated_spans_keep_first_q(
 def repeated_span_intervals_prod_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Repeated spans at the PRODUCTION window (N={SPAN_NGRAM_PROD}):
-    only runs of >= {SPAN_MIN_TOKENS_PROD} tokens whose every
-    {SPAN_NGRAM_PROD}-gram repeats are reported — the
+    """Repeated spans at the PRODUCTION window (N = SPAN_NGRAM_PROD
+    = 25): only runs of >= 26 tokens whose every 25-gram repeats are
+    reported — the
     Lee-et-al-guarantee-window end of the precision/recall knob,
     where incidental short collisions (common phrases) can no longer
     enter the cut set. Same mining operator, same oracle derivation;
@@ -417,7 +417,7 @@ def remove_repeated_spans_prod_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Substring dedup applied at the production window
-    (N={SPAN_NGRAM_PROD}): only >= {SPAN_MIN_TOKENS_PROD}-token
+    (N = SPAN_NGRAM_PROD = 25): only >= 26-token
     repeated runs are cut, so short incidental phrase overlap survives
     — the conservative cut a training pipeline actually ships (Lee et
     al. use a 50-token guarantee for exactly this precision reason).

@@ -208,13 +208,14 @@ def test_append_crash_between_writes_repairs_on_retry(spark, emb, tmp_path):
     path = str(tmp_path / "idx")
     write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
 
-    # crash window: cells landed, codes did not
+    # crash window: cells landed, codes did not (the partitioned
+    # append the real code path performs)
     idx = read_ivf_pq_index(spark, path)
     ivf_assign_cells(
         b, 0, n_probe=1, centroids=idx.centroids
-    ).select("vec_id", "cell").write.mode("append").parquet(
-        os.path.join(path, "cells")
-    )
+    ).select("vec_id", "cell").repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(path, "cells"))
 
     append_ivf_pq_index(spark, path, b, DIM)  # the retry
     healed = read_ivf_pq_index(spark, path)
@@ -286,15 +287,12 @@ def test_compaction_marker_clears_even_on_single_file_tables(
     marker-driven repair forever."""
     import pathlib
 
-    from map_reduce_library_spark.operators.maintenance import (
-        compact_index,
-    )
-
     path = str(tmp_path / "idx")
     write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
-    cells_dir = f"{path}/cells"
-    compact_index(spark, cells_dir, full=True)  # -> single file
-    marker = pathlib.Path(cells_dir, ".compact_tmp")
+    # each cell partition dir is written as a single file; the marker
+    # lives INSIDE the partition dir whose compaction crashed
+    cell_dir = sorted(pathlib.Path(path, "cells").glob("cell=*"))[0]
+    marker = cell_dir / ".compact_tmp"
     marker.mkdir()
     read_ivf_pq_index(spark, path)  # triggers the marker-driven repair
     assert not marker.exists(), "marker must clear on the repair pass"
@@ -348,8 +346,9 @@ def test_read_heals_crashed_compaction_duplicates_before_serving(
     duplicate rows (its monotone-superset protocol), which the ADC
     sums would read as √2-inflated cosines. A leftover .compact_tmp
     marks the crash; read_ivf_pq_index must force the full-dedup
-    repair before serving. Simulate: duplicate the codes table's
-    rows and plant the marker — the healed serve equals the clean
+    repair before serving. On the partitioned layout compaction (and
+    its crash) is per cell directory: duplicate one cell's code rows
+    and plant the marker there — the healed serve equals the clean
     answer."""
     import pathlib
 
@@ -360,10 +359,10 @@ def test_read_heals_crashed_compaction_duplicates_before_serving(
         ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
     )
 
-    codes_dir = f"{path}/codes"
-    dup = spark.read.parquet(codes_dir)
-    dup.write.mode("append").parquet(codes_dir)  # crash-window dupes
-    pathlib.Path(codes_dir, ".compact_tmp").mkdir()  # the crash marker
+    cell_dir = str(sorted(pathlib.Path(path, "codes").glob("cell=*"))[0])
+    dup = spark.read.parquet(cell_dir)
+    dup.write.mode("append").parquet(cell_dir)  # crash-window dupes
+    pathlib.Path(cell_dir, ".compact_tmp").mkdir()  # the crash marker
 
     healed_idx = read_ivf_pq_index(spark, path)
     assert healed_idx.codes.count() == emb.count() * 4
@@ -372,17 +371,16 @@ def test_read_heals_crashed_compaction_duplicates_before_serving(
 
 def test_compacting_row_tables_preserves_the_answer(spark, emb, tmp_path):
     """The index's row tables are append-only parquet with unique
-    rows by construction, so ``compact_index``'s whole-row-dedup
-    rewrite is safe maintenance: after an append (multi-file-set
-    layout) + full compaction of cells and codes, the served top-k is
-    unchanged and the file count shrinks."""
+    rows by construction, so the per-partition whole-row-dedup
+    rewrite of ``compact_ivf_pq_index`` is safe maintenance: after an
+    append (a second file per touched cell directory) + full
+    compaction, the served top-k is unchanged and the file count
+    shrinks back toward one file per cell."""
     import pathlib
 
     from map_reduce_library_spark.operators.ann_index import (
         append_ivf_pq_index,
-    )
-    from map_reduce_library_spark.operators.maintenance import (
-        compact_index,
+        compact_ivf_pq_index,
     )
 
     a = emb.where(F.col("vec_id") < 250)
@@ -398,13 +396,12 @@ def test_compacting_row_tables_preserves_the_answer(spark, emb, tmp_path):
     def n_files(part):
         return sum(
             1
-            for p in pathlib.Path(path, part).glob("*.parquet")
+            for p in pathlib.Path(path, part).rglob("*.parquet")
             if not p.name.startswith((".", "_"))
         )
 
     files_before = n_files("cells") + n_files("codes")
-    for part in ("cells", "codes"):
-        compact_index(spark, f"{path}/{part}", full=True)
+    compact_ivf_pq_index(spark, path, full=True)
     after = _rows(
         ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM, n_probe=2)
     )
@@ -462,3 +459,104 @@ def test_filtered_search_only_pairs_matching_metadata(spark, emb, tmp_path):
 
 def test_incremental_query_matches_oracle(spark):
     assert_oracle_match(spark, "ivf_pq_incremental_topk")
+
+
+def _scan_file_counts(df, path_fragment):
+    """Execute ``df`` and return the numFiles metric of every parquet
+    scan whose root path contains ``path_fragment`` — the AQE plan is
+    walked through its materialized query stages (Broadcast/Shuffle/
+    Result) and reused exchanges; the location comes from the scan's
+    FileIndex root paths because toString() truncates metadata."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    out, stack = [], [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            roots = node.relation().location().rootPaths()
+            paths = [
+                roots.apply(i).toString() for i in range(roots.length())
+            ]
+            if any(path_fragment in p for p in paths):
+                out.append(int(node.metrics().apply("numFiles").value()))
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if name.endswith("QueryStageExec"):
+            stack.append(node.plan())
+        if name == "ReusedExchangeExec":
+            stack.append(node.child())
+    return out
+
+
+def test_serve_reads_only_probed_cells_files(spark, emb, tmp_path):
+    """VERDICT r9 item 1: the row tables are hive-partitioned by cell
+    (one file per cell directory at build), and the serve path pushes
+    the probed cells into BOTH scans as a partition filter — files
+    read scale with n_probe, never with the corpus. One query at
+    n_probe=2 must read ≤2 of the 16 files of each row table, and the
+    pruned serve must equal the unpruned in-session answer (pruning
+    is invisible in the result)."""
+    import pathlib
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    for part in ("cells", "codes"):
+        dirs = sorted(pathlib.Path(path, part).glob("cell=*"))
+        assert len(dirs) == 16, f"{part} must be partitioned by cell"
+        for d in dirs:
+            files = [p for p in d.glob("*.parquet")]
+            assert len(files) == 1, "one file per cell at build"
+
+    idx = read_ivf_pq_index(spark, path)
+    one_query = emb.where(F.col("vec_id") == 7)
+    served = ivf_pq_search(idx, one_query, K, DIM, n_probe=2)
+    cells_reads = _scan_file_counts(served, "/cells")
+    served2 = ivf_pq_search(idx, one_query, K, DIM, n_probe=2)
+    codes_reads = _scan_file_counts(served2, "/codes")
+    assert cells_reads and max(cells_reads) <= 2, cells_reads
+    assert codes_reads and max(codes_reads) <= 2, codes_reads
+
+    # pruning is semantically invisible: same answer as the in-session
+    # engine over the full corpus
+    expected = _rows(
+        ivf_pq_topk(emb, F.col("vec_id") == 7, K, dim=DIM,
+                    n_centroids=16, n_probe=2)
+    )
+    assert _rows(served) == expected
+
+
+def test_append_batch_exact_duplicates_collapse(spark, emb, tmp_path):
+    """ADVICE r10: a batch formed from a union of overlapping sources
+    (the same row twice) must append each vector ONCE — a duplicated
+    codes row would inflate that neighbor's ADC cosine by √2."""
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    append_ivf_pq_index(spark, path, b.union(b), DIM)
+    idx = read_ivf_pq_index(spark, path)
+    assert idx.cells.count() == emb.count()
+    assert idx.codes.count() == emb.count() * 4
+
+
+def test_append_batch_conflicting_ids_raise(spark, emb, tmp_path):
+    """ADVICE r10: the same id arriving on rows that DISAGREE (a
+    different vector under one id) has no right answer — the append
+    must refuse loudly instead of encoding an arbitrary row."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    mutated = b.withColumn(
+        "embedding",
+        F2.transform("embedding", lambda x: x * F2.lit(2.0)),
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        append_ivf_pq_index(spark, path, b.union(mutated), DIM)

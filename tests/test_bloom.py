@@ -225,6 +225,38 @@ def test_bloom_handles_date_timestamp_bool_and_float32_keys(spark):
     assert {1.5, 2.25, 5.1} <= {r.k for r in kept_f.collect()}
 
 
+def test_bloom_negative_zero_matches_zero(spark):
+    """ADVICE r10: Spark equi-joins normalize -0.0 = 0.0
+    (NormalizeFloatingNumbers), so a -0.0 probe against a 0-keyed
+    build (and the reverse) must survive pruning — the canonical form
+    adds +0.0 to collapse the two renderings."""
+    from map_reduce_library_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    neg = spark.sql("SELECT CAST('-0.0' AS DOUBLE) AS k")
+    zero_int = spark.sql("SELECT 0 AS k")
+    assert bloom_prune(neg, bloom_build(zero_int, "k"), "k").count() == 1
+    assert bloom_prune(zero_int, bloom_build(neg, "k"), "k").count() == 1
+
+
+def test_bloom_double_hash_positions_are_spread(spark):
+    """VERDICT r9 item 4 (Kirsch-Mitzenmacher): the k derived
+    positions must be k DISTINCT positions for a typical key (stride
+    h2 ≥ 1 guarantees it whenever k ≤ m/h2's order) — a silent
+    all-equal degeneracy would quietly run the filter at k=1 FPR."""
+    from map_reduce_library_spark.operators.bloom import bloom_positions
+
+    df = spark.range(1000).select(
+        F.array(*bloom_positions(F.col("id"))).alias("ps")
+    )
+    min_distinct = df.select(
+        F.size(F.array_distinct("ps")).alias("n")
+    ).agg(F.min("n")).first()[0]
+    assert min_distinct >= 4  # k=5; one collision allowed by wrap
+
+
 def test_bloom_rejects_unaligned_m_bits(spark):
     """code-review r8 (verified): a non-multiple-of-64 m_bits used to
     drop the final partial word at build and read past the array at

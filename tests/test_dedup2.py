@@ -106,7 +106,7 @@ def test_triangle_vertices_are_ordered_and_connected(spark):
     assert tris, "sf0.01 near-dup graph contains at least one triangle"
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in Q["minhash_lsh_pairs"](spark, SF_CORRECTNESS).collect()
+        for r in Q["minhash_lsh_pairs_wide"](spark, SF_CORRECTNESS).collect()
     }
     for t in tris:
         v1, v2, v3 = t["v1"], t["v2"], t["v3"]

@@ -177,9 +177,17 @@ def build_ivf_pq_index(
         train if train is not None else emb,
         dim, m, codes, iters, id_col=id_col, vec_col=vec_col,
     )
-    assigned = ivf_assign_cells(
-        emb, n_centroids, id_col, vec_col, n_probe=1, centroids=cents
-    ).select(id_col, "cell")
+    # Materialized: the assignment feeds BOTH row tables (cells, and
+    # the codes join that attaches each vector's home cell for the
+    # partitioned layout) — without the checkpoint the corpus×centroid
+    # crossJoin + window would execute once per table write.
+    assigned = (
+        ivf_assign_cells(
+            emb, n_centroids, id_col, vec_col, n_probe=1, centroids=cents
+        )
+        .select(id_col, "cell")
+        .localCheckpoint(eager=True)
+    )
     cells = assigned
     if metadata_cols:
         cells = cells.join(

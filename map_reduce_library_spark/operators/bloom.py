@@ -91,23 +91,24 @@ def bloom_positions(
     k: int = BLOOM_K,
     canonical: bool = False,
 ) -> list[Column]:
-    """The k bit positions of ``key`` by Kirsch-Mitzenmacher double
-    hashing (VERDICT r9 item 4): two xxhash64 evaluations of the key,
-
-        h1 := pmod(xxhash64(key),    m)
-        h2 := pmod(xxhash64(key, 1), m - 1) + 1      -- in [1, m-1]
-        position_i := pmod(h1 + i * h2, m)
-
-    — asymptotically the same FPR as k independent hashes (Kirsch &
-    Mitzenmacher 2006), at 2 hash evaluations instead of k. The
-    canonical expression (a string cast + try_cast + coalesce per
-    probe row) sits under the hashes, so halving-plus the hash count
-    bounds how often codegen can possibly evaluate it; the r9 k
-    independent-hash form paid it up to k times per row. Both
-    operands are already reduced mod m, so h1 + i*h2 stays ≤ k·m —
-    no bigint overflow even under ANSI mode. Clamping h2 to [1, m-1]
-    avoids the degenerate stride 0 (all k positions equal — FPR of a
-    k=1 filter for that key).
+    """The k bit positions of ``key``: pmod(xxhash64(key, i), m) —
+    k INDEPENDENT seeded hashes, kept deliberately after measuring
+    the Kirsch-Mitzenmacher alternative (VERDICT r9 item 4). KM
+    (position_i = h1 + i·h2 mod m from two hash evaluations) is the
+    textbook constant-factor win, but it presumes the two hash values
+    are computed once and REUSED — and Spark's whole-stage-codegen
+    Filter evaluates each conjunct of the membership AND
+    independently (subexpression elimination applies to Project/
+    Aggregate, not across short-circuit Filter conjuncts), so the
+    inlined h1/h2 trees are re-evaluated inside EVERY conjunct:
+    2k hash+canonicalization evaluations per probe row versus k for
+    this form. Measured on `bloom_pruned_part_revenue` at sf0.1
+    (min-of-3, same session, both directions): independent-k
+    1.59-2.09 s, KM 3.06-3.28 s. A guaranteed-once evaluation would
+    need a materialization barrier below the filter, which predicate
+    pushdown removes for deterministic projections — so the
+    independent form IS the faster plan under Spark's execution
+    model (BASELINE.md §round-10 bloom note).
 
     The key is hashed through the CANONICAL form (see
     ``canonical_bloom_key``): xxhash64 hashes an int and a bigint
@@ -116,17 +117,15 @@ def bloom_positions(
     a plain equi-join would implicitly cast and match) would
     otherwise prune 100% of true matches, a silent false-negative
     wipeout of the 'no false negatives' contract (code-review r8,
-    verified; widened to fractional and numeric-string mixes in r9).
-    Build and probe derive positions from the same two hashes of the
-    same canonical form, so the no-false-negative property is
-    untouched. ``canonical=True`` marks ``key`` as already
-    canonicalized (skips re-wrapping; the result is identical either
-    way since the canonical form is a fixed point of itself)."""
+    verified; widened to fractional and numeric-string mixes in r9,
+    and to -0.0 vs 0.0 in r10). Build and probe hash the same
+    canonical form, so the no-false-negative property holds.
+    ``canonical=True`` marks ``key`` as already canonicalized (skips
+    re-wrapping; the result is identical either way since the
+    canonical form is a fixed point of itself)."""
     kc = key if canonical else canonical_bloom_key(key)
-    h1 = F.pmod(F.xxhash64(kc), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(kc, F.lit(1)), F.lit(m_bits - 1)) + F.lit(1)
     return [
-        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)
+        F.pmod(F.xxhash64(kc, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
 
 

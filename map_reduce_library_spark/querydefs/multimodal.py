@@ -129,3 +129,83 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_len",
         F.hex("resized").alias("resized_hex"),  # hex() is uppercase
     )
+
+
+# ---- audio: a REAL codec for the audio modality (round 10) -----------------
+# The synthesized PCM16 WAV signal is closed-form in (doc_id, n_chars)
+# — quarter-rate tone [0, A, 0, -A], amplitude A then 2A per half,
+# length 80*(1 + n_chars mod 5) — so DuckDB reproduces every decoded
+# feature with arithmetic alone while the engine runs the genuine
+# synth -> RIFF container -> stdlib-wave parse -> numpy chain
+# (operators/audio.py docstring has the determinism argument).
+
+_WAV_PARAMS_CTE = """
+    p AS (
+      SELECT doc_id,
+             ((n_chars % 5) + 1) * 80 AS n_samples,
+             500 + (doc_id % 30) * 500 AS amp
+      FROM documents)
+"""
+
+
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_library_spark.operators.audio import with_wav_payload
+
+    return with_wav_payload(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wav_audio_features",
+    oracle=f"""
+    WITH {_WAV_PARAMS_CTE}
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           round(n_samples / 8000.0, 6) AS duration_sec,
+           CAST(2 * amp AS BIGINT) AS peak,
+           round(sqrt(amp * amp * 1.25), 6) AS rms
+    FROM p
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode, for real: per document a spec-correct RIFF/WAVE
+    payload is synthesized, parsed back through the stdlib ``wave``
+    reader (magic check, fmt chunk, frame extraction), and the
+    DECODED samples yield container + signal features (rate/channels/
+    count/duration/peak/RMS). The oracle recomputes each feature in
+    closed form from (doc_id, n_chars) — a hash match proves the
+    container round-trip is byte-faithful, not just shaped right.
+    RMS stays exact cross-engine because the sum of squares is exact
+    int64 and mean = amp²·1.25 is an exact double before the one
+    shared sqrt."""
+    from map_reduce_library_spark.operators.audio import wav_features
+
+    return wav_features(_wav_payloads(spark, sf_dir))
+
+
+@register(
+    "wav_frame_energy",
+    oracle=f"""
+    WITH {_WAV_PARAMS_CTE},
+    f AS (SELECT doc_id, amp, n_samples,
+                 unnest(generate_series(0, CAST(n_samples / 40 AS INT) - 1))
+                   AS fi
+          FROM p)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(CASE WHEN fi < n_samples / 80 THEN 20 * amp * amp
+                     ELSE 80 * amp * amp END AS BIGINT) AS energy
+    FROM f
+    """,
+)
+def wav_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window framing over the decoded signal (5 ms frames at
+    8 kHz): one row per (doc, frame) with the frame's exact integer
+    energy — the VAD/loudness-gate primitive. The two-amplitude
+    synthesis makes the expected energies bimodal per document
+    (20A² first half, 80A² second), so the oracle checks frame
+    ALIGNMENT, not just totals: an off-by-one-sample framing error
+    shifts a boundary frame's energy and breaks the hash."""
+    from map_reduce_library_spark.operators.audio import wav_frame_energy
+
+    return wav_frame_energy(_wav_payloads(spark, sf_dir))

@@ -221,12 +221,44 @@ def write_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
     for name, df in zip(_PARTS, (index.centroids, index.codebooks)):
         df.write.mode("overwrite").parquet(posixpath.join(path, name))
     for name, df in (("cells", index.cells), ("codes", codes)):
-        (
-            df.repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(posixpath.join(path, name))
-        )
+        _overwrite_cell_partitioned(df, posixpath.join(path, name))
+
+
+def _overwrite_cell_partitioned(df: DataFrame, table_dir: str) -> None:
+    """``partitionBy("cell")`` overwrite that can never leave a
+    FILELESS table: a partitioned write of an EMPTY relation emits
+    only ``_SUCCESS`` — no data files, no partition directories — and
+    every later ``spark.read.parquet`` raises UNABLE_TO_INFER_SCHEMA.
+    On the delete path that would brick the index AFTER the rename
+    protocol completed, beyond what any healer can repair
+    (code-review r10). The partitioned write runs first (no extra
+    pass over ``df``); only if it produced no partition directories
+    is a schema-bearing empty FLAT table written in its place —
+    exactly the legacy-flat empty state, which the reader's
+    cast/reorder and the layout-adaptive append both already handle
+    (an emptied-then-regrown table simply continues on the flat
+    layout until the next full ``write_ivf_pq_index`` rebuild).
+
+    ``cell`` is pinned to LONG at this write boundary: a relation
+    read back from the partitioned layout carries the
+    narrowest-inferred INT partition column, and letting that leak
+    into a flat data file makes the next long-typed append a mixed
+    int/int64 parquet column the reader rejects outright."""
+    spark = df.sparkSession
+    df = df.withColumn("cell", F.col("cell").cast("long"))
+    (
+        df.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(table_dir)
+    )
+    fs, jvm = _fs(spark, table_dir)
+    if not _cell_partition_dirs(fs, jvm, table_dir):
+        # repartition(1) forces one write task; an empty LocalRelation
+        # plan can otherwise schedule zero tasks and write no file
+        spark.createDataFrame([], df.schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(table_dir)
 
 
 def _heal_interrupted_delete(spark: SparkSession, path: str) -> None:
@@ -268,6 +300,18 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     readers); forcing the full-dedup repair BEFORE serving closes
     that window (code-review r9).
 
+    Marker protocol (code-review r10: the first partitioned-layout
+    cut probed EVERY ``cell=`` directory per open — O(n_centroids)
+    filesystem round-trips, which at the module's own 100 TB story is
+    thousands of object-store HEAD requests for a no-op): the common
+    path checks ONE root marker per row table. ``compact_ivf_pq_
+    index`` plants ``<table>/.compact_tmp`` before its per-cell loop
+    and removes it after, so a present root marker means "a
+    compaction pass may have died" — only then are the cell
+    directories scanned for their own interrupted-pass markers and
+    repaired. On the legacy flat layout the root marker IS
+    ``compact_index``'s own tmp dir, repaired exactly as before.
+
     The ``cell`` partition column comes back from directory names with
     Spark's narrowest-type inference (int); it is cast back to long so
     joins and row-compares never depend on the physical layout."""
@@ -279,11 +323,22 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     fs, jvm = _fs(spark, path)
     for part in _ROW_TABLES:
         table = posixpath.join(path, part)
-        targets = [d.toString() for d in _cell_partition_dirs(fs, jvm, table)]
-        targets.append(table)  # legacy flat layout keeps the root check
-        for d in targets:
-            if fs.exists(_jp(jvm, posixpath.join(d, ".compact_tmp"))):
-                compact_index(spark, d, full=True)
+        root_marker = _jp(jvm, posixpath.join(table, ".compact_tmp"))
+        if not fs.exists(root_marker):
+            continue
+        parts = _cell_partition_dirs(fs, jvm, table)
+        if parts:
+            for d in parts:
+                cell_dir = d.toString()
+                if fs.exists(
+                    _jp(jvm, posixpath.join(cell_dir, ".compact_tmp"))
+                ):
+                    compact_index(spark, cell_dir, full=True)
+            fs.delete(root_marker, True)
+        else:
+            # legacy flat layout: the marker is compact_index's own
+            # tmp; the forced full pass repairs and clears it
+            compact_index(spark, table, full=True)
 
     def _load(name: str) -> DataFrame:
         df = spark.read.parquet(posixpath.join(path, name))
@@ -310,7 +365,10 @@ def _append_rows(spark: SparkSession, df: DataFrame, table_dir: str) -> None:
     """Append rows preserving the table's physical layout: cell-
     partitioned tables get a partitioned append (one file per touched
     cell), legacy flat tables a flat one (mixing layouts under one
-    root breaks partition discovery for every later reader)."""
+    root breaks partition discovery for every later reader). ``cell``
+    is pinned to LONG so a flat table never accumulates mixed
+    int/int64 parquet files (see ``_overwrite_cell_partitioned``)."""
+    df = df.withColumn("cell", F.col("cell").cast("long"))
     if _is_cell_partitioned(spark, table_dir):
         (
             df.repartition("cell")
@@ -371,9 +429,32 @@ def append_ivf_pq_index(
     throughout (append is add-only; partial states are healed by the
     per-table guard on retry)."""
     idx = read_ivf_pq_index(spark, path)
-    new_emb = new_emb.dropDuplicates()
+    metadata_cols = [
+        c for c in idx.cells.columns if c not in (id_col, "cell")
+    ]
+    missing = [c for c in metadata_cols if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} stores metadata columns {metadata_cols}; "
+            f"the appended batch lacks {missing}"
+        )
+    # Project to the columns the index actually stores BEFORE the
+    # duplicate collapse (code-review r10: a benign extra lineage
+    # column — e.g. per-source ingest_ts on a union of overlapping
+    # sources — must not fake a conflict for rows identical in id,
+    # vector, and every stored metadata column), then materialize the
+    # deduped batch ONCE: the checkpoint feeds the conflict probe,
+    # both per-table guards, the single assignment pass, and the
+    # encode, so neither the dedup shuffle nor the batch×centroid
+    # assignment re-executes per consumer (code-review r10; the
+    # build path's localCheckpoint rationale, applied to append).
+    batch = (
+        new_emb.select(id_col, vec_col, *metadata_cols)
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
     conflict = (
-        new_emb.groupBy(id_col)
+        batch.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
         .limit(1)
@@ -385,49 +466,41 @@ def append_ivf_pq_index(
             f"{conflict[0][0]!r} (same id, different vector or "
             "metadata); a batch must be unambiguous per id"
         )
-    metadata_cols = [
-        c for c in idx.cells.columns if c not in (id_col, "cell")
-    ]
-    missing = [c for c in metadata_cols if c not in new_emb.columns]
-    if missing:
-        raise ValueError(
-            f"index at {path} stores metadata columns {metadata_cols}; "
-            f"the appended batch lacks {missing}"
+    assigned = (
+        ivf_assign_cells(
+            batch, 0, id_col, vec_col, n_probe=1, centroids=idx.centroids
         )
-    batch_ids = F.broadcast(new_emb.select(F.col(id_col)).distinct())
+        .select(id_col, "cell")
+        .localCheckpoint(eager=True)
+    )
+    batch_ids = F.broadcast(batch.select(id_col))
 
-    def _fresh_against(table: DataFrame) -> DataFrame:
+    def _fresh_ids(table: DataFrame) -> DataFrame:
         already = F.broadcast(
             table.select(id_col).join(batch_ids, id_col, "semi")
         )
-        return new_emb.join(already, id_col, "left_anti")
+        return batch.select(id_col).join(already, id_col, "left_anti")
 
-    fresh_cells = _fresh_against(idx.cells)
-    new_cells = ivf_assign_cells(
-        fresh_cells, 0, id_col, vec_col, n_probe=1,
-        centroids=idx.centroids,
-    ).select(id_col, "cell")
+    new_cells = assigned.join(
+        F.broadcast(_fresh_ids(idx.cells)), id_col, "semi"
+    )
     if metadata_cols:
         new_cells = new_cells.join(
-            fresh_cells.select(id_col, *metadata_cols), id_col
+            batch.select(id_col, *metadata_cols), id_col
         ).select(id_col, "cell", *metadata_cols)
     _append_rows(spark, new_cells, posixpath.join(path, "cells"))
 
-    fresh_codes = _fresh_against(idx.codes)
+    fresh_codes = batch.join(
+        F.broadcast(_fresh_ids(idx.codes)), id_col, "semi"
+    )
     new_codes = pq_encode(
         fresh_codes, idx.codebooks, dim, m, id_col, vec_col
     )
     if "cell" in idx.codes.columns:
-        # re-derive the home cell for exactly the codes-fresh rows
-        # (deterministic against the frozen centroids, so it cannot
-        # disagree with the cells table's assignment of the same id)
-        new_codes = new_codes.join(
-            ivf_assign_cells(
-                fresh_codes, 0, id_col, vec_col, n_probe=1,
-                centroids=idx.centroids,
-            ).select(id_col, "cell"),
-            id_col,
-        )
+        # the home cell comes from the ONE materialized assignment —
+        # deterministic against the frozen centroids, so it cannot
+        # disagree with the cells table's assignment of the same id
+        new_codes = new_codes.join(assigned, id_col)
     _append_rows(spark, new_codes, posixpath.join(path, "codes"))
 
 
@@ -483,12 +556,10 @@ def delete_from_ivf_pq_index(
         fs.delete(_jp(jvm, stage), True)
         survivors = spark.read.parquet(src).join(key, id_col, "left_anti")
         if _is_cell_partitioned(spark, src):
-            (
-                survivors.repartition("cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(stage)
-            )
+            # the helper downgrades an EMPTY survivor set to a
+            # schema-bearing flat table — a fileless partitioned stage
+            # would brick the index once swapped in (code-review r10)
+            _overwrite_cell_partitioned(survivors, stage)
         else:
             survivors.write.mode("overwrite").parquet(stage)
         _rename_or_raise(fs, jvm, src, old)
@@ -510,7 +581,16 @@ def compact_ivf_pq_index(
     the per-partition maintenance shape of a Hive table). Legacy flat
     row tables compact at the root. Returns the total data-file count
     left across both row tables. Same single-writer contract as
-    ``compact_index``."""
+    ``compact_index``.
+
+    ROOT MARKER (code-review r10): a ``<table>/.compact_tmp`` marker
+    directory is planted before the per-cell loop and removed after,
+    so ``read_ivf_pq_index`` pays ONE existence check per table on
+    the common path and scans the cell directories for interrupted
+    passes only when a compaction provably died mid-loop (any crash
+    inside the loop leaves the root marker in place; each completed
+    cell is internally consistent, so the scan-and-repair is
+    monotone)."""
     from map_reduce_library_spark.operators.maintenance import (
         compact_index,
     )
@@ -521,10 +601,13 @@ def compact_ivf_pq_index(
         table = posixpath.join(path, part)
         parts = _cell_partition_dirs(fs, jvm, table)
         if parts:
+            marker = _jp(jvm, posixpath.join(table, ".compact_tmp"))
+            fs.mkdirs(marker)
             for d in parts:
                 total += compact_index(
                     spark, d.toString(), target_file_bytes, full
                 )
+            fs.delete(marker, True)
         else:
             total += compact_index(spark, table, target_file_bytes, full)
     return total

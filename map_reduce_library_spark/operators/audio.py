@@ -146,13 +146,18 @@ def wav_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 sr, ch, x = decode_wav(bytes(payload))
                 xi = x.astype(np.int64)
                 n = int(xi.size)
+                # duration is WALL-CLOCK: frames (per-channel sample
+                # count), not the interleaved count — a stereo second
+                # is one second, not two (code-review r10); peak/rms
+                # span all channels of the interleaved stream.
+                frames = n // ch
                 rows.append(
                     (
                         int(d),
                         sr,
                         ch,
                         n,
-                        round(n / float(sr), 6),
+                        round(frames / float(sr), 6),
                         int(np.abs(xi).max(initial=0)),
                         round(float(np.sqrt((xi * xi).sum() / n)), 6)
                         if n
@@ -193,7 +198,17 @@ def wav_frame_energy(
         for pdf in it:
             ids, idxs, energies = [], [], []
             for d, payload in zip(pdf[id_col], pdf["payload"]):
-                _sr, _ch, x = decode_wav(bytes(payload))
+                _sr, ch, x = decode_wav(bytes(payload))
+                if ch != 1:
+                    # frame semantics are PER CHANNEL; windowing the
+                    # interleaved stream would mix channels and halve
+                    # each frame's wall-clock span (code-review r10) —
+                    # refuse loudly, the module's discipline for
+                    # unsupported payloads
+                    raise ValueError(
+                        f"wav_frame_energy needs mono input, got "
+                        f"{ch} channels — deinterleave upstream"
+                    )
                 xi = x.astype(np.int64)
                 n_frames = xi.size // frame_samples
                 if n_frames == 0:

@@ -289,13 +289,17 @@ def test_compaction_marker_clears_even_on_single_file_tables(
 
     path = str(tmp_path / "idx")
     write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
-    # each cell partition dir is written as a single file; the marker
-    # lives INSIDE the partition dir whose compaction crashed
+    # compact_ivf_pq_index plants a ROOT marker before its per-cell
+    # loop; a crash inside the loop leaves it plus the dying cell's
+    # own marker (each cell dir was written as a single file)
+    root_marker = pathlib.Path(path, "cells", ".compact_tmp")
+    root_marker.mkdir()
     cell_dir = sorted(pathlib.Path(path, "cells").glob("cell=*"))[0]
     marker = cell_dir / ".compact_tmp"
     marker.mkdir()
     read_ivf_pq_index(spark, path)  # triggers the marker-driven repair
-    assert not marker.exists(), "marker must clear on the repair pass"
+    assert not marker.exists(), "cell marker must clear on the repair"
+    assert not root_marker.exists(), "root marker must clear on the repair"
 
 
 def test_interrupted_delete_heals_to_a_superset_state(spark, emb, tmp_path):
@@ -362,7 +366,10 @@ def test_read_heals_crashed_compaction_duplicates_before_serving(
     cell_dir = str(sorted(pathlib.Path(path, "codes").glob("cell=*"))[0])
     dup = spark.read.parquet(cell_dir)
     dup.write.mode("append").parquet(cell_dir)  # crash-window dupes
-    pathlib.Path(cell_dir, ".compact_tmp").mkdir()  # the crash marker
+    # the crash state compact_ivf_pq_index can leave: its root marker
+    # (planted before the loop) plus the dying cell's own marker
+    pathlib.Path(path, "codes", ".compact_tmp").mkdir()
+    pathlib.Path(cell_dir, ".compact_tmp").mkdir()
 
     healed_idx = read_ivf_pq_index(spark, path)
     assert healed_idx.codes.count() == emb.count() * 4
@@ -560,3 +567,56 @@ def test_append_batch_conflicting_ids_raise(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="conflicting"):
         append_ivf_pq_index(spark, path, b.union(mutated), DIM)
+
+
+def test_append_ignores_benign_extra_columns(spark, emb, tmp_path):
+    """code-review r10: a union of overlapping sources whose rows
+    differ only in a lineage column the index does NOT store (e.g. a
+    per-source ingest tag) is unambiguous — the conflict check must
+    compare only (id, vector, stored metadata), not every batch
+    column, and the rows must append exactly once."""
+    from pyspark.sql import functions as F2
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    tagged = b.withColumn("ingest_tag", F2.lit("src_a")).union(
+        b.withColumn("ingest_tag", F2.lit("src_b"))
+    )
+    append_ivf_pq_index(spark, path, tagged, DIM)
+    idx = read_ivf_pq_index(spark, path)
+    assert idx.cells.count() == emb.count()
+    assert idx.codes.count() == emb.count() * 4
+
+
+def test_delete_everything_leaves_a_readable_empty_index(
+    spark, emb, tmp_path
+):
+    """code-review r10 (severe): deleting EVERY remaining id used to
+    stage a fileless partitioned directory (a partitionBy write of an
+    empty relation emits only _SUCCESS) and swap it in — the table
+    then failed schema inference on every later read, beyond any
+    healer. The empty survivor set must land as a schema-bearing
+    table: reads work, serves return nothing, and a later append
+    repopulates."""
+    from map_reduce_library_spark.operators.ann_index import (
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    delete_from_ivf_pq_index(spark, path, emb.select("vec_id"))
+
+    wiped = read_ivf_pq_index(spark, path)  # must not raise
+    assert wiped.cells.count() == 0
+    assert wiped.codes.count() == 0
+    q = emb.where(F.col("vec_id") < N_Q)
+    assert ivf_pq_search(wiped, q, K, DIM, n_probe=2).count() == 0
+
+    # the emptied index is still appendable (frozen artifacts intact)
+    append_ivf_pq_index(spark, path, emb.where(F.col("vec_id") < 100), DIM)
+    regrown = read_ivf_pq_index(spark, path)
+    assert regrown.cells.count() == 100
+    assert regrown.codes.count() == 100 * 4
+    assert ivf_pq_search(regrown, q, K, DIM, n_probe=2).count() > 0

@@ -83,6 +83,42 @@ def test_frame_energies_are_bimodal_and_ordered(spark):
         assert all(e == 80 * a * a for _i, e in fr[half:])
 
 
+def _stereo_wav_bytes(seconds_frames: int = 8000) -> bytes:
+    """A stereo PCM16 WAV: `seconds_frames` frames at 8 kHz (1.0 s for
+    the default), constant L=1000 / R=-1000."""
+    import io
+    import wave as _wave
+
+    frames = np.zeros((seconds_frames, 2), dtype=np.int16)
+    frames[:, 0], frames[:, 1] = 1000, -1000
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(SAMPLE_RATE)
+        w.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+def test_stereo_duration_is_wall_clock_and_framing_refuses(spark):
+    """code-review r10: duration must count FRAMES (per-channel
+    samples), not the interleaved stream — a 1-second stereo file is
+    one second, not two; and frame energies over interleaved channels
+    would mix L/R, so the framing stage refuses non-mono loudly."""
+    payload = _stereo_wav_bytes(8000)  # 1.0 s, 16000 interleaved
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = wav_features(df).collect()[0]
+    assert row.channels == 2
+    assert row.n_samples == 16000  # interleaved count, documented
+    assert row.duration_sec == 1.0  # wall-clock, not 2.0
+    assert row.peak == 1000
+
+    with pytest.raises(Exception, match="mono"):
+        wav_frame_energy(df).collect()
+
+
 def test_wav_pipeline_has_no_row_python(spark):
     """The audio stages must be Arrow-batched (ArrowEvalPython /
     MapInPandas), never row-at-a-time BatchEvalPython."""

@@ -30,7 +30,9 @@ memory story of ``ivf_pq_topk``), HIVE-PARTITIONED BY ``cell``
 reads — the serve path collects the (≤ n_centroids) probed cell ids
 and pushes ``cell IN (...)`` into both scans as a partition filter;
 files read scale with n_probe, never with the corpus
-(``tests/test_ann_index.py`` asserts the numFiles scan metric). The
+(``tests/test_ann_index.py`` asserts the numFiles scan metric;
+measured 16/16 → 38/160 → 40/1600 files at 1×/10×/100× rows —
+BASELINE.md §round-10). The
 ``codes`` table carries the home cell alongside each code row for
 exactly this reason: a neighbor is only ever scored when its home
 cell is probed, so its codes live under the probed directory.

@@ -590,6 +590,57 @@ def test_append_ignores_benign_extra_columns(spark, emb, tmp_path):
     assert idx.codes.count() == emb.count() * 4
 
 
+def test_interleaved_lifecycle_tracks_membership_model(spark, emb, tmp_path):
+    """Integration across the whole lifecycle: a deterministic
+    interleaving of appends, deletes, a replayed append, and a
+    mid-sequence compaction must track a plain membership model — the
+    row tables hold exactly the model's ids (×1 cells row, ×4 codes
+    rows), and every serve's neighbors are members. Catches
+    cross-operation interactions (e.g. appending after a delete's
+    rename swap, compacting between ops) that the per-op tests
+    cannot."""
+    from map_reduce_library_spark.operators.ann_index import (
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    slice_a = emb.where(F.col("vec_id") < 200)
+    write_ivf_pq_index(build_ivf_pq_index(slice_a, DIM, n_centroids=16), path)
+    model = {r.vec_id for r in slice_a.select("vec_id").collect()}
+
+    def check():
+        idx = read_ivf_pq_index(spark, path)
+        got = {r.vec_id for r in idx.cells.select("vec_id").collect()}
+        assert got == model
+        assert idx.codes.count() == len(model) * 4
+        q = emb.where(F.col("vec_id") < N_Q)
+        served = ivf_pq_search(idx, q, K, DIM, n_probe=2)
+        assert {r.neighbor_id for r in served.collect()} <= model
+
+    steps = [
+        ("append", (F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
+        ("delete", (F.col("vec_id") % 10 == 7)),
+        ("append", (F.col("vec_id") >= 350)),
+        ("compact", None),
+        ("delete", (F.col("vec_id") % 10 == 4)),
+        # replay of an already-applied batch: a no-op by the guard
+        ("append", (F.col("vec_id") >= 350) & (F.col("vec_id") < 400)),
+    ]
+    for op, pred in steps:
+        if op == "append":
+            batch = emb.where(pred)
+            append_ivf_pq_index(spark, path, batch, DIM)
+            model |= {r.vec_id for r in batch.select("vec_id").collect()}
+        elif op == "delete":
+            doomed = emb.where(pred).select("vec_id")
+            delete_from_ivf_pq_index(spark, path, doomed)
+            model -= {r.vec_id for r in doomed.collect()}
+        else:
+            compact_ivf_pq_index(spark, path, full=True)
+        check()
+
+
 def test_delete_everything_leaves_a_readable_empty_index(
     spark, emb, tmp_path
 ):

@@ -369,7 +369,19 @@ def _append_rows(spark: SparkSession, df: DataFrame, table_dir: str) -> None:
     cell), legacy flat tables a flat one (mixing layouts under one
     root breaks partition discovery for every later reader). ``cell``
     is pinned to LONG so a flat table never accumulates mixed
-    int/int64 parquet files (see ``_overwrite_cell_partitioned``)."""
+    int/int64 parquet files (see ``_overwrite_cell_partitioned``).
+
+    A pre-upgrade FLAT codes table carries no ``cell`` column at all,
+    and the appended rows mirror the stored schema (``append_ivf_pq_
+    index`` attaches the home cell only when the stored table has it)
+    — so the cast and the partition check apply only when the column
+    exists; appending a cell-less batch to a cell-less flat table is
+    a plain flat append (ADVICE r10, medium: the unconditional cast
+    raised an unresolved-column AnalysisException and made append the
+    one lifecycle op that broke on a legacy index)."""
+    if "cell" not in df.columns:
+        df.write.mode("append").parquet(table_dir)
+        return
     df = df.withColumn("cell", F.col("cell").cast("long"))
     if _is_cell_partitioned(spark, table_dir):
         (
@@ -592,7 +604,17 @@ def compact_ivf_pq_index(
     passes only when a compaction provably died mid-loop (any crash
     inside the loop leaves the root marker in place; each completed
     cell is internally consistent, so the scan-and-repair is
-    monotone)."""
+    monotone).
+
+    THIS IS THE ONLY SANCTIONED COMPACTION ENTRY for index row tables
+    (ADVICE r10): calling ``maintenance.compact_index`` directly on a
+    single ``cell=`` directory skips the root marker, so a crash
+    there would leave a cell-level ``.compact_tmp`` the one-marker
+    fast path of ``read_ivf_pq_index`` never scans for — transient
+    duplicate rows in that cell would then serve inflated ADC sums
+    silently. Compacting one hot cell is still cheap through here:
+    the per-cell loop costs one listStatus + a no-op ``compact_
+    index`` probe per already-compact cell."""
     from map_reduce_library_spark.operators.maintenance import (
         compact_index,
     )
@@ -651,7 +673,19 @@ def ivf_pq_search(
     been carried into the stored cells (``build_ivf_pq_index(
     metadata_cols=...)``); candidates then pair only on matching
     metadata, inside the same hash equi-join that matches cells
-    (``ivf_pq_filtered_topk`` pins it against a relational oracle)."""
+    (``ivf_pq_filtered_topk`` pins it against a relational oracle).
+
+    EAGER CONTRACT (ADVICE r10): constructing the result plan runs
+    two bounded Spark jobs up front — the query×centroid assignment
+    is localCheckpoint'ed (it feeds the candidate join, the LUT, and
+    the probe list) and the probed cell ids are collected so they can
+    be pushed into the scans as partition filters at PLAN time (a
+    lazy subquery could not prune directories). The checkpointed
+    blocks stay pinned in executor storage until the returned
+    DataFrame is garbage-collected; a long-lived serving loop should
+    drop its reference to each result once consumed (or serve many
+    queries per call — the whole point of the relational API) rather
+    than accumulate thousands of live search plans."""
     filter_cols = list(filter_cols or [])
     q_assigned = ivf_assign_cells(
         queries, 0, id_col, vec_col, n_probe=n_probe,

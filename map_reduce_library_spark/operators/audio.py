@@ -96,6 +96,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
                 )
             sr = w.getframerate()
             ch = w.getnchannels()
+            # the stdlib reader trusts the fmt chunk verbatim; a
+            # crafted framerate/channel count of 0 would otherwise
+            # surface as ZeroDivisionError deep inside wav_features
+            # instead of this module's promised loud ValueError
+            # (ADVICE r10)
+            if sr <= 0 or ch <= 0:
+                raise ValueError(
+                    f"invalid fmt chunk: framerate {sr}, channels {ch} "
+                    "(both must be positive)"
+                )
             raw = w.readframes(w.getnframes())
     # the stdlib reader surfaces truncation as EOFError/struct.error,
     # format trouble as wave.Error — one loud ValueError either way

@@ -590,6 +590,59 @@ def test_append_ignores_benign_extra_columns(spark, emb, tmp_path):
     assert idx.codes.count() == emb.count() * 4
 
 
+def test_append_to_legacy_flat_index_without_codes_cell(
+    spark, emb, tmp_path
+):
+    """ADVICE r10 (medium): a pre-upgrade index stores FLAT row tables
+    and its codes table has no ``cell`` column; write/read explicitly
+    support that layout, so append must too — it was the one lifecycle
+    op that raised an unresolved-column AnalysisException there. The
+    appended index must stay flat (no mixed layout under one root) and
+    serve exactly what the frozen-train batch build serves."""
+    import shutil
+
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    path = str(tmp_path / "legacy")
+    write_ivf_pq_index(build_ivf_pq_index(a, DIM, n_centroids=16), path)
+    # Downgrade the row tables to the pre-upgrade flat layout: cells
+    # flat (keeps its cell column), codes flat WITHOUT the home cell.
+    # (a real pre-upgrade writer stored cell as long; the partitioned
+    # read this downgrade starts from infers the partition column as
+    # int, so pin it back)
+    cells = (
+        spark.read.parquet(path + "/cells")
+        .withColumn("cell", F.col("cell").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    codes = (
+        spark.read.parquet(path + "/codes")
+        .drop("cell")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path + "/cells")
+    shutil.rmtree(path + "/codes")
+    cells.write.parquet(path + "/cells")
+    codes.write.parquet(path + "/codes")
+
+    append_ivf_pq_index(spark, path, b, DIM)
+    idx = read_ivf_pq_index(spark, path)
+    assert "cell" not in idx.codes.columns  # layout preserved
+    assert idx.cells.count() == emb.count()
+    assert idx.codes.count() == emb.count() * 4
+
+    p2 = str(tmp_path / "batch")
+    write_ivf_pq_index(
+        build_ivf_pq_index(emb, DIM, n_centroids=16, train=a), p2
+    )
+    q = emb.where(F.col("vec_id") < N_Q)
+    got = _rows(ivf_pq_search(idx, q, K, DIM, n_probe=2))
+    want = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, p2), q, K, DIM, n_probe=2)
+    )
+    assert got == want and len(got) == N_Q * K
+
+
 def test_interleaved_lifecycle_tracks_membership_model(spark, emb, tmp_path):
     """Integration across the whole lifecycle: a deterministic
     interleaving of appends, deletes, a replayed append, and a

@@ -43,6 +43,19 @@ def test_wav_rejects_undecodable_payloads():
         decode_wav(synth_wav_bytes(1, 50)[:20])  # truncated header
 
 
+def test_wav_rejects_zero_rate_fmt_chunk():
+    """A crafted fmt chunk declaring framerate 0 must raise the
+    module's loud ValueError, not surface later as ZeroDivisionError
+    inside wav_features' duration math (ADVICE r10). The stdlib wave
+    READER trusts the chunk verbatim, so the payload is forged by
+    patching the little-endian sample-rate field (byte offset 24 of a
+    canonical 44-byte RIFF header) of a valid container."""
+    payload = bytearray(synth_wav_bytes(1, 50))
+    payload[24:28] = (0).to_bytes(4, "little")  # nSamplesPerSec := 0
+    with pytest.raises(ValueError, match="framerate"):
+        decode_wav(bytes(payload))
+
+
 def test_wav_signal_is_frame_and_half_aligned():
     """The synthesis contract the oracles lean on: length is a
     multiple of 80 (so 5 ms frames never straddle the amplitude

@@ -13,6 +13,7 @@ from map_reduce_library_spark.operators.ann_index import (
     build_ivf_pq_index,
     ivf_pq_search,
     read_ivf_pq_index,
+    rebalance_ivf_pq_index,
     write_ivf_pq_index,
 )
 from map_reduce_library_spark.operators.similarity import ivf_pq_topk
@@ -724,3 +725,252 @@ def test_delete_everything_leaves_a_readable_empty_index(
     assert regrown.cells.count() == 100
     assert regrown.codes.count() == 100 * 4
     assert ivf_pq_search(regrown, q, K, DIM, n_probe=2).count() > 0
+
+
+# ---- rebalance + writer lease (VERDICT r10 items 1 & 4) ----------------------
+
+
+def _grown_index(spark, emb, tmp_path, n_centroids=8):
+    """build(A) + append(B): an index whose cells have outgrown the
+    build-time geometry — the rebalance use case."""
+    path = str(tmp_path / "grown")
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    write_ivf_pq_index(
+        build_ivf_pq_index(a, DIM, n_centroids=n_centroids), path
+    )
+    append_ivf_pq_index(spark, path, b, DIM)
+    return path
+
+
+def test_rebalance_restores_cell_bound_and_membership(
+    spark, emb, tmp_path
+):
+    """Splitting hot cells must (a) reduce the max cell size to within
+    the bound, (b) grow the centroid table by the split count, and
+    (c) leave membership and codes EXACTLY as they were — a rebalance
+    moves rows between directories, it never creates, drops, or
+    re-encodes one."""
+    path = _grown_index(spark, emb, tmp_path)
+    idx = read_ivf_pq_index(spark, path)
+    pre_max = idx.cells.groupBy("cell").count().agg(
+        F.max("count")
+    ).collect()[0][0]
+    pre_cents = idx.centroids.count()
+    pre_codes = _rows(idx.codes.select("vec_id", "sub", "code"))
+    pre_members = _rows(idx.cells.select("vec_id"))
+
+    n_split = rebalance_ivf_pq_index(
+        spark, path, target_rows_per_cell=30
+    )
+    assert n_split > 0
+
+    idx2 = read_ivf_pq_index(spark, path)
+    post_max = idx2.cells.groupBy("cell").count().agg(
+        F.max("count")
+    ).collect()[0][0]
+    assert post_max <= 2.0 * 30 < pre_max  # max_cell_factor default
+    assert idx2.centroids.count() > pre_cents
+    assert _rows(idx2.codes.select("vec_id", "sub", "code")) == pre_codes
+    assert _rows(idx2.cells.select("vec_id")) == pre_members
+    # every member's home cell exists in the centroid table (no
+    # orphaned rows after the split)
+    orphans = idx2.cells.join(
+        idx2.centroids.select("cell"), "cell", "left_anti"
+    )
+    assert orphans.count() == 0
+
+
+def test_rebalance_full_probe_answers_identical(spark, emb, tmp_path):
+    """ADC scores depend only on codes + codebooks, never on which
+    cell a row lives in — so with every cell probed, the rebalanced
+    index must answer byte-identically to the pre-rebalance one. (At
+    bounded n_probe only the PRUNING geometry differs, which is the
+    point of the op.)"""
+    path = _grown_index(spark, emb, tmp_path)
+    q = emb.where(F.col("vec_id") < N_Q)
+    pre = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM,
+                      n_probe=10_000)
+    )
+    assert rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30) > 0
+    post = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM,
+                      n_probe=10_000)
+    )
+    assert pre == post and len(pre) == N_Q * K
+
+
+def test_rebalance_noop_on_balanced_index(spark, emb, tmp_path):
+    """A balanced index must be left untouched: 0 splits, no marker,
+    no residue, identical relations."""
+    import pathlib
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    pre = _rows(read_ivf_pq_index(spark, path).cells)
+    assert rebalance_ivf_pq_index(spark, path) == 0
+    assert not list(pathlib.Path(path).glob(".rebalance*"))
+    assert not list(pathlib.Path(path).glob(".centroids_*"))
+    assert _rows(read_ivf_pq_index(spark, path).cells) == pre
+
+
+def test_rebalance_requires_partitioned_layout(spark, emb, tmp_path):
+    """On the legacy flat layout there are no per-cell files to bound
+    — rebalance must refuse loudly and point at rebuild."""
+    import shutil
+
+    path = str(tmp_path / "flat")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    for part in ("cells", "codes"):
+        flat = (
+            spark.read.parquet(f"{path}/{part}")
+            .withColumn("cell", F.col("cell").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(f"{path}/{part}")
+        flat.write.parquet(f"{path}/{part}")
+    with pytest.raises(ValueError, match="flat layout"):
+        rebalance_ivf_pq_index(spark, path, target_rows_per_cell=10)
+
+
+def test_rebalance_crash_before_commit_rolls_back(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A writer that dies anywhere BEFORE the centroid swap must heal
+    to exactly the pre-rebalance index: the marker's ``add``
+    directories are rolled back, staging is dropped, and every
+    relation is row-identical to before."""
+    from map_reduce_library_spark.operators import ann_index as mod
+
+    path = _grown_index(spark, emb, tmp_path)
+    idx = read_ivf_pq_index(spark, path)
+    pre = {
+        part: _rows(getattr(idx, part))
+        for part in ("centroids", "cells", "codes")
+    }
+
+    def die(fs, jvm, p):
+        raise RuntimeError("simulated crash at the commit boundary")
+
+    monkeypatch.setattr(mod, "_rebalance_commit", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30)
+    monkeypatch.undo()
+
+    healed = read_ivf_pq_index(spark, path)  # heals on open
+    for part in ("centroids", "cells", "codes"):
+        assert _rows(getattr(healed, part)) == pre[part], part
+    import pathlib
+
+    assert not (pathlib.Path(path) / ".rebalance_tmp").exists()
+
+
+def test_rebalance_crash_after_commit_rolls_forward(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A writer that dies AFTER the centroid swap (before garbage
+    collection) must heal to exactly the post-rebalance index — the
+    old hot-cell directories are dropped by the healer, never
+    resurrected (resurrecting them would duplicate every moved row
+    and inflate ADC sums)."""
+    from map_reduce_library_spark.operators import ann_index as mod
+
+    path = _grown_index(spark, emb, tmp_path)
+    q = emb.where(F.col("vec_id") < N_Q)
+    pre_full = _rows(
+        ivf_pq_search(read_ivf_pq_index(spark, path), q, K, DIM,
+                      n_probe=10_000)
+    )
+    pre_members = _rows(read_ivf_pq_index(spark, path).cells.select("vec_id"))
+
+    def vanish(fs, jvm, p, hot, roots, marker):
+        return None  # process death right after the commit rename
+
+    monkeypatch.setattr(mod, "_rebalance_cleanup", vanish)
+    assert rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30) > 0
+    monkeypatch.undo()
+    import pathlib
+
+    assert (pathlib.Path(path) / ".rebalance_tmp").exists()  # died dirty
+
+    healed = read_ivf_pq_index(spark, path)
+    assert not (pathlib.Path(path) / ".rebalance_tmp").exists()
+    assert _rows(healed.cells.select("vec_id")) == pre_members
+    # no duplicated membership row anywhere (the inflate risk)
+    assert healed.cells.groupBy("vec_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    post_full = _rows(ivf_pq_search(healed, q, K, DIM, n_probe=10_000))
+    assert post_full == pre_full
+
+
+def test_rebalanced_serve_still_prunes_to_probed_cells(
+    spark, emb, tmp_path
+):
+    """After a rebalance the partition-pruning contract must hold on
+    the NEW directory set: one query at n_probe=2 reads at most 2
+    files per row table, and per-file row volume is back under the
+    bound — the serve-cost story the op exists to restore. (Unsplit
+    cells still hold one file per append batch — rebalance moves
+    rows, compaction merges files; run both, the real maintenance
+    sequence.)"""
+    from map_reduce_library_spark.operators.ann_index import (
+        compact_ivf_pq_index,
+    )
+
+    path = _grown_index(spark, emb, tmp_path)
+    assert rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30) > 0
+    compact_ivf_pq_index(spark, path, full=True)
+    idx = read_ivf_pq_index(spark, path)
+    one_query = emb.where(F.col("vec_id") == 7)
+    served = ivf_pq_search(idx, one_query, K, DIM, n_probe=2)
+    cells_reads = _scan_file_counts(served, "/cells")
+    served2 = ivf_pq_search(idx, one_query, K, DIM, n_probe=2)
+    codes_reads = _scan_file_counts(served2, "/codes")
+    assert cells_reads and max(cells_reads) <= 2, cells_reads
+    assert codes_reads and max(codes_reads) <= 2, codes_reads
+
+
+def test_second_writer_conflicts_and_stale_lease_reclaims(
+    spark, emb, tmp_path
+):
+    """VERDICT r10 item 4: a live ``_LEASE`` makes every maintenance
+    op raise IndexWriterConflict (two-writer detection); a
+    crash-stale lease (mtime older than the TTL) is reclaimed and the
+    op proceeds; a clean op leaves no lease behind."""
+    import os
+    import time
+
+    from map_reduce_library_spark.operators.ann_index import (
+        IndexWriterConflict,
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+    )
+
+    path = _grown_index(spark, emb, tmp_path)
+    lease = os.path.join(path, "_LEASE")
+    with open(lease, "w") as f:
+        f.write("writer-A holds this")
+
+    b1 = emb.where(F.col("vec_id") == 499)
+    with pytest.raises(IndexWriterConflict, match="live maintenance lease"):
+        append_ivf_pq_index(spark, path, b1, DIM)
+    with pytest.raises(IndexWriterConflict):
+        delete_from_ivf_pq_index(spark, path, b1.select("vec_id"))
+    with pytest.raises(IndexWriterConflict):
+        compact_ivf_pq_index(spark, path)
+    with pytest.raises(IndexWriterConflict):
+        rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30)
+
+    # crash-stale: age the lease past the TTL and the next writer
+    # reclaims it instead of deadlocking on a dead holder
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+    assert rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30) > 0
+    assert not os.path.exists(lease)  # released on completion
+
+    # readers never mind a lease at all
+    with open(lease, "w") as f:
+        f.write("writer-B")
+    assert read_ivf_pq_index(spark, path).cells.count() == emb.count()

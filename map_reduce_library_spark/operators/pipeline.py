@@ -140,6 +140,98 @@ def decontamination_overlap(
     )
 
 
+# Fuzzy-decon LSH geometry: RECALL-first, unlike the near-dup
+# production geometry (16 bands × 8 rows, knee ≈ 0.71 Jaccard).
+# Decontamination is a safety check — a missed paraphrased eval doc
+# poisons an eval suite, while a false candidate merely costs one
+# verification — so the knee sits low: 6 bands × 2 rows puts the
+# 50%-detection point at t = (1/6)^(1/2) ≈ 0.41 Jaccard, and the
+# est_jaccard column (the standard matching-components/K estimator)
+# lets the caller threshold precisely ABOVE the generous candidate
+# net. K stays 12: one md5 per shingle, 12 integer permutations.
+DECON_FUZZY_K = 12
+DECON_FUZZY_BANDS = 6
+DECON_FUZZY_ROWS = 2
+
+
+def fuzzy_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    k: int = DECON_FUZZY_K,
+    bands: int = DECON_FUZZY_BANDS,
+    rows: int = DECON_FUZZY_ROWS,
+    min_est_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy decontamination (VERDICT r10 item 5): train docs whose
+    word ``n``-gram shingle sets are MinHash-near an eval doc —
+    (train_doc_id, eval_doc_id, est_jaccard). The standard production
+    complement to exact ``decontamination_overlap``: Brown-et-al-style
+    n-gram decon catches verbatim leakage; a PARAPHRASED eval doc
+    shares almost no 8-gram but most of its 3-gram shingles, so only
+    the Jaccard path sees it (``tests/test_pipeline_ops.py`` plants
+    exactly that miss/hit pair).
+
+    Shape at 100 TB: eval suites are small (10³-10⁵ docs), so the
+    eval band relation and eval signatures BROADCAST; the train side
+    is one shingle scan + one signature groupBy (K integer mins over
+    one md5 per shingle — ``minhash_signature``), and the candidate
+    join is banded-LSH bucketed, never all-pairs. est_jaccard is the
+    matching-components/K estimator computed only on candidates.
+
+    ``train_shingles``/``eval_shingles`` forward precomputed (id,
+    shingle) relations (the shared-checkpoint pattern of
+    ``minhash_lsh_pairs``)."""
+    from map_reduce_library_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    if train_shingles is None:
+        train_shingles = shingles(train, text_col, id_col, n, distinct=False)
+    if eval_shingles is None:
+        eval_shingles = shingles(eval_df, text_col, id_col, n, distinct=False)
+    sig_t = minhash_signature(train_shingles, id_col, k)
+    sig_e = minhash_signature(eval_shingles, id_col, k)
+    bt = lsh_bands(sig_t, id_col, bands, rows).select(
+        F.col(id_col).alias("train_doc_id"), "band_id", "band_sig"
+    )
+    be = lsh_bands(sig_e, id_col, bands, rows).select(
+        F.col(id_col).alias("eval_doc_id"), "band_id", "band_sig"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band_id", "band_sig"])
+        .select("train_doc_id", "eval_doc_id")
+        .distinct()
+    )
+    sig_e_r = F.broadcast(
+        sig_e.select(
+            F.col(id_col).alias("eval_doc_id"),
+            *[F.col(f"h{i}").alias(f"g{i}") for i in range(k)],
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"h{i}") == F.col(f"g{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cand.join(sig_t.withColumnRenamed(id_col, "train_doc_id"),
+                  "train_doc_id")
+        .join(sig_e_r, "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            (matches / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str,

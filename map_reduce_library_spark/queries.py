@@ -275,9 +275,35 @@ _EVER_GREEN = _load_ever_green()
 # re-checks whenever cap slots remain.
 _CANARIES = ("wordcount", "filter_project", "pricing_summary")
 
+# Hand-curated driver-provenance refresh list (VERDICT r10 items 1-2):
+# names here sort immediately after the never-green tier, ahead of
+# every other re-check, so the next driver 50-sample re-hashes them
+# with driver provenance even when a local fold has already restored
+# their ledger validity. Round 11: the wide-geometry-flip graph
+# consumers (last driver-checked r4-r6; VERDICT r10 item 2 asked for
+# exactly this drain) and the four persisted-index queries, whose dep
+# closure this round's rebalance/lease work re-touched (the rebalance
+# done-criterion names them explicitly). Curated per round — remove
+# entries once CORRECTNESS_r{N} records their driver green.
+_PRIORITY_REFRESH = (
+    "pagerank_near_dup_graph",
+    "triangle_count_near_dup_graph",
+    "near_dup_rate_by_source",
+    "ngram_jaccard_lsh",
+    "ivf_pq_persisted_topk",
+    "ivf_pq_filtered_topk",
+    "ivf_pq_deleted_topk",
+    "ivf_pq_incremental_topk",
+)
+
 
 def _order_key(name: str) -> tuple:
     verified = name in _VERIFIED
+    # never-green first (tier 0 below), then the curated refresh list,
+    # then everything else in the existing tiered order
+    front = 0 if name not in _EVER_GREEN else (
+        1 if name in _PRIORITY_REFRESH else 2
+    )
     canary = _CANARIES.index(name) if name in _CANARIES else len(_CANARIES)
     # Verified queries re-check oldest-green-first so no family's last
     # green ever drifts more than a couple of rounds stale.
@@ -306,6 +332,7 @@ def _order_key(name: str) -> tuple:
     else:
         vtier = 2
     return (
+        front,
         verified,
         name not in ORACLES,
         canary if verified else tier,

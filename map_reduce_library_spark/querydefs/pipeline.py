@@ -166,6 +166,68 @@ def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fuzzy decon oracle: the minhash fragment generators live with the
+# dedup querydefs (they regenerate the identical universal-hash family
+# both engines run); importing the sibling module here is
+# import-order-safe because only ``register`` is touched during the
+# re-entrant window (see querydefs/_fragments.py — the hazard is
+# ORACLES[...] lookups at import time, which this is not).
+from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
+    DECON_FUZZY_BANDS,
+    DECON_FUZZY_K,
+    DECON_FUZZY_ROWS,
+    fuzzy_decontamination,
+)
+from map_reduce_library_spark.querydefs.dedup import (  # noqa: E402
+    _band_selects_sql,
+    _minhash_aggs_sql,
+    _SHINGLE_CTE,
+    _SHX_CTE,
+)
+
+_FUZZY_EST_SQL = " + ".join(
+    f"(CASE WHEN t.h{i} = e.h{i} THEN 1 ELSE 0 END)"
+    for i in range(DECON_FUZZY_K)
+)
+
+
+@register(
+    "decontamination_fuzzy",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_SHX_CTE},
+    sig AS (SELECT doc_id, {_minhash_aggs_sql(DECON_FUZZY_K)}
+            FROM shx GROUP BY doc_id),
+    bands AS ({_band_selects_sql(DECON_FUZZY_BANDS, DECON_FUZZY_ROWS)}),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+      FROM bands t JOIN bands e
+        ON t.band_id = e.band_id AND t.band_sig = e.band_sig
+      WHERE t.doc_id >= {EVAL_SET_MAX_ID} AND e.doc_id < {EVAL_SET_MAX_ID}
+    )
+    SELECT c.train_doc_id, c.eval_doc_id,
+           ({_FUZZY_EST_SQL}) / {float(DECON_FUZZY_K)} AS est_jaccard
+    FROM cand c
+    JOIN sig t ON t.doc_id = c.train_doc_id
+    JOIN sig e ON e.doc_id = c.eval_doc_id
+    """,
+)
+def decontamination_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (VERDICT r10 item 5): train docs (doc_id
+    >= 50) MinHash-colliding with the eval set (doc_id < 50) on word
+    3-gram shingles, with the matching-components/K Jaccard estimate —
+    the paraphrase-leakage complement to the exact 8-gram
+    ``decontamination_overlap``. Recall-first geometry (6 bands × 2
+    rows, knee ≈ 0.41 Jaccard); the oracle regenerates the identical
+    12-permutation universal-hash family and the band reshape, so the
+    differential covers the full estimator, not just the candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_decontamination(
+        docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID),
+        docs.where(F.col("doc_id") < EVAL_SET_MAX_ID),
+    )
+
+
 @register(
     "sequence_packing",
     oracle=f"""

@@ -681,6 +681,7 @@ def _ivf_pq_oracle(
     train_max: int | None = None,
     corpus_pred: str | None = None,
     filter_col: str | None = None,
+    full_probe: bool = False,
 ) -> str:
     """``corpus_pred`` restricts INDEX MEMBERSHIP (the homed corpus
     side) without touching the fitted artifacts — the oracle twin of
@@ -688,7 +689,17 @@ def _ivf_pq_oracle(
     the full corpus, deleted vectors just stop being candidates.
     ``filter_col`` adds metadata-filtered search: the column threads
     through the homed relation and joins into the candidate equality
-    — the twin of ``ivf_pq_search(filter_cols=[...])``."""
+    — the twin of ``ivf_pq_search(filter_cols=[...])``.
+
+    ``full_probe=True`` drops the coarse-quantizer CTEs entirely and
+    scores every (query, member) pair — brute ADC. With every cell
+    probed, IVF pruning is a no-op whatever the centroid geometry, so
+    this oracle is CENTROID-INDEPENDENT: exactly what a query over a
+    REBALANCED index needs, whose post-split sub-centroids (Lloyd on
+    PQ reconstructions) would otherwise demand their own deep CTE
+    chain. Hash-green against it proves a layout op changed pruning
+    geometry only — every code row intact, none duplicated (a
+    double-counted row inflates its ADC sum by √2)."""
     cb = f"pq{PQ_ITERS}"
     member = f" AND ({corpus_pred})" if corpus_pred else ""
     fsel = f", {filter_col}" if filter_col else ""
@@ -696,6 +707,62 @@ def _ivf_pq_oracle(
     fmatch = (
         f" AND p.{filter_col} = h.{filter_col}" if filter_col else ""
     )
+    if full_probe:
+        assert filter_col is None, "full_probe oracle has no filter path"
+        return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    {_pq_lloyd_ctes(train_max=train_max)},
+    codesq AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT sv.vec_id, sv.sub, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY (list_dot_product(sv.sv, sv.sv)
+                           + list_dot_product(c.vc, c.vc))
+                          - 2 * list_dot_product(sv.sv, c.vc) ASC,
+                          c.cell) AS rn
+        FROM sv JOIN {cb} c ON sv.sub = c.sub) WHERE rn = 1
+    ),
+    cn AS (SELECT sub, cell AS code,
+                  list_dot_product(vc, vc) AS cn2 FROM {cb}),
+    homed AS (SELECT vec_id AS neighbor_id FROM e WHERE TRUE{member}),
+    qs AS (SELECT vec_id AS query_id, sub, sv FROM sv
+           WHERE vec_id < {N_QUERIES}),
+    lut AS (
+      SELECT q.query_id, c.sub, c.cell AS code,
+             list_dot_product(q.sv, c.vc) AS qd
+      FROM qs q JOIN {cb} c ON q.sub = c.sub
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, q.nrm AS nq, h.neighbor_id
+      FROM e q CROSS JOIN homed h
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id != h.neighbor_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.nq,
+             round(sum(l.qd), 6) AS adot,
+             round(sum(n.cn2), 6) AS rn2
+      FROM cand c
+      JOIN codesq k ON c.neighbor_id = k.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.sub = k.sub
+                AND l.code = k.code
+      JOIN cn n ON n.sub = k.sub AND n.code = k.code
+      GROUP BY c.query_id, c.neighbor_id, c.nq
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             adot / (nq * sqrt(rn2)) AS cosine_pq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adot / (nq * sqrt(rn2)) DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, cosine_pq
+    FROM ranked WHERE rnk <= {limit}
+    """
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -873,6 +940,12 @@ def ivf_pq_rerank_recall_at_k(
 # the smallest embeddings table (500 rows at sf0.001/sf0.01) — the
 # "initial corpus" the index is fit on before later vectors arrive.
 PQ_TRAIN_MAX = 250
+# Rebalance bound for the "rebalanced" index variant: the sf0.01 seed
+# cells run 20-42 rows (mean ~31), so target 15 (split threshold 2×15
+# = 30) splits the heavy half of the cells — a real re-cut, not a
+# no-op — while sf0.1 (mean ~125) splits everything, the
+# uniform-growth shape.
+PQ_REBALANCE_TARGET = 15
 
 # Deletion set for the remove_ids query: a deterministic ~14% slice
 # of the corpus that never touches the query vectors (vec_id <
@@ -910,6 +983,7 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
         append_ivf_pq_index,
         build_ivf_pq_index,
         delete_from_ivf_pq_index,
+        rebalance_ivf_pq_index,
         write_ivf_pq_index,
     )
 
@@ -948,6 +1022,16 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
                 delete_from_ivf_pq_index(
                     spark, path,
                     emb.where(_pq_delete_pred()).select("vec_id"),
+                )
+            elif variant == "rebalanced":
+                # split every cell above 2×PQ_REBALANCE_TARGET rows
+                # (at sf0.01: ~9 of the 16 seed cells split, ~2.5×
+                # more centroids) — codes untouched, pruning geometry
+                # re-cut; the serve query proves it via the
+                # centroid-independent brute-ADC oracle
+                rebalance_ivf_pq_index(
+                    spark, path,
+                    target_rows_per_cell=PQ_REBALANCE_TARGET,
                 )
         _PERSISTED_IVFPQ[key] = path
     return path
@@ -1072,6 +1156,40 @@ def ivf_pq_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK,
         EMB_DIM,
         n_probe=N_PROBE,
+    )
+
+
+@register(
+    "ivf_pq_rebalanced_topk",
+    oracle=_ivf_pq_oracle(full_probe=True),
+)
+def ivf_pq_rebalanced_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from a REBALANCED index (VERDICT r10 item 1): the full
+    build's hot cells are split by ``rebalance_ivf_pq_index`` (sub-
+    centroids Lloyd-fit on PQ reconstructions, only split cells'
+    directories rewritten), then top-k is served at FULL probe. The
+    oracle is the centroid-independent brute ADC: with every cell
+    probed, pruning is a no-op, so hash-green proves the layout op
+    moved rows without creating, dropping, duplicating, or re-encoding
+    any (a duplicated codes row would inflate its cosine by √2).
+    Bounded-probe behavior on the re-cut geometry is pinned by
+    ``tests/test_ann_index.py`` (pruning, crash healing, membership);
+    the serve-cost restoration curve is measured by
+    ``tools/scaling_probe.py --rebalance`` (BASELINE.md round 11)."""
+    from map_reduce_library_spark.operators.ann_index import (
+        ivf_pq_search,
+        read_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(
+        read_ivf_pq_index(
+            spark, _persisted_index_path(spark, sf_dir, "rebalanced")
+        ),
+        emb.where(F.col("vec_id") < N_QUERIES),
+        TOPK,
+        EMB_DIM,
+        n_probe=100_000,
     )
 
 

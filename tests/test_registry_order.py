@@ -126,9 +126,39 @@ def test_oracled_before_rows_only_within_unverified():
 
 
 def test_canaries_lead_verified_recheck_block():
-    verified_order = [n for n in q.QUERIES if n in q._VERIFIED]
+    """Canaries lead the verified re-check block — after the two
+    front tiers that outrank every repeat signal: queries with no
+    driver green EVER (first-ever correctness beats any re-check) and
+    the hand-curated _PRIORITY_REFRESH drain list (round 11)."""
+    verified_order = [
+        n
+        for n in q.QUERIES
+        if n in q._VERIFIED
+        and n in q._EVER_GREEN
+        and n not in q._PRIORITY_REFRESH
+    ]
     present = [c for c in q._CANARIES if c in q._VERIFIED]
     assert verified_order[: len(present)] == present
+
+
+def test_priority_refresh_outranks_canaries_but_not_first_signals():
+    """The curated drain list sits between the never-green tier and
+    every other entry, so the next driver sample must re-hash it with
+    driver provenance (VERDICT r10 item 2)."""
+    order = list(q.QUERIES)
+    prio_idx = [order.index(n) for n in q._PRIORITY_REFRESH if n in order]
+    if not prio_idx:
+        return
+    never_green_idx = [
+        order.index(n) for n in order if n not in q._EVER_GREEN
+    ]
+    rest_idx = [
+        order.index(n)
+        for n in order
+        if n in q._EVER_GREEN and n not in q._PRIORITY_REFRESH
+    ]
+    assert max(never_green_idx, default=-1) < min(prio_idx)
+    assert max(prio_idx) < min(rest_idx)
 
 
 def test_verified_recheck_oldest_green_first():

@@ -275,8 +275,137 @@ def pruning_probe(spark, factors: list[int]) -> None:
         print(json.dumps(rec), flush=True)
 
 
+def _serve_file_counts(df, path_fragment):
+    """numFiles metric of every parquet scan under ``path_fragment``
+    in an EXECUTED plan (the tests' ``_scan_file_counts``, inlined —
+    tools must not import from tests/)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    out, stack = [], [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            roots = node.relation().location().rootPaths()
+            paths = [roots.apply(i).toString() for i in range(roots.length())]
+            if any(path_fragment in p for p in paths):
+                out.append(int(node.metrics().apply("numFiles").value()))
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if name.endswith("QueryStageExec"):
+            stack.append(node.plan())
+        if name == "ReusedExchangeExec":
+            stack.append(node.child())
+    return out
+
+
+def rebalance_probe(spark, factor: int = 10) -> None:
+    """VERDICT r10 item 1 done-criterion: after a ``factor``× append
+    onto a frozen-centroid index, serve wall and files-read must come
+    back FLAT once ``rebalance_ivf_pq_index`` + compaction run.
+
+    Stages measured (same 20-query n_probe=2 serve each time, wall =
+    min of 3 steady-state passes, files = numFiles of both row-table
+    scans, plus the max rows a single probe can touch):
+
+      1x        — fresh build on the sf0.1 embeddings, n_centroids=16
+      appended  — the 9 rotated replicas appended (frozen centroids:
+                  cells now hold ~10× the build-time rows; files-read
+                  still tracks n_probe, but every probed file is 10×)
+      rebalanced— rebalance(target = 1x rows/cell) + full compaction:
+                  per-probe row volume restored, file count per probe
+                  back to n_probe, serve wall back near the 1x line
+    """
+    import shutil as _sh
+
+    from map_reduce_library_spark.operators.ann_index import (
+        append_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+        rebalance_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    sf_dir = build(spark, factor)
+    scaled = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = scaled.where(F.col("vec_id") < OFFSET)
+    extra = scaled.where(F.col("vec_id") >= OFFSET)
+    n_base = base.count()
+    target = max(n_base // 16, 1)
+    path = str(Path(sf_dir) / "ivfpq_rebalance_probe")
+    _sh.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(build_ivf_pq_index(base, 64, n_centroids=16), path)
+
+    def measure(stage: str) -> None:
+        from map_reduce_library_spark.operators.similarity import (
+            ivf_assign_cells,
+        )
+
+        idx = read_ivf_pq_index(spark, path)
+        q = base.where(F.col("vec_id") < 500)
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            served = ivf_pq_search(idx, q, 5, 64, n_probe=2)
+            n = served.count()
+            walls.append(round(time.time() - t0, 2))
+        served = ivf_pq_search(idx, q, 5, 64, n_probe=2)
+        cells_files = _serve_file_counts(served, "/cells")
+        served = ivf_pq_search(idx, q, 5, 64, n_probe=2)
+        codes_files = _serve_file_counts(served, "/codes")
+        sizes = idx.cells.groupBy("cell").count()
+        max_cell = sizes.agg(F.max("count")).collect()[0][0]
+        # ADC candidate volume: Σ over (query, probed cell) of cell
+        # size — THE serve-cost number the rebalance exists to bound
+        # (wall at this sf is job-launch dominated; candidate volume
+        # is what scales with corpus growth)
+        qa = ivf_assign_cells(q, 0, n_probe=2, centroids=idx.centroids)
+        probed_rows = (
+            qa.join(sizes, "cell").agg(F.sum("count")).collect()[0][0]
+        )
+        print(
+            json.dumps(
+                {
+                    "stage": stage,
+                    "rows": idx.cells.count(),
+                    "n_centroids": idx.centroids.count(),
+                    "max_cell_rows": max_cell,
+                    "adc_candidate_rows": probed_rows,
+                    "serve_wall_min3_s": min(walls),
+                    "walls": walls,
+                    "cells_files_read": max(cells_files or [0]),
+                    "codes_files_read": max(codes_files or [0]),
+                    "result_rows": n,
+                }
+            ),
+            flush=True,
+        )
+
+    measure("1x")
+    append_ivf_pq_index(spark, path, extra, 64)
+    measure(f"{factor}x_appended")
+    split = rebalance_ivf_pq_index(spark, path, target_rows_per_cell=target)
+    compact_ivf_pq_index(spark, path, full=True)
+    print(json.dumps({"stage": "rebalance", "cells_split": split}), flush=True)
+    measure(f"{factor}x_rebalanced")
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if "--rebalance" in argv:
+        argv.remove("--rebalance")
+        factor = int(argv[0]) if argv else 10
+        from map_reduce_library_spark.session import get_session
+
+        spark = get_session(app_name="scaling-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        rebalance_probe(spark, factor)
+        return
     if "--pruning" in argv:
         argv.remove("--pruning")
         factors = [int(a) for a in argv] or [1, 10]

@@ -752,6 +752,7 @@ def ivf_pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     filter_cols: list[str] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Serve ADC top-k from a (persisted) index: the query vectors are
     assigned to their ``n_probe`` nearest stored centroids (broadcast
@@ -790,19 +791,32 @@ def ivf_pq_search(
     DataFrame is garbage-collected; a long-lived serving loop should
     drop its reference to each result once consumed (or serve many
     queries per call — the whole point of the relational API) rather
-    than accumulate thousands of live search plans."""
+    than accumulate thousands of live search plans. ``eager=False``
+    is the documented fallback for that loop: construction runs ZERO
+    Spark jobs and pins nothing — the price is no partition pruning
+    (the probed cells aren't known at plan time, so both row tables
+    scan fully) and a query-assignment pipeline that re-executes once
+    per plan branch; right when the query relation is one small
+    literal and latency-to-first-plan matters more than bytes
+    scanned. Answers are byte-identical either way (pruning is
+    semantically a no-op)."""
     filter_cols = list(filter_cols or [])
     q_assigned = ivf_assign_cells(
         queries, 0, id_col, vec_col, n_probe=n_probe,
         centroids=index.centroids,
-    ).localCheckpoint(eager=True)
-    probed = sorted(
-        r[0] for r in q_assigned.select("cell").distinct().collect()
     )
-    cells_src = index.cells.where(F.col("cell").isin(probed))
+    cells_src = index.cells
     codes_src = index.codes
+    if eager:
+        q_assigned = q_assigned.localCheckpoint(eager=True)
+        probed = sorted(
+            r[0] for r in q_assigned.select("cell").distinct().collect()
+        )
+        cells_src = cells_src.where(F.col("cell").isin(probed))
+        if "cell" in codes_src.columns:
+            codes_src = codes_src.where(F.col("cell").isin(probed))
     if "cell" in codes_src.columns:
-        codes_src = codes_src.where(F.col("cell").isin(probed)).drop("cell")
+        codes_src = codes_src.drop("cell")
     if filter_cols:
         q_assigned = q_assigned.join(
             queries.select(id_col, *filter_cols), id_col
@@ -1035,7 +1049,14 @@ def rebalance_ivf_pq_index(
     members = idx.cells.where(F.col("cell").isin(hot_list)).select(
         id_col, F.col("cell").alias("old_cell")
     )
-    recon = _pq_reconstruct(idx.codes, idx.codebooks, id_col)
+    # reconstruct ONLY the hot cells' members: the codes table carries
+    # the home cell, so this filter is a partition-pruned read — a
+    # plain join after the reconstruction groupBy would not push down,
+    # and the decode would run over the whole corpus (the exact cost
+    # bound this op promises not to break)
+    recon = _pq_reconstruct(
+        idx.codes.where(F.col("cell").isin(hot_list)), idx.codebooks, id_col
+    )
     mv = members.join(recon, id_col).localCheckpoint(eager=True)
 
     w_seed = Window.partitionBy("old_cell").orderBy(id_col)

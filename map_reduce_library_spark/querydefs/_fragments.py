@@ -24,6 +24,11 @@ from map_reduce_library_spark.operators.similarity import (
     ANN_TABLES,
     hyperplane_weights,
 )
+from map_reduce_library_spark.operators.dedup import (
+    MINHASH_P,
+    SHINGLE_N,
+    minhash_coeffs,
+)
 from map_reduce_library_spark.operators.text import STOPWORDS
 
 EMB_DIM = 64  # embeddings.embedding length (TESTDATA.md)
@@ -146,3 +151,55 @@ def bm25_scores_ctes(terms: tuple[str, ...]) -> str:
         JOIN dl USING (doc_id)
         CROSS JOIN stats CROSS JOIN n
     )"""
+
+
+# ---- MinHash/LSH oracle fragments (DuckDB dialect) -------------------------
+# Moved here from querydefs/dedup.py in round 11: querydefs/pipeline.py
+# (decontamination_fuzzy) needs the same generators, and importing a
+# SIBLING querydef for them recreates exactly the circular-import crash
+# this module exists to prevent (a direct `import querydefs.dedup`
+# re-enters dedup through queries→pipeline before the fragment names
+# exist — caught by tests/test_direct_imports.py). Text is byte-
+# identical to the pre-move fragments.
+
+MINHASH_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([{'||'.join(f"toks[i+{j}]" + ("||' '" if j < SHINGLE_N - 1 else "") for j in range(SHINGLE_N))}
+                 FOR i IN generate_series(1, greatest(len(toks)-{SHINGLE_N - 1}, 0))]) AS shingle
+  FROM tok
+)"""
+
+# SQL twin of operators.dedup.minhash_signature: one md5 → 60-bit x,
+# then K universal-hash permutations (same constants, same BIGINT
+# arithmetic — both engines stay inside signed 64-bit by construction).
+MINHASH_SHX_CTE = (
+    "shx AS (SELECT doc_id, "
+    f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS x "
+    "FROM sh)"
+)
+
+
+def minhash_aggs_sql(k: int) -> str:
+    """K min-aggregates of the universal-hash family — generated from
+    ``minhash_coeffs`` so any signature width the Spark side can run,
+    the oracle can re-derive from ``k`` alone."""
+    ca, cb = minhash_coeffs(k)
+    return ", ".join(
+        f"min((x * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(k)
+    )
+
+
+def band_selects_sql(bands: int, rows: int, src: str = "sig") -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM {src}".format(
+            b=b,
+            cols="concat_ws('|', {})".format(
+                ", ".join(f"h{b * rows + r}" for r in range(rows))
+            ),
+            src=src,
+        )
+        for b in range(bands)
+    )

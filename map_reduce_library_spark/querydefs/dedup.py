@@ -199,47 +199,18 @@ def shared_dedup_clusters(
     )
 
 # ---- shared SQL fragments (DuckDB dialect) --------------------------------
+# The minhash fragment generators moved to querydefs/_fragments.py in
+# round 11 (querydefs/pipeline.py needs them for decontamination_fuzzy,
+# and a sibling-querydef import is the circular-import hazard the leaf
+# module exists to prevent). Aliased here so every existing oracle
+# composition below is byte-identical.
 
-_SHINGLE_CTE = f"""
-tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest([{'||'.join(f"toks[i+{j}]" + ("||' '" if j < SHINGLE_N - 1 else "") for j in range(SHINGLE_N))}
-                 FOR i IN generate_series(1, greatest(len(toks)-{SHINGLE_N - 1}, 0))]) AS shingle
-  FROM tok
-)"""
-
-# SQL twin of operators.dedup.minhash_signature: one md5 → 60-bit x,
-# then K universal-hash permutations (same constants, same BIGINT
-# arithmetic — both engines stay inside signed 64-bit by construction).
-_SHX_CTE = (
-    "shx AS (SELECT doc_id, "
-    f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS x "
-    "FROM sh)"
+from map_reduce_library_spark.querydefs._fragments import (  # noqa: E402
+    MINHASH_SHINGLE_CTE as _SHINGLE_CTE,
+    MINHASH_SHX_CTE as _SHX_CTE,
+    band_selects_sql as _band_selects_sql,
+    minhash_aggs_sql as _minhash_aggs_sql,
 )
-def _minhash_aggs_sql(k: int) -> str:
-    """K min-aggregates of the universal-hash family — generated from
-    ``minhash_coeffs`` so any signature width the Spark side can run,
-    the oracle can re-derive from ``k`` alone."""
-    ca, cb = minhash_coeffs(k)
-    return ", ".join(
-        f"min((x * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS h{i}"
-        for i in range(k)
-    )
-
-
-def _band_selects_sql(bands: int, rows: int, src: str = "sig") -> str:
-    return " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM {src}".format(
-            b=b,
-            cols="concat_ws('|', {})".format(
-                ", ".join(f"h{b * rows + r}" for r in range(rows))
-            ),
-            src=src,
-        )
-        for b in range(bands)
-    )
-
 
 _MINHASH_AGGS = _minhash_aggs_sql(MINHASH_K)
 _BAND_SELECTS = _band_selects_sql(LSH_BANDS, LSH_ROWS)

@@ -166,23 +166,24 @@ def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fuzzy decon oracle: the minhash fragment generators live with the
-# dedup querydefs (they regenerate the identical universal-hash family
-# both engines run); importing the sibling module here is
-# import-order-safe because only ``register`` is touched during the
-# re-entrant window (see querydefs/_fragments.py — the hazard is
-# ORACLES[...] lookups at import time, which this is not).
+# Fuzzy decon oracle: the minhash fragment generators live in the
+# _fragments LEAF module (they regenerate the identical universal-hash
+# family both engines run) — importing a sibling querydef for them
+# would recreate the circular-import crash _fragments exists to
+# prevent (queries.py imports pipeline BEFORE dedup, so a direct
+# `import querydefs.dedup` would re-enter dedup through pipeline
+# before the fragment names exist; tests/test_direct_imports.py).
 from map_reduce_library_spark.operators.pipeline import (  # noqa: E402
     DECON_FUZZY_BANDS,
     DECON_FUZZY_K,
     DECON_FUZZY_ROWS,
     fuzzy_decontamination,
 )
-from map_reduce_library_spark.querydefs.dedup import (  # noqa: E402
-    _band_selects_sql,
-    _minhash_aggs_sql,
-    _SHINGLE_CTE,
-    _SHX_CTE,
+from map_reduce_library_spark.querydefs._fragments import (  # noqa: E402
+    MINHASH_SHINGLE_CTE as _SHINGLE_CTE,
+    MINHASH_SHX_CTE as _SHX_CTE,
+    band_selects_sql as _band_selects_sql,
+    minhash_aggs_sql as _minhash_aggs_sql,
 )
 
 _FUZZY_EST_SQL = " + ".join(

@@ -676,6 +676,11 @@ def test_interleaved_lifecycle_tracks_membership_model(spark, emb, tmp_path):
         ("append", (F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
         ("delete", (F.col("vec_id") % 10 == 7)),
         ("append", (F.col("vec_id") >= 350)),
+        # rebalance mid-sequence: appends above inflated the build's
+        # cells, so the split is real; later deletes/appends then run
+        # against the RE-CUT geometry (append assigns against the new
+        # sub-centroids — the cross-op interaction worth catching)
+        ("rebalance", None),
         ("compact", None),
         ("delete", (F.col("vec_id") % 10 == 4)),
         # replay of an already-applied batch: a no-op by the guard
@@ -690,6 +695,10 @@ def test_interleaved_lifecycle_tracks_membership_model(spark, emb, tmp_path):
             doomed = emb.where(pred).select("vec_id")
             delete_from_ivf_pq_index(spark, path, doomed)
             model -= {r.vec_id for r in doomed.collect()}
+        elif op == "rebalance":
+            assert rebalance_ivf_pq_index(
+                spark, path, target_rows_per_cell=15
+            ) > 0
         else:
             compact_ivf_pq_index(spark, path, full=True)
         check()
@@ -974,3 +983,63 @@ def test_second_writer_conflicts_and_stale_lease_reclaims(
     with open(lease, "w") as f:
         f.write("writer-B")
     assert read_ivf_pq_index(spark, path).cells.count() == emb.count()
+
+
+def test_rebalance_preserves_metadata_columns(spark, emb, tmp_path):
+    """A metadata-carrying index (filtered-search cells schema) must
+    come through a rebalance with every (id, metadata) pair intact —
+    moved rows keep their stored attributes, and filtered search
+    still pairs only on matching metadata."""
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "meta")
+    tagged = emb.withColumn(
+        "label", F2.pmod(F2.col("vec_id"), F2.lit(3)).cast("long")
+    )
+    a = tagged.where(F.col("vec_id") < 250)
+    b = tagged.where(F.col("vec_id") >= 250)
+    write_ivf_pq_index(
+        build_ivf_pq_index(a, DIM, n_centroids=8, metadata_cols=["label"]),
+        path,
+    )
+    append_ivf_pq_index(spark, path, b, DIM)
+    pre = _rows(read_ivf_pq_index(spark, path).cells.select("vec_id", "label"))
+
+    assert rebalance_ivf_pq_index(spark, path, target_rows_per_cell=30) > 0
+    idx = read_ivf_pq_index(spark, path)
+    assert _rows(idx.cells.select("vec_id", "label")) == pre
+
+    q = tagged.where(F.col("vec_id") < N_Q)
+    served = ivf_pq_search(
+        idx, q, K, DIM, n_probe=10_000, filter_cols=["label"]
+    )
+    got = served.join(
+        tagged.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("ql")),
+        "query_id",
+    ).join(
+        tagged.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("nl")),
+        "neighbor_id",
+    )
+    assert got.where(F.col("ql") != F.col("nl")).count() == 0
+    assert served.count() > 0
+
+
+def test_lazy_search_runs_no_jobs_and_matches_eager(spark, emb, tmp_path):
+    """ADVICE r10: ``eager=False`` must construct the serve plan with
+    ZERO Spark jobs (no checkpoint, no probed-cell collect — nothing
+    pinned for a long-lived serving loop) and still answer
+    byte-identically — pruning is semantically a no-op."""
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    idx = read_ivf_pq_index(spark, path)
+    q = emb.where(F.col("vec_id") < N_Q)
+    want = _rows(ivf_pq_search(idx, q, K, DIM, n_probe=2))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = ivf_pq_search(idx, q, K, DIM, n_probe=2, eager=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lazy construction must run no Spark jobs"
+    assert _rows(lazy) == want and len(want) == N_Q * K

@@ -6,7 +6,8 @@ workflow a retrieval or dedup deployment runs (operators/ann_index.py).
                                                   ├─ read → search
     new vectors ──── append (frozen artifacts) ───┤   (cell-pruned,
     retired ids ──── delete (rename protocol) ────┤    metadata-
-    small files ──── compact (per cell dir) ──────┘    filterable)
+    grown cells ──── rebalance (split hot cells) ─┤    filterable)
+    small files ──── compact (per cell dir) ──────┘
 
 Everything after `build` touches only the four parquet tables —
 centroids/codebooks (tiny, broadcast) and cells/codes (hive-
@@ -36,6 +37,7 @@ from map_reduce_library_spark.operators.ann_index import (  # noqa: E402
     delete_from_ivf_pq_index,
     ivf_pq_search,
     read_ivf_pq_index,
+    rebalance_ivf_pq_index,
     write_ivf_pq_index,
 )
 from map_reduce_library_spark.session import get_session  # noqa: E402
@@ -91,10 +93,17 @@ def main() -> None:
     after = read_ivf_pq_index(spark, path)
     print(f"deleted {retired.count()} ids; cells now {after.cells.count()}")
 
-    # 5. MAINTAIN — per-cell-directory compaction folds append residue
-    #    back toward one file per cell.
+    # 5. MAINTAIN — rebalance splits cells the appends inflated past a
+    #    row bound (sub-centroids fit on PQ reconstructions; only the
+    #    split directories rewrite), restoring the n_probe × cell-size
+    #    serve bound; compaction then folds file residue back toward
+    #    one file per cell. Every maintenance op holds the _LEASE
+    #    sentinel, so a concurrent second writer raises loudly.
+    n_split = rebalance_ivf_pq_index(spark, path, target_rows_per_cell=15)
+    print(f"rebalanced: {n_split} hot cells split")
     n_files = compact_ivf_pq_index(spark, path, full=True)
     print(f"compacted: {n_files} data files across the row tables")
+    after = read_ivf_pq_index(spark, path)  # re-read post-swap
 
     served = ivf_pq_search(after, queries, K, DIM, n_probe=2)
     assert served.join(retired, served.neighbor_id == retired.vec_id).count() == 0

@@ -86,11 +86,26 @@ def extract_binary_meta(binary_df: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/libvips, absent in this
-    container. The Spark-side contract (bytes in, array out) is
-    exercised by ``extract_features``' deterministic fake instead."""
+    """Image decode dispatch. PNG and binary netpbm are decoded FOR
+    REAL by the stdlib-only codecs in ``operators/imaging.py`` (PNG:
+    chunk walk, CRC verify, zlib inflate, all five filter
+    reconstructions; netpbm: header parse + raw pixels) — the former
+    all-formats stub survives only for JPEG, whose DCT+Huffman
+    genuinely needs a codec library this container lacks. The
+    Spark-side contract (bytes in, array out) is identical for every
+    branch."""
+    from map_reduce_library_spark.operators.imaging import (
+        PNG_SIG,
+        decode_netpbm,
+        decode_png,
+    )
+
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_netpbm(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
+        "JPEG decode requires an imaging library not present in this "
         "environment; wire PIL.Image.open(io.BytesIO(payload)) here"
     )
 

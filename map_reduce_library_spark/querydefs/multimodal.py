@@ -209,3 +209,63 @@ def wav_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_library_spark.operators.audio import wav_frame_energy
 
     return wav_frame_energy(_wav_payloads(spark, sf_dir))
+
+
+# ---- PNG codec (round 11): real compressed-container differential ----------
+# The synthetic image contract (operators/imaging.py::synth_image):
+# h = 8 + (n_chars % 5)·4, w = 16, channels = 3 if doc_id even else 1,
+# pixel(y, x, ch) = (doc_id·7 + 3y + 5x + 11ch) % 256. The oracle
+# recomputes the exact pixel grid in SQL (flattened index i →
+# (y, x, ch)); the Spark side must recover it through a REAL PNG
+# encode → zlib inflate → unfilter roundtrip, so any container or
+# codec bug lands as a hash mismatch, not a shape check.
+
+
+@register(
+    "png_image_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 + (length(text) % 5) * 4 AS h,
+             16 AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, h, w, c,
+             unnest(generate_series(0, h * w * c - 1)) AS i
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, h, w, c,
+             SUM((doc_id * 7 + 3 * ((i // c) // w) + 5 * ((i // c) % w)
+                  + 11 * (i % c)) % 256) AS pixel_sum,
+             COUNT(*) AS n_px
+      FROM e GROUP BY doc_id, h, w, c
+    )
+    SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+           CAST(c AS INT) AS channels,
+           CAST(pixel_sum AS BIGINT) AS pixel_sum,
+           pixel_sum / CAST(n_px AS DOUBLE) AS mean_px
+    FROM s
+    """,
+)
+def png_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode through a REAL compressed container: per document
+    a deterministic image is encoded as a spec-correct 8-bit PNG
+    (signature, CRC'd chunks, zlib IDAT), decoded back
+    (``imaging.decode_png`` — chunk walk, CRC verify, inflate,
+    filter reconstruction), and the DECODED pixels yield exact
+    integer stats. pixel_sum is exact int64; mean_px is one float
+    division of exact ints — identical IEEE both engines (the
+    wav_audio_features discipline). Closes the PNG half of the former
+    decode stub; JPEG (DCT+Huffman) stays honestly out of scope."""
+    from map_reduce_library_spark.operators.imaging import (
+        png_stats,
+        with_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text")
+    )
+    return png_stats(with_png_payload(docs))

@@ -162,3 +162,154 @@ def test_imaging_null_payloads_yield_null_rows(spark):
     th = {r.doc_id: r for r in thumbnail(df).collect()}
     assert th[1].thumb is None
     assert th[2].thumb is not None
+
+
+# ---- PNG codec (round 11) ---------------------------------------------------
+
+
+def test_png_roundtrip_rgb_and_gray():
+    """encode_png → decode_png is pixel-exact for both color types —
+    a REAL zlib container roundtrip, not a shape check."""
+    import numpy as np
+
+    from map_reduce_library_spark.operators.imaging import (
+        decode_png,
+        encode_png,
+        synth_image,
+    )
+
+    for doc_id, n_chars in [(2, 13), (3, 7), (10, 0), (11, 4)]:
+        a = synth_image(doc_id, n_chars)
+        b = decode_png(encode_png(a))
+        assert b.shape == a.shape and b.dtype == np.uint8
+        assert (b == a).all()
+
+
+def test_png_decoder_reconstructs_all_five_filters():
+    """The encoder emits filter 0, but a real decoder must accept
+    whatever an external writer chose: craft an image whose scanlines
+    cycle through None/Sub/Up/Average/Paeth (forward-filtering the
+    known pixels per the spec) and require pixel-exact recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_library_spark.operators.imaging import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        synth_image,
+    )
+
+    a = synth_image(4, 9)  # RGB
+    h, w, c = a.shape
+    stride = w * c
+    flat = a.reshape(h, stride).astype(int)
+
+    def filt_row(y: int, f: int) -> bytes:
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, int)
+        out = []
+        for x in range(stride):
+            left = cur[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - left
+            elif f == 2:
+                v = cur[x] - up
+            elif f == 3:
+                v = cur[x] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                v = cur[x] - pred
+            out.append(v & 0xFF)
+        return bytes([f]) + bytes(out)
+
+    raw = b"".join(filt_row(y, y % 5) for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == a).all()
+
+
+def test_png_rejects_undecodable_payloads():
+    """Non-PNG magic, truncation, CRC corruption, and out-of-scope
+    IHDR shapes (16-bit, palette, interlace) must all raise loudly —
+    the decode_netpbm/decode_wav discipline."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from map_reduce_library_spark.operators.imaging import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+        synth_image,
+    )
+
+    good = encode_png(synth_image(4, 9))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated mid-chunk
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip an IHDR byte under its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+    def with_ihdr(depth, color, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        return (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(with_ihdr(16, 0))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(with_ihdr(8, 3))  # palette
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(with_ihdr(8, 0, interlace=1))
+
+
+def test_decode_image_dispatch_routes_png_and_netpbm():
+    """multimodal.decode_image now REALLY decodes PNG and netpbm; the
+    NotImplementedError stub survives only for JPEG."""
+    import pytest
+
+    from map_reduce_library_spark.operators.imaging import (
+        encode_png,
+        encode_ppm,
+        synth_image,
+    )
+    from map_reduce_library_spark.operators.multimodal import decode_image
+
+    a = synth_image(2, 13)
+    assert (decode_image(encode_png(a)) == a).all()
+    assert (decode_image(encode_ppm(a)) == a).all()
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_png_image_stats_oracle(spark):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, "png_image_stats")

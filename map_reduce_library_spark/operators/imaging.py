@@ -299,10 +299,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, color = meta
     ch = 3 if color == 2 else 1
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # decompressobj with max_length caps allocation at the
+    # IHDR-declared size: a zlib-bomb IDAT (tiny payload inflating to
+    # gigabytes) fails the length contract WITHOUT first allocating
+    # the bomb — an executor decoding untrusted blobs must never let
+    # one crafted row take out the whole task's memory
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail or len(raw) != expected or d.decompress(b"", 1):
         raise ValueError(
-            f"inflated length {len(raw)} != expected {h * (1 + stride)}"
+            f"inflated length != expected {expected} "
+            "(truncated or oversized IDAT stream)"
         )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

@@ -289,6 +289,19 @@ def test_png_rejects_undecodable_payloads():
     with pytest.raises(ValueError, match="interlace"):
         decode_png(with_ihdr(8, 0, interlace=1))
 
+    # zlib bomb: IHDR declares 4x4 but the IDAT inflates to 10 MB —
+    # must fail the length contract WITHOUT allocating the bomb (the
+    # decompressobj max_length cap)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated length"):
+        decode_png(bomb)
+
 
 def test_decode_image_dispatch_routes_png_and_netpbm():
     """multimodal.decode_image now REALLY decodes PNG and netpbm; the

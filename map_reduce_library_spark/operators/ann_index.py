@@ -135,12 +135,34 @@ def _cell_partition_dirs(fs, jvm, table_dir: str) -> list:
 # ``create(overwrite=False)`` — an ATOMIC create-if-absent on HDFS
 # and local disk, so of two racing writers exactly one wins and the
 # other raises. The underscore prefix keeps the file invisible to
-# every Spark scan. A writer that crashes leaves its lease behind;
-# it is reclaimable once its mtime is older than ``LEASE_TTL_MS``
-# (crash-stale, not contended). Healing semantics are unchanged —
-# the lease only gates WRITERS; readers never touch it.
+# every Spark scan.
+#
+# Protocol details (round-11 review hardening):
+#   * The lease CONTENT is a per-acquisition token (host, pid, uuid);
+#     release deletes the file only if it still holds OUR token, so a
+#     writer whose lease was reclaimed can never delete the
+#     reclaimer's live lease.
+#   * A crashed writer's stale lease (mtime older than LEASE_TTL_MS)
+#     is reclaimed by RENAME-claim: rename the observed file aside
+#     (atomic — of N reclaimers exactly one wins), re-check its mtime
+#     after the rename (it may have been replaced by a FRESH lease in
+#     the observe→rename window — if so, rename it back and raise),
+#     then create anew.
+#   * The holder HEARTBEATS the lease mtime from a daemon thread at
+#     TTL/3, so an op legitimately running longer than the TTL never
+#     silently loses mutual exclusion.
+#   * Readers never WRITE the lease, but healing now defers to it:
+#     ``read_ivf_pq_index`` skips crash-residue repair while a LIVE
+#     foreign lease exists — a reader must not roll back an IN-FLIGHT
+#     rebalance/delete (the writer healed at its own start; residue
+#     observed during a live op is the op itself, not a crash).
+#     Crash residue heals as soon as the dead writer's lease expires.
 
 LEASE_TTL_MS = 15 * 60 * 1000
+
+# index path -> the token of the lease THIS process currently holds
+# (written by _acquire_lease, cleared by _release_lease)
+_LEASE_TOKENS: dict[str, str] = {}
 
 
 class IndexWriterConflict(RuntimeError):
@@ -150,15 +172,41 @@ class IndexWriterConflict(RuntimeError):
     crashed)."""
 
 
+def _lease_path(path: str) -> str:
+    return posixpath.join(path, "_LEASE")
+
+
+def _read_lease(fs, jvm, path: str) -> str | None:
+    """Lease content, or None if absent. Unreadable content (e.g. a
+    checksum mismatch after an out-of-band overwrite, or a read
+    racing a delete) maps to a sentinel that can never equal a token:
+    'not ours / treat as foreign' is the safe answer to every caller
+    — heartbeat stops renewing, release leaves it alone, and the
+    live-lease check stays conservative."""
+    p = _jp(jvm, _lease_path(path))
+    if not fs.exists(p):
+        return None
+    try:
+        f = fs.open(p)
+        try:
+            return bytes(f.readAllBytes()).decode("utf-8", "replace")
+        finally:
+            f.close()
+    except Exception:  # noqa: BLE001 — see docstring
+        return "<unreadable lease>"
+
+
 def _acquire_lease(
-    spark: SparkSession, path: str, op: str, ttl_ms: int = LEASE_TTL_MS
+    spark: SparkSession, path: str, op: str, ttl_ms: int | None = None
 ) -> None:
     import os
     import socket
     import time
+    import uuid
 
+    ttl_ms = LEASE_TTL_MS if ttl_ms is None else ttl_ms
     fs, jvm = _fs(spark, path)
-    lease = _jp(jvm, posixpath.join(path, "_LEASE"))
+    lease = _jp(jvm, _lease_path(path))
     if fs.exists(lease):
         st = fs.getFileStatus(lease)
         age_ms = int(time.time() * 1000) - st.getModificationTime()
@@ -169,28 +217,88 @@ def _acquire_lease(
                 f"refusing to start {op} — one maintenance writer at a "
                 "time. If the holder crashed, the lease self-expires."
             )
-        # crash-stale: reclaim, then fall through to the atomic create
-        fs.delete(lease, False)
+        # crash-stale: RENAME-claim the observed file — atomic, so of
+        # N concurrent reclaimers exactly one proceeds, and nobody
+        # ever deletes a competitor's freshly created lease
+        claim = _lease_path(path) + f".reclaim.{uuid.uuid4().hex}"
+        if not fs.rename(lease, _jp(jvm, claim)):
+            raise IndexWriterConflict(
+                f"lost the stale-lease reclaim race for {op} on {path}"
+            )
+        st2 = fs.getFileStatus(_jp(jvm, claim))
+        if int(time.time() * 1000) - st2.getModificationTime() < ttl_ms:
+            # the stale file was replaced by a FRESH lease between our
+            # staleness check and the rename — give it back
+            _rename_or_raise(fs, jvm, claim, _lease_path(path))
+            raise IndexWriterConflict(
+                f"lease on {path} was refreshed by another writer "
+                f"during reclaim; refusing to start {op}"
+            )
+        fs.delete(_jp(jvm, claim), False)
+    token = (
+        f"{op} host={socket.gethostname()} pid={os.getpid()} "
+        f"token={uuid.uuid4().hex} t={int(time.time())}"
+    )
     try:
         out = fs.create(lease, False)  # overwrite=False: atomic claim
-    except Exception as e:  # Py4J wraps FileAlreadyExistsException
-        raise IndexWriterConflict(
-            f"lost the lease race for {op} on {path}: {e}"
-        ) from e
+    except Exception as e:
+        # only the already-exists family is a lease race; permission /
+        # quota / RPC failures must surface as themselves, not as a
+        # misdirecting "back off and retry" (review r11)
+        msg = str(e)
+        if "AlreadyExists" in msg or "already exists" in msg.lower():
+            raise IndexWriterConflict(
+                f"lost the lease race for {op} on {path}: {e}"
+            ) from e
+        raise
     try:
-        out.write(
-            bytearray(
-                f"{op} host={socket.gethostname()} pid={os.getpid()} "
-                f"t={int(time.time())}".encode()
-            )
-        )
+        out.write(bytearray(token.encode()))
     finally:
         out.close()
+    _LEASE_TOKENS[path] = token
 
 
 def _release_lease(spark: SparkSession, path: str) -> None:
+    token = _LEASE_TOKENS.pop(path, None)
     fs, jvm = _fs(spark, path)
-    fs.delete(_jp(jvm, posixpath.join(path, "_LEASE")), False)
+    # delete only OUR lease: if it was reclaimed from under us (TTL
+    # expiry despite the heartbeat, e.g. a suspended VM), the current
+    # file belongs to the reclaimer and must survive our release
+    if token is not None and _read_lease(fs, jvm, path) == token:
+        fs.delete(_jp(jvm, _lease_path(path)), False)
+
+
+def _heartbeat_lease_once(spark: SparkSession, path: str) -> bool:
+    """Refresh the lease mtime iff we still hold it. Returns whether
+    the heartbeat applied (False = our lease is gone/replaced)."""
+    import time
+
+    fs, jvm = _fs(spark, path)
+    if _read_lease(fs, jvm, path) != _LEASE_TOKENS.get(path):
+        return False
+    now = int(time.time() * 1000)
+    fs.setTimes(_jp(jvm, _lease_path(path)), now, now)
+    return True
+
+
+def _live_foreign_lease(spark: SparkSession, path: str) -> bool:
+    """True iff a lease exists that is (a) not ours and (b) younger
+    than the TTL — the signal that a maintenance op is IN FLIGHT
+    right now, so readers must not heal residue out from under it."""
+    import time
+
+    fs, jvm = _fs(spark, path)
+    p = _jp(jvm, _lease_path(path))
+    if not fs.exists(p):
+        return False
+    content = _read_lease(fs, jvm, path)
+    if content is not None and content == _LEASE_TOKENS.get(path):
+        return False
+    try:
+        st = fs.getFileStatus(p)
+    except Exception:
+        return False  # deleted between exists and status: released
+    return (int(time.time() * 1000) - st.getModificationTime()) < LEASE_TTL_MS
 
 
 def _maintenance_op(op_name: str):
@@ -199,16 +307,35 @@ def _maintenance_op(op_name: str):
     lease is released on EVERY exit, including failures — a failed op
     leaves the index healable by the next reader, so holding the
     lease would only delay the repair; a CRASHED op (process death)
-    leaves the lease for the TTL to expire."""
+    leaves the lease for the TTL to expire. While the op runs, a
+    daemon thread refreshes the lease mtime at TTL/3 so long ops
+    never silently lose mutual exclusion (review r11)."""
     import functools
+    import threading
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark, path, *args, **kwargs):
             _acquire_lease(spark, path, op_name)
+            stop = threading.Event()
+
+            def beat() -> None:
+                while not stop.wait(max(LEASE_TTL_MS / 3000.0, 0.5)):
+                    try:
+                        if not _heartbeat_lease_once(spark, path):
+                            return  # lease gone: nothing left to renew
+                    except Exception:  # noqa: BLE001 — best-effort
+                        pass
+
+            t = threading.Thread(
+                target=beat, name=f"lease-heartbeat-{op_name}", daemon=True
+            )
+            t.start()
             try:
                 return fn(spark, path, *args, **kwargs)
             finally:
+                stop.set()
+                t.join(timeout=2.0)
                 _release_lease(spark, path)
 
         return wrapper
@@ -410,11 +537,28 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
 
     The ``cell`` partition column comes back from directory names with
     Spark's narrowest-type inference (int); it is cast back to long so
-    joins and row-compares never depend on the physical layout."""
+    joins and row-compares never depend on the physical layout.
+
+    HEALING DEFERS TO A LIVE LEASE (review r11): while a foreign
+    ``_LEASE`` younger than the TTL exists, a maintenance op is in
+    flight RIGHT NOW and the protocol residue a reader observes is
+    the op itself, not a crash — healing it would roll back (and for
+    rebalance, permanently strand) a live writer's work. Readers
+    therefore skip all repair during that window; the writer healed
+    at its own start, and genuine crash residue heals on the first
+    read after the dead writer's lease expires. Reading DURING a
+    maintenance window remains the documented inconsistency the
+    single-writer contract already names."""
     from map_reduce_library_spark.operators.maintenance import (
         compact_index,
     )
 
+    if _live_foreign_lease(spark, path):
+        return IvfPqIndex(
+            *(
+                _load_index_part(spark, path, n) for n in _PARTS
+            )
+        )
     _heal_interrupted_rebalance(spark, path)
     _heal_interrupted_delete(spark, path)
     fs, jvm = _fs(spark, path)
@@ -437,20 +581,21 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
             # tmp; the forced full pass repairs and clears it
             compact_index(spark, table, full=True)
 
-    def _load(name: str) -> DataFrame:
-        df = spark.read.parquet(posixpath.join(path, name))
-        if name in _ROW_TABLES and "cell" in df.columns:
-            cols = [c for c in df.columns if c != "cell"]
-            # stable logical order (id, cell, rest) + the long cast,
-            # whatever the physical layout
-            df = df.select(
-                cols[0],
-                F.col("cell").cast("long").alias("cell"),
-                *cols[1:],
-            )
-        return df
+    return IvfPqIndex(*(_load_index_part(spark, path, n) for n in _PARTS))
 
-    return IvfPqIndex(*(_load(n) for n in _PARTS))
+
+def _load_index_part(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(posixpath.join(path, name))
+    if name in _ROW_TABLES and "cell" in df.columns:
+        cols = [c for c in df.columns if c != "cell"]
+        # stable logical order (id, cell, rest) + the long cast,
+        # whatever the physical layout
+        df = df.select(
+            cols[0],
+            F.col("cell").cast("long").alias("cell"),
+            *cols[1:],
+        )
+    return df
 
 
 def _is_cell_partitioned(spark: SparkSession, table_dir: str) -> bool:
@@ -1117,6 +1262,23 @@ def rebalance_ivf_pq_index(
         .select(id_col, F.col("new_cell").alias("cell"))
         .localCheckpoint(eager=True)
     )
+    # COMPLETENESS INVARIANT (review r11): every hot member must land
+    # in some sub-cell. If a hot cell lost ALL its sub-centroids to
+    # the nc > 0 guard (pathological all-zero reconstructions), the
+    # inner joins above silently dropped its members — and the
+    # cleanup below would delete their only copy. Abort BEFORE any
+    # mutation instead; nothing has been staged or renamed yet.
+    # (members.count, not mv.count: a cells row with no codes rows —
+    # a corrupted index — would already have been dropped by the
+    # recon join, and this check must catch that loss too)
+    n_members, n_final = members.count(), final.count()
+    if n_final != n_members:
+        raise ValueError(
+            f"rebalance aborted: {n_members - n_final} of {n_members} "
+            "hot-cell members received no sub-cell (degenerate zero-"
+            "norm reconstructions, or cells rows with no codes); the "
+            "index is untouched — inspect the affected cells or rebuild"
+        )
     add_list = sorted(
         int(r[0]) for r in final.select("cell").distinct().collect()
     )

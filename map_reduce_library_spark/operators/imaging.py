@@ -213,6 +213,11 @@ import struct
 import zlib
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Decode refuses images declaring more pixels than this (64 MP ≈
+# 192 MB of RGB rows): the zlib inflation cap is sized from the IHDR,
+# so the IHDR itself must be bounded or a crafted header re-enables
+# the allocation the cap refuses.
+PNG_MAX_PIXELS = 64_000_000
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -298,6 +303,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, color = meta
     ch = 3 if color == 2 else 1
+    if w * h > PNG_MAX_PIXELS:
+        # the inflation cap below is computed FROM the IHDR, which is
+        # as attacker-controlled as the IDAT — without this bound a
+        # crafted 2^31×2^31 header re-authorizes the very allocation
+        # the cap exists to refuse (review r11)
+        raise ValueError(
+            f"PNG declares {w}x{h} = {w * h} pixels, over the "
+            f"{PNG_MAX_PIXELS} decode cap (PNG_MAX_PIXELS — raise it "
+            "for trusted oversized inputs)"
+        )
     stride = w * ch
     expected = h * (1 + stride)
     # decompressobj with max_length caps allocation at the

@@ -14,15 +14,11 @@ from map_reduce_library_spark.operators.dedup import (
     LSH_BANDS_WIDE,
     LSH_ROWS,
     LSH_ROWS_WIDE,
-    MINHASH_A,
-    MINHASH_B,
     MINHASH_K,
-    MINHASH_P,
     SHINGLE_N,
     connected_components,
     embedding_dup_pairs,
     exact_dedup,
-    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )

@@ -469,35 +469,11 @@ def test_incremental_query_matches_oracle(spark):
     assert_oracle_match(spark, "ivf_pq_incremental_topk")
 
 
-def _scan_file_counts(df, path_fragment):
-    """Execute ``df`` and return the numFiles metric of every parquet
-    scan whose root path contains ``path_fragment`` — the AQE plan is
-    walked through its materialized query stages (Broadcast/Shuffle/
-    Result) and reused exchanges; the location comes from the scan's
-    FileIndex root paths because toString() truncates metadata."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.executedPlan()
-    out, stack = [], [plan]
-    while stack:
-        node = stack.pop()
-        name = node.getClass().getSimpleName()
-        if "FileSourceScan" in name:
-            roots = node.relation().location().rootPaths()
-            paths = [
-                roots.apply(i).toString() for i in range(roots.length())
-            ]
-            if any(path_fragment in p for p in paths):
-                out.append(int(node.metrics().apply("numFiles").value()))
-        ch = node.children()
-        for i in range(ch.length()):
-            stack.append(ch.apply(i))
-        if name.endswith("QueryStageExec"):
-            stack.append(node.plan())
-        if name == "ReusedExchangeExec":
-            stack.append(node.child())
-    return out
+# the executed-plan walker lives in the package (diagnostics.py,
+# review r11) so tests and tools share one copy
+from map_reduce_library_spark.diagnostics import (
+    scan_file_counts as _scan_file_counts,
+)
 
 
 def test_serve_reads_only_probed_cells_files(spark, emb, tmp_path):
@@ -1043,3 +1019,142 @@ def test_lazy_search_runs_no_jobs_and_matches_eager(spark, emb, tmp_path):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "lazy construction must run no Spark jobs"
     assert _rows(lazy) == want and len(want) == N_Q * K
+
+
+def test_reader_defers_healing_to_a_live_foreign_lease(
+    spark, emb, tmp_path
+):
+    """Review r11 (severe): a reader running the rebalance healer
+    during a LIVE op would roll back the writer's staged work and —
+    past the commit point — strand the centroids table beyond repair.
+    Readers must skip ALL residue repair while a foreign lease younger
+    than the TTL exists, and heal normally once it is gone/stale."""
+    import json
+    import os
+    import time
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    # plant in-flight-looking rebalance residue: a no-op plan marker
+    marker = os.path.join(path, ".rebalance_tmp")
+    with open(marker, "w") as f:
+        json.dump({"drop": [], "add": []}, f)
+    with open(os.path.join(path, "_LEASE"), "w") as f:
+        f.write("rebalance host=elsewhere pid=1 token=deadbeef t=0")
+
+    idx = read_ivf_pq_index(spark, path)  # must NOT heal
+    assert os.path.exists(marker), "reader healed under a live lease"
+    assert idx.cells.count() == emb.count()  # still serves
+
+    # stale the lease: the next reader heals the residue away
+    old = time.time() - 3600
+    os.utime(os.path.join(path, "_LEASE"), (old, old))
+    read_ivf_pq_index(spark, path)
+    assert not os.path.exists(marker)
+
+
+def test_release_never_deletes_a_reclaimers_lease(spark, emb, tmp_path):
+    """Review r11: release is token-checked — a writer whose lease
+    was reclaimed (TTL expiry) must not delete the reclaimer's live
+    lease on its way out."""
+    import os
+
+    from map_reduce_library_spark.operators.ann_index import (
+        _release_lease,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    lease = os.path.join(path, "_LEASE")
+    with open(lease, "w") as f:
+        f.write("append host=other pid=9 token=feedface t=1")
+    _release_lease(spark, path)  # we hold no token for this path
+    assert os.path.exists(lease), "release deleted a foreign lease"
+
+
+def test_heartbeat_refreshes_only_our_lease(spark, emb, tmp_path):
+    """Review r11: long ops renew their lease mtime (TTL/3 heartbeat)
+    so mutual exclusion survives ops longer than the TTL; the
+    heartbeat must decline once the lease is no longer ours."""
+    import os
+    import time
+
+    from map_reduce_library_spark.operators.ann_index import (
+        _acquire_lease,
+        _heartbeat_lease_once,
+        _release_lease,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    _acquire_lease(spark, path, "test")
+    lease = os.path.join(path, "_LEASE")
+    old = time.time() - 600
+    os.utime(lease, (old, old))
+    assert _heartbeat_lease_once(spark, path) is True
+    assert os.path.getmtime(lease) > old + 500  # refreshed to ~now
+
+    # replace with a foreign lease: heartbeat must decline, release
+    # must leave it alone. (drop the ChecksumFileSystem's .crc sibling
+    # from the fs.create'd original, or the out-of-band rewrite below
+    # reads back as a checksum error — which _read_lease maps to
+    # not-ours anyway, but the test wants the clean content path)
+    os.remove(lease)
+    crc = os.path.join(path, "._LEASE.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(lease, "w") as f:
+        f.write("compact host=other pid=2 token=0ddba11 t=2")
+    assert _heartbeat_lease_once(spark, path) is False
+    _release_lease(spark, path)
+    assert os.path.exists(lease)
+    os.remove(lease)
+
+
+def test_stale_reclaim_gives_back_a_freshly_replaced_lease(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Review r11 (TOCTOU): between observing a stale lease and
+    claiming it, another writer may have reclaimed and re-created a
+    FRESH one; the rename-claim must detect the fresh mtime, restore
+    the file, and raise — never delete a competitor's live lease."""
+    import os
+    import time
+
+    from map_reduce_library_spark.operators import ann_index as mod
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    lease = os.path.join(path, "_LEASE")
+    with open(lease, "w") as f:
+        f.write("append host=other pid=3 token=cafe t=3")
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+
+    real_fs = mod._fs
+
+    def racing_fs(spark_, p):
+        fs, jvm = real_fs(spark_, p)
+
+        class RacingFs:
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+            def rename(self, src, dst):
+                # simulate the competitor reclaiming + re-creating a
+                # FRESH lease in the observe->claim window: refresh
+                # the file's mtime just before our claim moves it
+                if src.getName() == "_LEASE":
+                    now = time.time()
+                    os.utime(lease, (now, now))
+                return fs.rename(src, dst)
+
+        return RacingFs(), jvm
+
+    monkeypatch.setattr(mod, "_fs", racing_fs)
+    with pytest.raises(
+        mod.IndexWriterConflict, match="refreshed by another writer"
+    ):
+        mod._acquire_lease(spark, path, "test")
+    monkeypatch.undo()
+    assert os.path.exists(lease), "the fresh lease must be restored"

@@ -275,31 +275,9 @@ def pruning_probe(spark, factors: list[int]) -> None:
         print(json.dumps(rec), flush=True)
 
 
-def _serve_file_counts(df, path_fragment):
-    """numFiles metric of every parquet scan under ``path_fragment``
-    in an EXECUTED plan (the tests' ``_scan_file_counts``, inlined —
-    tools must not import from tests/)."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.executedPlan()
-    out, stack = [], [plan]
-    while stack:
-        node = stack.pop()
-        name = node.getClass().getSimpleName()
-        if "FileSourceScan" in name:
-            roots = node.relation().location().rootPaths()
-            paths = [roots.apply(i).toString() for i in range(roots.length())]
-            if any(path_fragment in p for p in paths):
-                out.append(int(node.metrics().apply("numFiles").value()))
-        ch = node.children()
-        for i in range(ch.length()):
-            stack.append(ch.apply(i))
-        if name.endswith("QueryStageExec"):
-            stack.append(node.plan())
-        if name == "ReusedExchangeExec":
-            stack.append(node.child())
-    return out
+from map_reduce_library_spark.diagnostics import (  # noqa: E402
+    scan_file_counts as _serve_file_counts,
+)
 
 
 def rebalance_probe(spark, factor: int = 10) -> None:

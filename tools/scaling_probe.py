@@ -367,9 +367,26 @@ def rebalance_probe(spark, factor: int = 10) -> None:
     measure("1x")
     append_ivf_pq_index(spark, path, extra, 64)
     measure(f"{factor}x_appended")
+    # the op's own cost: claimed O(hot-cell rows × dim) — the PQ
+    # reconstruction + sub-centroid Lloyd over just the split set;
+    # measured here so the bound is a number, not an assertion
+    t0 = time.time()
     split = rebalance_ivf_pq_index(spark, path, target_rows_per_cell=target)
+    rebal_wall = round(time.time() - t0, 2)
+    t0 = time.time()
     compact_ivf_pq_index(spark, path, full=True)
-    print(json.dumps({"stage": "rebalance", "cells_split": split}), flush=True)
+    print(
+        json.dumps(
+            {
+                "stage": "rebalance",
+                "cells_split": split,
+                "hot_rows": factor * n_base,  # uniform growth: all hot
+                "rebalance_wall_s": rebal_wall,
+                "compact_wall_s": round(time.time() - t0, 2),
+            }
+        ),
+        flush=True,
+    )
     measure(f"{factor}x_rebalanced")
 
 

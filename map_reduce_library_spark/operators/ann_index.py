@@ -50,6 +50,7 @@ vector ops — SURVEY.md §2D extension (VERDICT r8 next-round item 1).
 from __future__ import annotations
 
 import posixpath
+import threading
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,9 +132,13 @@ def _cell_partition_dirs(fs, jvm, table_dir: str) -> list:
 # a second writer — two concurrent appends of overlapping batches
 # could both pass the replay guard before either wrote (VERDICT r10
 # item 4). The lease converts that silent-corruption risk into a loud
-# error: each op creates ``<path>/_LEASE`` with Hadoop's
-# ``create(overwrite=False)`` — an ATOMIC create-if-absent on HDFS
-# and local disk, so of two racing writers exactly one wins and the
+# error: each op atomically creates ``<path>/_LEASE`` — on ``file://``
+# via the OS's own O_CREAT|O_EXCL (Hadoop's RawLocalFileSystem
+# implements ``create(overwrite=False)`` as a NON-atomic
+# exists-then-create, so two racing local writers could both "win";
+# ADVICE r11), on every other scheme via Hadoop's
+# ``create(overwrite=false)``, which IS the atomic create-if-absent
+# primitive on HDFS. Of two racing writers exactly one wins and the
 # other raises. The underscore prefix keeps the file invisible to
 # every Spark scan.
 #
@@ -151,18 +156,31 @@ def _cell_partition_dirs(fs, jvm, table_dir: str) -> list:
 #   * The holder HEARTBEATS the lease mtime from a daemon thread at
 #     TTL/3, so an op legitimately running longer than the TTL never
 #     silently loses mutual exclusion.
-#   * Readers never WRITE the lease, but healing now defers to it:
-#     ``read_ivf_pq_index`` skips crash-residue repair while a LIVE
-#     foreign lease exists — a reader must not roll back an IN-FLIGHT
-#     rebalance/delete (the writer healed at its own start; residue
-#     observed during a live op is the op itself, not a crash).
-#     Crash residue heals as soon as the dead writer's lease expires.
+#   * Readers HEAL UNDER THE LEASE (ADVICE r12 — the r11 "defer to a
+#     live lease" check was a racy observe-then-heal: a reader that
+#     saw no lease, stalled, and resumed after a writer committed a
+#     rebalance could delete the writer's freshly renamed-in cell
+#     directories). ``read_ivf_pq_index`` now runs repair only after
+#     ACQUIRING the lease itself, so a heal can never interleave with
+#     a live op; if acquisition conflicts, the residue belongs to the
+#     live writer and is served around, exactly as before. Crash
+#     residue heals on the first read after the dead writer's lease
+#     expires (the reclaim path makes expiry-then-acquire atomic).
+#   * If the heartbeat ever observes its lease gone or replaced (TTL
+#     reclaim despite heartbeating — a suspended VM), it sets a LOST
+#     flag the op checks before each destructive rename/commit step
+#     and aborts on, instead of silently mutating the index
+#     concurrently with the reclaiming writer (ADVICE r11).
 
 LEASE_TTL_MS = 15 * 60 * 1000
 
 # index path -> the token of the lease THIS process currently holds
 # (written by _acquire_lease, cleared by _release_lease)
 _LEASE_TOKENS: dict[str, str] = {}
+
+# index path -> event set by the heartbeat thread when it detects the
+# lease was reclaimed from under the running op (see _maintenance_op)
+_LEASE_LOST: dict[str, "threading.Event"] = {}
 
 
 class IndexWriterConflict(RuntimeError):
@@ -177,23 +195,31 @@ def _lease_path(path: str) -> str:
 
 
 def _read_lease(fs, jvm, path: str) -> str | None:
-    """Lease content, or None if absent. Unreadable content (e.g. a
-    checksum mismatch after an out-of-band overwrite, or a read
-    racing a delete) maps to a sentinel that can never equal a token:
-    'not ours / treat as foreign' is the safe answer to every caller
-    — heartbeat stops renewing, release leaves it alone, and the
-    live-lease check stays conservative."""
+    """Lease content, or None if absent. Persistently unreadable
+    content (e.g. a checksum mismatch after an out-of-band overwrite)
+    maps to a sentinel that can never equal a token: 'not ours / treat
+    as foreign' is the safe answer to every caller — heartbeat stops
+    renewing, release leaves it alone, and the live-lease check stays
+    conservative. TRANSIENT read failures are retried first (ADVICE
+    r11: one flaky RPC during release would otherwise orphan a healthy
+    lease and block every maintenance writer for the full TTL); a read
+    racing a delete resolves to None via the existence re-check."""
+    import time
+
     p = _jp(jvm, _lease_path(path))
-    if not fs.exists(p):
-        return None
-    try:
-        f = fs.open(p)
+    for attempt in range(3):
         try:
-            return bytes(f.readAllBytes()).decode("utf-8", "replace")
-        finally:
-            f.close()
-    except Exception:  # noqa: BLE001 — see docstring
-        return "<unreadable lease>"
+            if not fs.exists(p):
+                return None
+            f = fs.open(p)
+            try:
+                return bytes(f.readAllBytes()).decode("utf-8", "replace")
+            finally:
+                f.close()
+        except Exception:  # noqa: BLE001 — see docstring
+            if attempt < 2:
+                time.sleep(0.05 * (attempt + 1))
+    return "<unreadable lease>"
 
 
 def _acquire_lease(
@@ -239,22 +265,45 @@ def _acquire_lease(
         f"{op} host={socket.gethostname()} pid={os.getpid()} "
         f"token={uuid.uuid4().hex} t={int(time.time())}"
     )
-    try:
-        out = fs.create(lease, False)  # overwrite=False: atomic claim
-    except Exception as e:
-        # only the already-exists family is a lease race; permission /
-        # quota / RPC failures must surface as themselves, not as a
-        # misdirecting "back off and retry" (review r11)
-        msg = str(e)
-        if "AlreadyExists" in msg or "already exists" in msg.lower():
+    qualified = fs.makeQualified(lease)
+    if qualified.toUri().getScheme() == "file":
+        # RawLocalFileSystem/ChecksumFileSystem implement
+        # create(overwrite=false) as a NON-atomic exists-then-create
+        # (ADVICE r11) — on local paths the only real create-if-absent
+        # primitive is the OS's own O_CREAT|O_EXCL, so claim directly.
+        # (No .crc sidecar is written; ChecksumFileSystem reads a file
+        # without one unverified, which is fine for a token compare.)
+        local = qualified.toUri().getPath()
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError as e:
             raise IndexWriterConflict(
                 f"lost the lease race for {op} on {path}: {e}"
             ) from e
-        raise
-    try:
-        out.write(bytearray(token.encode()))
-    finally:
-        out.close()
+        try:
+            os.write(fd, token.encode())
+        finally:
+            os.close(fd)
+    else:
+        try:
+            # overwrite=False IS the atomic claim on HDFS
+            out = fs.create(lease, False)
+        except Exception as e:
+            # only the already-exists family is a lease race;
+            # permission / quota / RPC failures must surface as
+            # themselves, not as a misdirecting "back off and retry"
+            # (review r11)
+            msg = str(e)
+            if "AlreadyExists" in msg or "already exists" in msg.lower():
+                raise IndexWriterConflict(
+                    f"lost the lease race for {op} on {path}: {e}"
+                ) from e
+            raise
+        try:
+            out.write(bytearray(token.encode()))
+        finally:
+            out.close()
     _LEASE_TOKENS[path] = token
 
 
@@ -301,6 +350,24 @@ def _live_foreign_lease(spark: SparkSession, path: str) -> bool:
     return (int(time.time() * 1000) - st.getModificationTime()) < LEASE_TTL_MS
 
 
+def _assert_lease_held(path: str, step: str) -> None:
+    """Abort hook for the lost-lease flag (ADVICE r11): maintenance
+    ops call this immediately before each destructive rename/commit
+    step. If the heartbeat thread observed our lease gone or replaced
+    (TTL reclaim despite heartbeating — e.g. a VM suspended longer
+    than the TTL), continuing would mutate the index concurrently
+    with the reclaiming writer, so the op dies loudly here instead.
+    The protocol residue the abort leaves behind is exactly a crash
+    state; the reclaimer (or the next lease-holding reader) heals it."""
+    ev = _LEASE_LOST.get(path)
+    if ev is not None and ev.is_set():
+        raise IndexWriterConflict(
+            f"aborting before {step} on {path}: the writer lease was "
+            "reclaimed from under this op (heartbeat observed a "
+            "foreign or missing lease); mutual exclusion is lost"
+        )
+
+
 def _maintenance_op(op_name: str):
     """Decorator gating a maintenance writer (signature
     ``(spark, path, ...)``) behind the index's writer lease. The
@@ -309,20 +376,25 @@ def _maintenance_op(op_name: str):
     lease would only delay the repair; a CRASHED op (process death)
     leaves the lease for the TTL to expire. While the op runs, a
     daemon thread refreshes the lease mtime at TTL/3 so long ops
-    never silently lose mutual exclusion (review r11)."""
+    never silently lose mutual exclusion (review r11). If a heartbeat
+    ever finds the lease gone or replaced, it sets the op's LOST flag
+    (checked via ``_assert_lease_held`` before each destructive step)
+    rather than merely going quiet (ADVICE r11)."""
     import functools
-    import threading
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark, path, *args, **kwargs):
             _acquire_lease(spark, path, op_name)
             stop = threading.Event()
+            lost = threading.Event()
+            _LEASE_LOST[path] = lost
 
             def beat() -> None:
                 while not stop.wait(max(LEASE_TTL_MS / 3000.0, 0.5)):
                     try:
                         if not _heartbeat_lease_once(spark, path):
+                            lost.set()
                             return  # lease gone: nothing left to renew
                     except Exception:  # noqa: BLE001 — best-effort
                         pass
@@ -336,6 +408,7 @@ def _maintenance_op(op_name: str):
             finally:
                 stop.set()
                 t.join(timeout=2.0)
+                _LEASE_LOST.pop(path, None)
                 _release_lease(spark, path)
 
         return wrapper
@@ -539,28 +612,87 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     Spark's narrowest-type inference (int); it is cast back to long so
     joins and row-compares never depend on the physical layout.
 
-    HEALING DEFERS TO A LIVE LEASE (review r11): while a foreign
-    ``_LEASE`` younger than the TTL exists, a maintenance op is in
-    flight RIGHT NOW and the protocol residue a reader observes is
-    the op itself, not a crash — healing it would roll back (and for
-    rebalance, permanently strand) a live writer's work. Readers
-    therefore skip all repair during that window; the writer healed
-    at its own start, and genuine crash residue heals on the first
-    read after the dead writer's lease expires. Reading DURING a
-    maintenance window remains the documented inconsistency the
-    single-writer contract already names."""
+    HEALING RUNS UNDER THE LEASE (ADVICE r12; supersedes r11's
+    observe-then-heal): the r11 cut checked ``_live_foreign_lease``
+    and healed if none — but a reader that observed "no lease", then
+    stalled while a writer acquired, staged, and committed a
+    rebalance, would resume and run the healer against the LIVE op;
+    in the worst interleaving (reader evaluates committed=False
+    before the writer's commit, then deletes ``plan['add']`` dirs
+    after it) the freshly renamed-in cell directories are destroyed
+    and the writer's own cleanup then drops the old ones — the
+    hot-cell rows are gone. Now the reader only heals after
+    ACQUIRING the writer lease itself, so reader-heal and writer-op
+    are mutually exclusive by the same primitive writers use against
+    each other. The common no-residue path pays only the cheap
+    marker probes and never touches the lease; when acquisition
+    conflicts, the residue belongs to the live writer and the reader
+    serves around it exactly as before. Reading DURING a maintenance
+    window remains the documented inconsistency the single-writer
+    contract already names."""
+    if _crash_residue_present(spark, path):
+        fs, jvm = _fs(spark, path)
+        own = _LEASE_TOKENS.get(path)
+        if own is not None and _read_lease(fs, jvm, path) == own:
+            # we ARE the live maintenance writer (ops open the index
+            # at their own start while holding the lease): heal
+            # directly — mutual exclusion is already ours
+            _heal_all(spark, path)
+        else:
+            try:
+                _acquire_lease(spark, path, "reader-heal")
+            except IndexWriterConflict:
+                # a live writer owns the residue — serve around it;
+                # the writer healed at its own start, and genuine
+                # crash residue heals on the first read after its
+                # lease expires
+                pass
+            else:
+                try:
+                    _heal_all(spark, path)
+                finally:
+                    _release_lease(spark, path)
+    return IvfPqIndex(*(_load_index_part(spark, path, n) for n in _PARTS))
+
+
+def _heal_all(spark: SparkSession, path: str) -> None:
+    """All three crash healers, in dependency order. Callers must
+    hold the writer lease (or be the reader that just acquired it)."""
+    _heal_interrupted_rebalance(spark, path)
+    _heal_interrupted_delete(spark, path)
+    _heal_interrupted_compaction(spark, path)
+
+
+def _crash_residue_present(spark: SparkSession, path: str) -> bool:
+    """Cheap existence probes for every artifact the three healers
+    act on — the gate that keeps the common read path from ever
+    touching the lease. Any hit means either a crashed op (heal it,
+    under the lease) or a live op (the acquire will conflict and the
+    reader serves around it)."""
+    fs, jvm = _fs(spark, path)
+    marker, cent_stage, cent_old = _rebalance_paths(path)
+    probes = [marker, marker + ".writing", cent_stage, cent_old]
+    for part in _ROW_TABLES:
+        probes += [
+            posixpath.join(path, f".{part}_rebalance"),
+            posixpath.join(path, f".{part}_old"),
+            posixpath.join(path, f".{part}_rewrite"),
+            posixpath.join(path, part, ".compact_tmp"),
+        ]
+    return any(fs.exists(_jp(jvm, p)) for p in probes)
+
+
+def _heal_interrupted_compaction(spark: SparkSession, path: str) -> None:
+    """Repair interrupted compactions (the read path's marker
+    protocol, see ``read_ivf_pq_index``): a root ``.compact_tmp``
+    means a compaction pass may have died mid-loop — scan the cell
+    directories for their own interrupted-pass markers and force the
+    full-dedup repair; on the legacy flat layout the root marker IS
+    ``compact_index``'s own tmp dir, repaired by the forced pass."""
     from map_reduce_library_spark.operators.maintenance import (
         compact_index,
     )
 
-    if _live_foreign_lease(spark, path):
-        return IvfPqIndex(
-            *(
-                _load_index_part(spark, path, n) for n in _PARTS
-            )
-        )
-    _heal_interrupted_rebalance(spark, path)
-    _heal_interrupted_delete(spark, path)
     fs, jvm = _fs(spark, path)
     for part in _ROW_TABLES:
         table = posixpath.join(path, part)
@@ -577,11 +709,7 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
                     compact_index(spark, cell_dir, full=True)
             fs.delete(root_marker, True)
         else:
-            # legacy flat layout: the marker is compact_index's own
-            # tmp; the forced full pass repairs and clears it
             compact_index(spark, table, full=True)
-
-    return IvfPqIndex(*(_load_index_part(spark, path, n) for n in _PARTS))
 
 
 def _load_index_part(spark: SparkSession, path: str, name: str) -> DataFrame:
@@ -746,6 +874,7 @@ def append_ivf_pq_index(
         new_cells = new_cells.join(
             batch.select(id_col, *metadata_cols), id_col
         ).select(id_col, "cell", *metadata_cols)
+    _assert_lease_held(path, "the cells append")
     _append_rows(spark, new_cells, posixpath.join(path, "cells"))
 
     fresh_codes = batch.join(
@@ -759,6 +888,7 @@ def append_ivf_pq_index(
         # deterministic against the frozen centroids, so it cannot
         # disagree with the cells table's assignment of the same id
         new_codes = new_codes.join(assigned, id_col)
+    _assert_lease_held(path, "the codes append")
     _append_rows(spark, new_codes, posixpath.join(path, "codes"))
 
 
@@ -824,6 +954,7 @@ def delete_from_ivf_pq_index(
             _overwrite_cell_partitioned(survivors, stage)
         else:
             survivors.write.mode("overwrite").parquet(stage)
+        _assert_lease_held(path, f"the {part} delete swap")
         _rename_or_raise(fs, jvm, src, old)
         _rename_or_raise(fs, jvm, stage, src)
         fs.delete(_jp(jvm, old), True)
@@ -878,11 +1009,13 @@ def compact_ivf_pq_index(
             marker = _jp(jvm, posixpath.join(table, ".compact_tmp"))
             fs.mkdirs(marker)
             for d in parts:
+                _assert_lease_held(path, f"compacting {d.getName()}")
                 total += compact_index(
                     spark, d.toString(), target_file_bytes, full
                 )
             fs.delete(marker, True)
         else:
+            _assert_lease_held(path, f"compacting {part}")
             total += compact_index(spark, table, target_file_bytes, full)
     return total
 
@@ -1321,6 +1454,7 @@ def rebalance_ivf_pq_index(
         out.write(bytearray(payload))
     finally:
         out.close()
+    _assert_lease_held(path, "the rebalance marker rename")
     _rename_or_raise(fs, jvm, marker + ".writing", marker)
 
     # -- rename the new cell directories in (pre-commit: heal rolls
@@ -1334,6 +1468,7 @@ def rebalance_ivf_pq_index(
                 )
 
     # -- COMMIT: centroid swap (heal rolls forward past this point)
+    _assert_lease_held(path, "the rebalance centroid-swap commit")
     _rebalance_commit(fs, jvm, path)
 
     # -- drop the split cells' old directories, clear staging + marker

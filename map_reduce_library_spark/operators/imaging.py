@@ -280,6 +280,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
+            if ln != 13:
+                # struct.unpack would raise struct.error here, escaping
+                # the documented everything-is-ValueError contract an
+                # executor task relies on for untrusted inputs (ADVICE
+                # r11)
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

@@ -7,12 +7,14 @@ frame-sampling as Arrow-batched ``mapInPandas`` stages so each task
 processes a columnar batch of payloads without ever materializing
 them on the driver.
 
-The decode step itself is STUBBED in this environment (no
-image/audio libraries in the container — see ``decode_image``), but
-everything Spark-side is real and tested: the binary schema, the
-Arrow batch shapes, the UDF signatures, the partitioning, and a
-deterministic fake feature extractor whose output an SQL oracle can
-reproduce.
+The decode step is REAL for every supported format — stdlib-only
+codecs for binary netpbm, PNG (``operators/imaging.py``) and baseline
+JPEG (``operators/jpeg.py``) — and everything Spark-side is real and
+tested: the binary schema, the Arrow batch shapes, the UDF
+signatures, the partitioning, and a deterministic fake feature
+extractor whose output an SQL oracle can reproduce (the EMBEDDING
+step stays a deterministic fake — a real image-embedding model is a
+model artifact, not a codec).
 """
 
 from __future__ import annotations
@@ -86,27 +88,32 @@ def extract_binary_meta(binary_df: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Image decode dispatch. PNG and binary netpbm are decoded FOR
-    REAL by the stdlib-only codecs in ``operators/imaging.py`` (PNG:
+    """Image decode dispatch — every format decoded FOR REAL by the
+    stdlib-only codecs in this package: PNG (``operators/imaging.py``:
     chunk walk, CRC verify, zlib inflate, all five filter
-    reconstructions; netpbm: header parse + raw pixels) — the former
-    all-formats stub survives only for JPEG, whose DCT+Huffman
-    genuinely needs a codec library this container lacks. The
-    Spark-side contract (bytes in, array out) is identical for every
-    branch."""
+    reconstructions), binary netpbm (header parse + raw pixels), and
+    baseline JPEG (``operators/jpeg.py``: marker walk, stream-defined
+    Huffman/quant tables, entropy decode with restart markers,
+    vectorized IDCT, chroma upsampling, YCbCr→RGB — round 12; the
+    former all-formats stub is fully closed). Unknown magics raise
+    ValueError. The Spark-side contract (bytes in, array out) is
+    identical for every branch."""
     from map_reduce_library_spark.operators.imaging import (
         PNG_SIG,
         decode_netpbm,
         decode_png,
     )
+    from map_reduce_library_spark.operators.jpeg import decode_jpeg
 
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
-    raise NotImplementedError(
-        "JPEG decode requires an imaging library not present in this "
-        "environment; wire PIL.Image.open(io.BytesIO(payload)) here"
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError(
+        f"unknown image magic {payload[:8]!r} (PNG, netpbm P5/P6, and "
+        "baseline JPEG are supported); transcode at ingest"
     )
 
 
@@ -172,8 +179,9 @@ def resize_images(
     standing in for decode → PIL resize → re-encode, while exercising
     the real thumbnailing pipeline shape — binary in, smaller binary
     out, Arrow both directions, output rows 1:1 with input. A real
-    deployment swaps the lambda body for
-    ``decode_image(payload).resize(...)`` (see the decode stub)."""
+    deployment swaps the lambda body for ``decode_image(payload)`` +
+    ``imaging.box_resize`` (both real in this package); the strided
+    variant survives as the format-agnostic fallback."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -303,9 +303,9 @@ def test_png_rejects_undecodable_payloads():
         decode_png(bomb)
 
 
-def test_decode_image_dispatch_routes_png_and_netpbm():
-    """multimodal.decode_image now REALLY decodes PNG and netpbm; the
-    NotImplementedError stub survives only for JPEG."""
+def test_decode_image_dispatch_routes_all_real_codecs():
+    """multimodal.decode_image REALLY decodes PNG, netpbm, and (round
+    12) baseline JPEG; unknown magics raise ValueError."""
     import pytest
 
     from map_reduce_library_spark.operators.imaging import (
@@ -313,13 +313,19 @@ def test_decode_image_dispatch_routes_png_and_netpbm():
         encode_ppm,
         synth_image,
     )
+    from map_reduce_library_spark.operators.jpeg import (
+        encode_jpeg,
+        synth_tile_image,
+    )
     from map_reduce_library_spark.operators.multimodal import decode_image
 
     a = synth_image(2, 13)
     assert (decode_image(encode_png(a)) == a).all()
     assert (decode_image(encode_ppm(a)) == a).all()
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    j = synth_tile_image(4, 7)
+    assert (decode_image(encode_jpeg(j)) == j).all()
+    with pytest.raises(ValueError, match="unknown image magic"):
+        decode_image(b"GIF89a not supported")
 
 
 def test_png_image_stats_oracle(spark):

@@ -1,0 +1,180 @@
+"""Baseline-JPEG codec: exactness contract, general lossy round
+trips, restart markers, and the loud-ValueError contract for
+malformed untrusted inputs (the decode_png/decode_netpbm discipline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_library_spark.operators.jpeg import (
+    Q_CHROMA,
+    Q_LUMA,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    synth_tile_image,
+)
+
+ONES = np.ones(64, np.int64)
+
+
+# ---- the exactness contract (what makes the oracle possible) ----------------
+
+
+@pytest.mark.parametrize("doc_id,n_chars", [(1, 0), (2, 1), (3, 2), (4, 5)])
+def test_constant_tile_roundtrip_is_bit_exact(doc_id, n_chars):
+    """Constant 16×16 gray-valued tiles survive FDCT → quant → Huffman
+    → stuffing → (4:2:0 for color) → IDCT → color transform EXACTLY:
+    DC-only blocks with a DC quant step of 8 (module doc contract)."""
+    img = synth_tile_image(doc_id, n_chars)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_constant_tiles_exact_through_444_too():
+    img = synth_tile_image(8, 4)
+    out = decode_jpeg(encode_jpeg(img, subsampling="444"))
+    assert np.array_equal(out, img)
+
+
+def test_restart_markers_roundtrip_and_reset_predictors():
+    """DRI/RSTn path: per-segment DC predictor reset must be applied
+    on BOTH sides — a decoder that carries the predictor across a
+    restart boundary shifts every later tile's value."""
+    img = synth_tile_image(4, 8)  # 48x32x3 -> 6 MCUs at 4:2:0
+    out = decode_jpeg(encode_jpeg(img, restart=2))
+    assert np.array_equal(out, img)
+    gray = synth_tile_image(7, 8)  # 48x32 gray -> 24 MCUs at 8x8
+    out = decode_jpeg(encode_jpeg(gray, restart=5))
+    assert np.array_equal(out, gray)
+
+
+# ---- general lossy behavior --------------------------------------------------
+
+
+def test_arbitrary_image_unit_quant_error_is_coefficient_rounding():
+    """With all-ones quant tables the only loss is rounding each DCT
+    coefficient to an integer — a few counts per pixel, never more.
+    This drives REAL AC coefficients through the full Huffman
+    run-length machinery (ZRL, EOB, magnitude categories)."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, subsampling="444", q_luma=ONES, q_chroma=ONES)
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    gray = rng.randint(0, 256, (17, 23), dtype=np.uint8)  # ragged dims
+    out = decode_jpeg(encode_jpeg(gray, q_luma=ONES))
+    assert out.shape == gray.shape  # MCU padding cropped back off
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 1
+
+
+def test_default_tables_bounded_error_on_smooth_image():
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [(yy * 2).astype(np.uint8), (xx * 2).astype(np.uint8),
+         (yy + xx).astype(np.uint8)],
+        axis=2,
+    )
+    out = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_dc_only_planted_pixel_decode_against_formula():
+    """Independent of the encoder's FDCT: a mid-gray image with one
+    planted constant block decodes to exactly the planted values —
+    pins dezigzag + dequant + IDCT level shift against hand math."""
+    img = np.full((16, 16), 128, np.uint8)
+    img[8:16, 0:8] = 200
+    out = decode_jpeg(encode_jpeg(img, q_luma=ONES))
+    assert np.array_equal(out, img)
+
+
+# ---- malformed-input contract: everything is a loud ValueError ---------------
+
+
+def test_rejects_non_jpeg_magic():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_rejects_progressive_sof2():
+    payload = bytearray(encode_jpeg(synth_tile_image(3, 0)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite the frame marker to progressive
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+
+
+def test_rejects_truncated_entropy_stream():
+    payload = encode_jpeg(synth_tile_image(3, 0))
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(payload[: len(payload) - 8])
+
+
+def test_rejects_oversized_declared_dimensions():
+    """A crafted SOF0 declaring 2^15×2^15 pixels must refuse BEFORE
+    allocating (the PNG_MAX_PIXELS rationale)."""
+    payload = bytearray(encode_jpeg(np.full((8, 8), 7, np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 5 : i + 7] = (32768).to_bytes(2, "big")  # height
+    payload[i + 7 : i + 9] = (32768).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_jpeg(bytes(payload))
+
+
+def test_rejects_sixteen_bit_quant_tables():
+    payload = bytearray(encode_jpeg(np.full((8, 8), 7, np.uint8)))
+    i = payload.find(b"\xff\xdb")
+    payload[i + 4] = 0x10  # Pq=1 (16-bit)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(payload))
+
+
+def test_rejects_missing_eoi():
+    payload = encode_jpeg(synth_tile_image(3, 0))
+    assert payload.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError, match="no EOI|exhausted|JPEG"):
+        decode_jpeg(payload[:-2])
+
+
+def test_rejects_garbage_between_soi_and_segments():
+    with pytest.raises(ValueError, match="marker expected"):
+        decode_jpeg(b"\xff\xd8garbage-no-marker" + b"\x00" * 16)
+
+
+# ---- encoder invariants -------------------------------------------------------
+
+
+def test_quant_tables_carry_exact_dc_step():
+    """The shipped tables are Annex K with the DC entry replaced by 8
+    — the divisor that keeps constant-block DC (8·v) exact."""
+    assert Q_LUMA[0] == 8 and Q_CHROMA[0] == 8
+    assert Q_LUMA[1] == 11  # and the AC body is still the spec's
+
+
+def test_zigzag_is_an_involution_partner():
+    """dezigzag(zigzag(x)) == x — the decoder inverts the encoder's
+    scan order exactly."""
+    x = np.arange(64)
+    zz = x[_ZIGZAG]
+    inv = np.zeros(64, np.int64)
+    inv[_ZIGZAG] = zz
+    assert np.array_equal(inv, x)
+
+
+def test_byte_stuffing_roundtrip():
+    """An image whose entropy stream necessarily contains 0xFF bytes
+    still round-trips (stuffed 0xFF00 on the way out, unstuffed on
+    the way in)."""
+    # many distinct tiles -> long varied bitstream; some 0xFF bytes
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 16, (32, 32)) * 16).astype(np.uint8)
+    payload = encode_jpeg(img, q_luma=ONES)
+    out = decode_jpeg(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1

@@ -49,8 +49,10 @@ def test_frame_sampling_fanout(spark):
         assert len(idxs) <= 8
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError, match="imaging library"):
+def test_decode_unknown_magic_raises():
+    # a corrupt PNG signature is an unknown magic now that every
+    # supported format (PNG/netpbm/JPEG) decodes for real
+    with pytest.raises(ValueError, match="unknown image magic"):
         decode_image(b"\x89PNG...")
 
 

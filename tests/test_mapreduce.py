@@ -408,3 +408,128 @@ def test_job_handle_refuses_unpinned_thread_mode(spark, monkeypatch):
     monkeypatch.setenv("PYSPARK_PIN_THREAD", "false")
     with pytest.raises(RuntimeError, match="pinned-thread"):
         start_map_reduce_job(spark, lambda: None)
+
+
+def test_pair_level_progress_counters_are_exact(spark):
+    """VERDICT r11 item 3: JobState percentages on the generic-MR path
+    carry the REFERENCE'S denominators — exact pair counts, not task
+    fractions (MapReduceFramework.cpp:13,104,141,157). After the job,
+    every accumulator equals the hand-computed pair arithmetic."""
+    from map_reduce_library_spark.core.job import (
+        run_map_reduce_async,
+        wait_with_progress,
+    )
+
+    data = [(None, i) for i in range(300)]
+
+    def map_fn(k, v):
+        yield (v % 7, 1)
+        if v % 2 == 0:
+            yield (v % 7, 1)  # 0..n emits per input pair
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=8
+    )
+    out, log = wait_with_progress(handle, poll_interval=0.005)
+    assert sum(v for _, v in out) == 450  # 300 + 150 double-emits
+    c = handle.counters
+    assert c.input_total == 300  # denominator = len(input vector)
+    assert c.mapped.value == 300  # map saw every input pair once
+    assert c.emitted.value == 450  # intermediate pairs out of map
+    assert c.shuffled.value == 450  # every pair arrived at a reducer
+    assert c.reduced.value == 450  # every pair consumed by reduce
+    assert c.keys.value == 7  # distinct keys reduced
+    stages = [s.stage for s in log]
+    assert stages == sorted(stages)  # never regresses
+    assert log[-1] == JobState(Stage.REDUCE, 100.0)
+    for st in log:  # within a stage the pair percentage is monotone
+        assert 0.0 <= st.percentage <= 100.0
+    for a, b in zip(log, log[1:]):
+        if a.stage == b.stage:
+            assert b.percentage >= a.percentage
+
+
+def test_pair_level_progress_observes_mid_flight_map_fraction(spark):
+    """Staggered map tasks make intermediate MAP states observable:
+    the percentage mid-flight is mapped-pairs / input-total — a value
+    a per-task tracker cannot produce for a single wide stage."""
+    import time
+
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    n, parts = 320, 16
+    data = [(None, i) for i in range(n)]
+
+    def map_fn(k, v):
+        # partition p holds v in [p*20, (p+1)*20): later partitions
+        # sleep longer, so task completions (and accumulator updates)
+        # arrive staggered over ~0.5 s
+        time.sleep(0.0001 * (v // 20) ** 2)
+        yield (v % 5, v)
+
+    def reduce_fn(k, vals):
+        yield (k, len(vals))
+
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=parts
+    )
+    seen = []
+    while not handle.done:
+        st = handle.get_job_state()
+        if st.stage == Stage.MAP and 0.0 < st.percentage < 100.0:
+            seen.append(st.percentage)
+        time.sleep(0.002)
+    handle.wait_for_job()
+    assert handle.counters.mapped.value == n
+    # every observed mid-flight MAP percentage is a multiple of one
+    # input pair over the exact denominator (pair-level, not task%):
+    for pct in seen:
+        k = pct * n / 100.0
+        assert abs(k - round(k)) < 1e-9
+    assert seen, "no mid-flight MAP state observed (stagger too fast)"
+    assert seen == sorted(seen)
+
+
+def test_pair_counters_sort_mode_and_combiner(spark):
+    """Sort mode routes counters through the run reducer; combiner
+    mode counts EMITTED as the post-combine pairs that actually cross
+    the shuffle (the reference's combining client measures the same)."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    data = [(None, i) for i in range(100)]
+
+    def map_fn(k, v):
+        yield (v % 10, 1)
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    h = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, key_mode="sort", num_partitions=4
+    )
+    out = h.wait_for_job()
+    assert sorted(out) == [(k, 10) for k in range(10)]
+    c = h.counters
+    assert (c.mapped.value, c.emitted.value) == (100, 100)
+    assert (c.shuffled.value, c.reduced.value, c.keys.value) == (100, 100, 10)
+
+    h2 = run_map_reduce_async(
+        spark,
+        data,
+        map_fn,
+        reduce_fn,
+        num_partitions=4,
+        combiner_fn=lambda a, b: a + b,
+    )
+    out2 = h2.wait_for_job()
+    assert sorted(out2) == [(k, 10) for k in range(10)]
+    c2 = h2.counters
+    assert c2.mapped.value == 100
+    # 4 input partitions x 10 keys = at most 40 combined pairs, and
+    # emitted == shuffled == reduced (what crossed the wire)
+    assert c2.emitted.value <= 40
+    assert c2.emitted.value == c2.shuffled.value == c2.reduced.value
+    assert c2.keys.value == 10

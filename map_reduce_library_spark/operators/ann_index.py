@@ -175,8 +175,15 @@ def _cell_partition_dirs(fs, jvm, table_dir: str) -> list:
 LEASE_TTL_MS = 15 * 60 * 1000
 
 # index path -> the token of the lease THIS process currently holds
-# (written by _acquire_lease, cleared by _release_lease)
+# (written by _acquire_lease, cleared by _release_lease); OWNERS maps
+# the same path to the acquiring THREAD — "we hold the lease" is a
+# per-thread fact for healing decisions (a reader thread in the same
+# process must not piggyback on a writer thread's token and heal a
+# LIVE op's residue; caught by the two-writer stress test, r12), while
+# the heartbeat compares tokens only (it renews on the holder's behalf
+# from its own thread by design).
 _LEASE_TOKENS: dict[str, str] = {}
+_LEASE_OWNERS: dict[str, int] = {}
 
 # index path -> event set by the heartbeat thread when it detects the
 # lease was reclaimed from under the running op (see _maintenance_op)
@@ -305,10 +312,12 @@ def _acquire_lease(
         finally:
             out.close()
     _LEASE_TOKENS[path] = token
+    _LEASE_OWNERS[path] = threading.get_ident()
 
 
 def _release_lease(spark: SparkSession, path: str) -> None:
     token = _LEASE_TOKENS.pop(path, None)
+    _LEASE_OWNERS.pop(path, None)
     fs, jvm = _fs(spark, path)
     # delete only OUR lease: if it was reclaimed from under us (TTL
     # expiry despite the heartbeat, e.g. a suspended VM), the current
@@ -408,7 +417,11 @@ def _maintenance_op(op_name: str):
             finally:
                 stop.set()
                 t.join(timeout=2.0)
-                _LEASE_LOST.pop(path, None)
+                # pop only OUR event: a racing successor op on the
+                # same path (acquired right after our release on
+                # another thread) must keep its own lost flag
+                if _LEASE_LOST.get(path) is lost:
+                    _LEASE_LOST.pop(path, None)
                 _release_lease(spark, path)
 
         return wrapper
@@ -633,10 +646,17 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
     if _crash_residue_present(spark, path):
         fs, jvm = _fs(spark, path)
         own = _LEASE_TOKENS.get(path)
-        if own is not None and _read_lease(fs, jvm, path) == own:
-            # we ARE the live maintenance writer (ops open the index
-            # at their own start while holding the lease): heal
-            # directly — mutual exclusion is already ours
+        if (
+            own is not None
+            and _LEASE_OWNERS.get(path) == threading.get_ident()
+            and _read_lease(fs, jvm, path) == own
+        ):
+            # THIS THREAD is the live maintenance writer (ops open the
+            # index at their own start while holding the lease): heal
+            # directly — mutual exclusion is already ours. The thread
+            # check matters: a reader thread in the same process must
+            # not treat a sibling writer thread's token as its own and
+            # heal the live op's residue (two-writer stress, r12)
             _heal_all(spark, path)
         else:
             try:

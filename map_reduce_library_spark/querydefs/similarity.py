@@ -1006,17 +1006,35 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
                 spark, path,
                 emb.where(F.col("vec_id") >= PQ_TRAIN_MAX), EMB_DIM,
             )
-        else:  # "full" and "deleted" share the full build; the full
-            # variant carries label metadata into the stored cells so
-            # the unfiltered AND filtered serve queries read ONE
-            # artifact (metadata columns are free for the unfiltered
-            # path — it projects them away)
+        elif variant == "full":
+            # the one expensive base build of the session: codebook
+            # Lloyd fit + full-corpus encode. Carries label metadata
+            # into the stored cells so the unfiltered AND filtered
+            # serve queries read ONE artifact (metadata columns are
+            # free for the unfiltered path — it projects them away).
             write_ivf_pq_index(
                 build_ivf_pq_index(
                     emb, EMB_DIM, n_centroids=N_CENTROIDS,
-                    metadata_cols=["label"] if variant == "full" else None,
+                    metadata_cols=["label"],
                 ),
                 path,
+            )
+        else:
+            # "deleted"/"rebalanced" DERIVE from a copy of the full
+            # artifact instead of re-running the build (VERDICT r11
+            # item 6: pass 1 built four indexes from scratch; the
+            # mutation ops are exactly the production shape — you
+            # delete from / rebalance THE index you have, not a
+            # rebuilt twin). Copying keeps the artifacts independent
+            # (each query's plan pins file listings of its own path).
+            # Both ops preserve the metadata column the base carries
+            # (rebalance moves rows losslessly; delete's anti-join
+            # keeps survivor rows whole), and the serve queries
+            # project it away — answers identical to a from-scratch
+            # build, as the unchanged oracles prove.
+            shutil.copytree(
+                _persisted_index_path(spark, sf_dir, "full"), path,
+                dirs_exist_ok=True,
             )
             if variant == "deleted":  # FAISS remove_ids
                 delete_from_ivf_pq_index(
@@ -1033,6 +1051,8 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str,
                     spark, path,
                     target_rows_per_cell=PQ_REBALANCE_TARGET,
                 )
+            else:
+                raise ValueError(f"unknown index variant {variant!r}")
         _PERSISTED_IVFPQ[key] = path
     return path
 

@@ -1158,3 +1158,167 @@ def test_stale_reclaim_gives_back_a_freshly_replaced_lease(
         mod._acquire_lease(spark, path, "test")
     monkeypatch.undo()
     assert os.path.exists(lease), "the fresh lease must be restored"
+
+
+def test_two_writer_stress_exactly_one_writer(
+    spark, emb, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 4: race real maintenance ops (append / delete /
+    compact / rebalance) from two threads against one index, with a
+    concurrent reader, and assert (a) at most one writer is ever past
+    lease acquisition (instrumented depth counter), (b) losers raise
+    IndexWriterConflict and succeed on retry, (c) the final index
+    matches the membership model built from the ops that SUCCEEDED,
+    (d) the reader never serves a fabricated id and never destroys a
+    live op's work. Deterministic seeding; timing only changes which
+    attempts lose, never the final state (every op retries to
+    success)."""
+    import threading
+    import time
+
+    import map_reduce_library_spark.operators.ann_index as ai
+    from map_reduce_library_spark.operators.ann_index import (
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = emb.where(F.col("vec_id") < 150)
+    write_ivf_pq_index(build_ivf_pq_index(base, DIM, n_centroids=16), path)
+    model = {r.vec_id for r in base.select("vec_id").collect()}
+    model_lock = threading.Lock()
+
+    # instrument the lease: depth counts writers (and reader-heals)
+    # currently past a successful acquire — mutual exclusion means it
+    # never exceeds 1
+    depth = {"cur": 0, "max": 0}
+    depth_lock = threading.Lock()
+    real_acquire, real_release = ai._acquire_lease, ai._release_lease
+
+    def acq(spark_, p, op, ttl_ms=None):
+        real_acquire(spark_, p, op, ttl_ms)
+        with depth_lock:
+            depth["cur"] += 1
+            depth["max"] = max(depth["max"], depth["cur"])
+
+    def rel(spark_, p):
+        with depth_lock:
+            depth["cur"] -= 1
+        real_release(spark_, p)
+
+    monkeypatch.setattr(ai, "_acquire_lease", acq)
+    monkeypatch.setattr(ai, "_release_lease", rel)
+
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    conflicts = {"n": 0}
+    errors: list = []
+
+    def run_to_success(fn):
+        for _ in range(200):
+            try:
+                return fn()
+            except ai.IndexWriterConflict:
+                conflicts["n"] += 1
+                time.sleep(0.05)
+        raise AssertionError("op starved: 200 consecutive lease losses")
+
+    def apply(op, pred):
+        if op == "append":
+            batch = emb.where(pred)
+            run_to_success(
+                lambda: append_ivf_pq_index(spark, path, batch, DIM)
+            )
+            ids = {r.vec_id for r in batch.select("vec_id").collect()}
+            with model_lock:
+                model.update(ids)
+        elif op == "delete":
+            doomed = emb.where(pred).select("vec_id")
+            run_to_success(
+                lambda: delete_from_ivf_pq_index(spark, path, doomed)
+            )
+            ids = {r.vec_id for r in doomed.collect()}
+            with model_lock:
+                model.difference_update(ids)
+        elif op == "compact":
+            run_to_success(lambda: compact_ivf_pq_index(spark, path))
+        else:  # rebalance
+            run_to_success(
+                lambda: rebalance_ivf_pq_index(
+                    spark, path, target_rows_per_cell=20
+                )
+            )
+
+    def worker(steps):
+        import traceback
+
+        try:
+            for op, pred in steps:
+                apply(op, pred)
+        except BaseException:  # surfaced after join
+            errors.append(traceback.format_exc())
+
+    # each thread's ops touch a DISJOINT id territory (T1 < 330 <= T2),
+    # so the two threads' set effects commute and the final model is
+    # deterministic whatever order the lease serializes the ops into
+    # (within a thread, program order = model order); the CONTENTION is
+    # still fully shared — same index, same lease, same row tables
+    steps1 = [
+        ("append", (F.col("vec_id") >= 150) & (F.col("vec_id") < 250)),
+        ("delete", (F.col("vec_id") % 10 == 3) & (F.col("vec_id") < 330)),
+        ("append", (F.col("vec_id") >= 250) & (F.col("vec_id") < 330)),
+        ("compact", None),
+    ]
+    steps2 = [
+        ("append", (F.col("vec_id") >= 330) & (F.col("vec_id") < 420)),
+        ("delete", (F.col("vec_id") % 10 == 6) & (F.col("vec_id") >= 330)),
+        ("rebalance", None),
+        ("append", (F.col("vec_id") >= 420)),
+    ]
+
+    stop_reader = threading.Event()
+    reader_ok = {"serves": 0}
+
+    def reader():
+        q = emb.where(F.col("vec_id") < N_Q)
+        while not stop_reader.is_set():
+            try:
+                idx = read_ivf_pq_index(spark, path)
+                got = {
+                    r.neighbor_id
+                    for r in ivf_pq_search(idx, q, K, DIM, n_probe=2)
+                    .collect()
+                }
+            except ai.IndexWriterConflict:
+                continue  # residue owned by a live writer; try again
+            except Exception:
+                # reading DURING a swap is the documented single-writer
+                # inconsistency (listing raced a rename); what matters
+                # is it cannot FABRICATE ids or destroy live work
+                continue
+            assert got <= all_ids
+            reader_ok["serves"] += 1
+
+    threads = [
+        threading.Thread(target=worker, args=(steps1,)),
+        threading.Thread(target=worker, args=(steps2,)),
+    ]
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    stop_reader.set()
+    rt.join(timeout=30)
+    assert not errors, errors
+    assert depth["max"] == 1, "two writers were past acquire at once"
+    assert reader_ok["serves"] > 0, "reader never served during stress"
+
+    idx = read_ivf_pq_index(spark, path)
+    got = {r.vec_id for r in idx.cells.select("vec_id").collect()}
+    assert got == model
+    assert idx.codes.count() == len(model) * 4
+    served = ivf_pq_search(
+        idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
+    )
+    assert {r.neighbor_id for r in served.collect()} <= model

@@ -280,6 +280,66 @@ from map_reduce_library_spark.diagnostics import (  # noqa: E402
 )
 
 
+def eager_lazy_probe(spark, factors: list[int]) -> None:
+    """VERDICT r11 item 5: quantify the documented eager-vs-lazy serve
+    trade of ``ivf_pq_search`` (operators/ann_index.py) with numbers.
+    Per factor: build+write the persisted index ONCE with the
+    production K∝N knob (n_centroids = 16·factor — constant per-query
+    candidate volume), then serve the same 20-query n_probe=2 batch
+    both ways and report
+
+      plan_sec   — time to CONSTRUCT the result DataFrame (eager runs
+                   the two bounded up-front jobs: checkpoint the
+                   query assignment + collect probed cells; lazy runs
+                   ZERO jobs here)
+      serve_sec  — min of 3 end-to-end executions of the built plan
+      files      — numFiles across both row-table scans (eager pushes
+                   cell IN (...) partition filters → min(q×probe,
+                   cells); lazy cannot prune → every file of both
+                   tables)
+
+    The claim under test: lazy trades bytes-scanned for zero pinned
+    blocks and zero latency-to-first-plan, and the gap GROWS with the
+    corpus (pruned reads stay flat at the probe bound while full scans
+    grow linearly) — so a serving loop should prefer eager unless
+    plan-accumulation is the binding constraint."""
+    from map_reduce_library_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    for factor in factors:
+        sf_dir = build(spark, factor)
+        path = str(Path(sf_dir) / f"ivfpq_index_{factor}")
+        if not (Path(path) / "centroids" / "_SUCCESS").exists():
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            write_ivf_pq_index(
+                build_ivf_pq_index(emb, 64, n_centroids=16 * factor), path
+            )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 20)
+        idx = read_ivf_pq_index(spark, path)
+        rec = {"factor": factor, "n_cells": 16 * factor}
+        for eager in (True, False):
+            t0 = time.time()
+            df = ivf_pq_search(idx, q, 5, 64, n_probe=2, eager=eager)
+            plan_sec = round(time.time() - t0, 3)
+            files = sum(_serve_file_counts(df, "ivfpq_index"))
+            walls = []
+            for _ in range(3):
+                t0 = time.time()
+                df = ivf_pq_search(idx, q, 5, 64, n_probe=2, eager=eager)
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+            tag = "eager" if eager else "lazy"
+            rec[f"{tag}_plan_sec"] = plan_sec
+            rec[f"{tag}_serve_sec"] = round(min(walls), 3)
+            rec[f"{tag}_files"] = files
+        print(json.dumps(rec), flush=True)
+
+
 def rebalance_probe(spark, factor: int = 10) -> None:
     """VERDICT r10 item 1 done-criterion: after a ``factor``× append
     onto a frozen-centroid index, serve wall and files-read must come
@@ -409,6 +469,15 @@ def main() -> None:
         spark = get_session(app_name="scaling-probe")
         spark.sparkContext.setLogLevel("ERROR")
         pruning_probe(spark, factors)
+        return
+    if "--eager-lazy" in argv:
+        argv.remove("--eager-lazy")
+        factors = [int(a) for a in argv] or [1, 10]
+        from map_reduce_library_spark.session import get_session
+
+        spark = get_session(app_name="scaling-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        eager_lazy_probe(spark, factors)
         return
     query_names = list(QUERY_NAMES)
     if "--queries" in argv:

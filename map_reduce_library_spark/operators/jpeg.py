@@ -302,10 +302,16 @@ def encode_jpeg(
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:
         raise ValueError(f"expected 3 channels, got {a.shape[2]}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h_img, w_img = a.shape[0], a.shape[1]
-    sub = 2 if (not gray and subsampling == "420") else 1
+    # luma sampling factors (h, v): 4:4:4 = 1×1, 4:2:2 = 2×1 (chroma
+    # halved horizontally), 4:2:0 = 2×2 (halved both ways)
+    sh_l, sv_l = {
+        "444": (1, 1),
+        "422": (2, 1),
+        "420": (2, 2),
+    }[subsampling if not gray else "444"]
 
     if gray:
         planes = [a.astype(np.float64)]
@@ -317,17 +323,14 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if sub == 2:
-            cb = _pad_to(cb, 2, 2)
-            cr = _pad_to(cr, 2, 2)
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
+        if sh_l > 1 or sv_l > 1:
+            cb = _pad_to(cb, sv_l, sh_l)
+            cr = _pad_to(cr, sv_l, sh_l)
+            shp = (cb.shape[0] // sv_l, sv_l, cb.shape[1] // sh_l, sh_l)
+            cb = cb.reshape(shp).mean(axis=(1, 3))
+            cr = cr.reshape(shp).mean(axis=(1, 3))
         planes = [y, cb, cr]
-        samp = [(sub, sub), (1, 1), (1, 1)]
+        samp = [(sh_l, sv_l), (1, 1), (1, 1)]
         qsel = [0, 1, 1]
 
     qtabs = [np.asarray(q_luma, np.int64), np.asarray(q_chroma, np.int64)]

@@ -178,3 +178,18 @@ def test_byte_stuffing_roundtrip():
     payload = encode_jpeg(img, q_luma=ONES)
     out = decode_jpeg(payload)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_422_subsampling_roundtrip():
+    """4:2:2 (luma 2×1) exercises the decoder's asymmetric-sampling
+    MCU interleave and horizontal-only chroma upsampling."""
+    img = synth_tile_image(4, 7)
+    out = decode_jpeg(encode_jpeg(img, subsampling="422"))
+    assert np.array_equal(out, img)
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    full = np.repeat(g[:, :, None], 3, axis=2)  # gray-valued: chroma flat
+    out = decode_jpeg(
+        encode_jpeg(full, subsampling="422", q_luma=ONES, q_chroma=ONES)
+    )
+    assert np.abs(out.astype(int) - full.astype(int)).max() <= 1

@@ -19,9 +19,10 @@ from map_reduce_library_spark.core.job import (
     JobHandle,
     JobState,
     Stage,
+    run_map_reduce_async,
     start_map_reduce_job,
 )
-from map_reduce_library_spark.core.mapreduce import run_map_reduce
+from map_reduce_library_spark.core.mapreduce import PairCounters, run_map_reduce
 from map_reduce_library_spark.session import get_session
 from map_reduce_library_spark.tables import TABLE_NAMES, load_table, load_tables
 
@@ -35,6 +36,8 @@ __all__ = [
     # closeJobHandle) surfaces at the package top level just like the
     # reference's single include.
     "run_map_reduce",
+    "run_map_reduce_async",
+    "PairCounters",
     "start_map_reduce_job",
     "JobHandle",
     "JobState",

@@ -3,6 +3,7 @@ reference's semantics, plus the async job lifecycle (JobHandle,
 JobState 4-stage progress)."""
 
 from map_reduce_library_spark.core.mapreduce import (
+    PairCounters,
     map_reduce_df,
     run_map_reduce,
 )
@@ -10,14 +11,17 @@ from map_reduce_library_spark.core.job import (
     JobHandle,
     JobState,
     Stage,
+    run_map_reduce_async,
     start_map_reduce_job,
 )
 
 __all__ = [
     "run_map_reduce",
     "map_reduce_df",
+    "PairCounters",
     "JobHandle",
     "JobState",
     "Stage",
+    "run_map_reduce_async",
     "start_map_reduce_job",
 ]

@@ -1322,3 +1322,42 @@ def test_two_writer_stress_exactly_one_writer(
         idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
     )
     assert {r.neighbor_id for r in served.collect()} <= model
+
+
+def test_lost_lease_aborts_before_destructive_step(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r11: when the heartbeat observes the lease gone or
+    replaced (TTL reclaim during a long stall), the op must ABORT
+    before its next destructive rename/commit instead of silently
+    mutating the index alongside the reclaiming writer. Force the
+    condition: shrink the heartbeat interval and make every heartbeat
+    report 'lease lost' — the delete must raise IndexWriterConflict
+    at its pre-swap check, and the index must still answer."""
+    import map_reduce_library_spark.operators.ann_index as ai
+    from map_reduce_library_spark.operators.ann_index import (
+        delete_from_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(build_ivf_pq_index(emb, DIM, n_centroids=16), path)
+    before = read_ivf_pq_index(spark, path).cells.count()
+
+    monkeypatch.setattr(ai, "LEASE_TTL_MS", 1500)  # beat every 0.5 s
+    monkeypatch.setattr(ai, "_heartbeat_lease_once", lambda s, p: False)
+    with pytest.raises(ai.IndexWriterConflict, match="reclaimed"):
+        delete_from_ivf_pq_index(
+            spark, path, emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+        )
+
+    # the abort left at worst crash-protocol residue; the next read
+    # heals it and serves (rows: full pre-delete count, or the state
+    # after whichever table swaps beat the abort — never corrupt)
+    idx = read_ivf_pq_index(spark, path)
+    assert idx.cells.count() in (before, before - emb.where(
+        F.col("vec_id") % 2 == 0
+    ).count())
+    served = ivf_pq_search(
+        idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
+    )
+    assert served.count() > 0

@@ -100,6 +100,27 @@ def main() -> int:
     job.close_job_handle()
     job.close_job_handle()  # idempotent, the reference contract
     print("PROBE double close ok")
+
+    # pair-level progress (round 12): the reference's JobState
+    # denominators on the generic-MR path
+    from map_reduce_library_spark import run_map_reduce_async
+
+    data = [(None, i) for i in range(60)]
+    h = run_map_reduce_async(
+        spark,
+        data,
+        lambda k, v: [(v % 6, 1)],
+        lambda k, vs: [(k, sum(vs))],
+        num_partitions=4,
+    )
+    out = h.wait_for_job()
+    assert sorted(out) == [(k, 10) for k in range(6)]
+    c = h.counters
+    assert (c.input_total, c.mapped.value, c.emitted.value) == (60, 60, 60)
+    assert (c.shuffled.value, c.reduced.value, c.keys.value) == (60, 60, 6)
+    st = h.get_job_state()
+    assert st.stage.name == "REDUCE" and st.percentage == 100.0
+    print("PROBE pair-level counters exact (60 in / 60 emitted / 6 keys)")
     print("PROBES ALL GREEN")
     return 0
 

@@ -403,8 +403,14 @@ def with_png_payload(
 ) -> DataFrame:
     """(id, payload binary, n_bytes): the canonical multimodal row
     layout holding REAL PNG bytes of the synthetic image. One
-    Arrow-batched pass; payload bytes never touch the driver."""
-    src = df.select(id_col, len_col)
+    Arrow-batched pass; payload bytes never touch the driver.
+    Repartitioned to the session's core count first: the projection
+    is two tiny columns behind a few-file scan while the codec is
+    CPU-bound Python — size compute-bound Python stages by cores,
+    not by input files (round 12; the with_jpeg_payload note)."""
+    src = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

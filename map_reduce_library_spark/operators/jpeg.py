@@ -731,8 +731,15 @@ def with_jpeg_payload(
     image (4:2:0 for the truecolor rows — the full subsample +
     upsample + color-transform machinery is on the differential
     path). One Arrow-batched pass; payload bytes never touch the
-    driver."""
-    src = df.select(id_col, len_col)
+    driver. The projection is two tiny columns behind a few-file scan
+    while the codec is CPU-bound Python, so repartition to the
+    session's core count — a ~KB shuffle that spreads the encode over
+    every worker instead of inheriting the scan's file-granular
+    parallelism (same rule at cluster scale: size compute-bound
+    Python stages by cores, not by input files)."""
+    src = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -757,6 +764,42 @@ JPEG_STATS_SCHEMA = (
     "doc_id bigint, height int, width int, channels int, "
     "pixel_sum bigint, mean_px double"
 )
+
+
+def jpeg_thumbnail_stats(
+    binary_df: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL thumbnail pipeline end-to-end: decode the JPEG
+    payload, box-filter downsample by ``factor`` (``imaging.
+    box_resize`` — mean over factor×factor blocks), and emit exact
+    pixel stats of the THUMB. On the constant-tile fixture the box
+    mean of a constant region is the same constant, so the thumb's
+    stats are closed-form: dims halve, per-tile values unchanged —
+    the SQL oracle needs only the tile formula. Replaces the
+    strided-byte stand-in as the production resize shape (binary in,
+    decode → resize → features, Arrow both ways, driver never sees
+    pixels)."""
+    from map_reduce_library_spark.operators.imaging import box_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf["payload"]):
+                a = box_resize(decode_jpeg(bytes(payload)), factor)
+                c = 1 if a.ndim == 2 else a.shape[2]
+                s = int(a.astype(np.int64).sum())
+                rows.append(
+                    (int(d), a.shape[0], a.shape[1], c, s, s / float(a.size))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "height", "width", "channels",
+                    "pixel_sum", "mean_px",
+                ],
+            )
+
+    return binary_df.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
 
 
 def jpeg_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

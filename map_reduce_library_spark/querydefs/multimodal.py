@@ -332,3 +332,52 @@ def jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", F.length("text")
     )
     return jpeg_stats(with_jpeg_payload(docs))
+
+
+@register(
+    "jpeg_thumbnail_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + (length(text) % 3) * 16 AS h,
+             32 AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, h, w, c,
+             unnest(generate_series(0, (h // 16) * 2 - 1)) AS t
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, h, w, c,
+             SUM((doc_id * 7 + 3 * (t // 2) + 5 * (t % 2)) % 256)
+               * 64 * c AS pixel_sum
+      FROM e GROUP BY doc_id, h, w, c
+    )
+    SELECT doc_id, CAST(h // 2 AS INT) AS height,
+           CAST(w // 2 AS INT) AS width,
+           CAST(c AS INT) AS channels,
+           CAST(pixel_sum AS BIGINT) AS pixel_sum,
+           pixel_sum / CAST((h // 2) * (w // 2) * c AS DOUBLE) AS mean_px
+    FROM s
+    """,
+)
+def jpeg_thumbnail_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production thumbnail pipeline END-TO-END and oracled:
+    decode the real JPEG container, box-filter downsample 2×
+    (``imaging.box_resize``), emit exact thumb stats. The closed-form
+    oracle works because box means of constant tiles are the tiles'
+    own values — dims halve, values survive — so any off-by-one in
+    the decode, the block reshape, or the rounding lands as a hash
+    mismatch. Supersedes the strided-byte resize stand-in as the
+    evidence that the multimodal resize stage is real."""
+    from map_reduce_library_spark.operators.jpeg import (
+        jpeg_thumbnail_stats,
+        with_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text")
+    )
+    return jpeg_thumbnail_stats(with_jpeg_payload(docs))

@@ -193,3 +193,15 @@ def test_422_subsampling_roundtrip():
         encode_jpeg(full, subsampling="422", q_luma=ONES, q_chroma=ONES)
     )
     assert np.abs(out.astype(int) - full.astype(int)).max() <= 1
+
+
+def test_thumbnail_pipeline_closed_form():
+    """decode → box_resize(2) on constant tiles: dims halve, values
+    survive (box mean of a constant region is the constant)."""
+    from map_reduce_library_spark.operators.imaging import box_resize
+
+    img = synth_tile_image(4, 5)
+    thumb = box_resize(decode_jpeg(encode_jpeg(img)), 2)
+    assert thumb.shape == (img.shape[0] // 2, img.shape[1] // 2, 3)
+    # every 8x8 thumb block is the original tile's constant value
+    assert np.array_equal(thumb, img[::2, ::2])

@@ -69,6 +69,18 @@ class PairCounters:
     ``startMapReduceJob`` takes an input vector, so ITS denominator
     is always known). None → the MAP stage falls back to the
     per-task StatusTracker view.
+
+    CLUSTER CAVEAT (honest bound, not a bug): Spark guarantees
+    exactly-once accumulator delivery only for updates inside
+    actions; updates from re-executed transformations (task retry,
+    speculative execution, stage recomputation) can double-count.
+    These counters live in transformations by necessity, so on a
+    cluster with retries the percentages are monotone and
+    pair-denominated but may transiently overshoot — acceptable for
+    PROGRESS, never for answers (results never flow through
+    accumulators). Sort mode persists its instrumented intermediate,
+    which also removes the range-partitioner sample pass's
+    double-count (the one recomputation that occurs by design).
     """
 
     def __init__(self, spark: SparkSession, input_total: int | None = None):

@@ -339,26 +339,6 @@ def _heartbeat_lease_once(spark: SparkSession, path: str) -> bool:
     return True
 
 
-def _live_foreign_lease(spark: SparkSession, path: str) -> bool:
-    """True iff a lease exists that is (a) not ours and (b) younger
-    than the TTL — the signal that a maintenance op is IN FLIGHT
-    right now, so readers must not heal residue out from under it."""
-    import time
-
-    fs, jvm = _fs(spark, path)
-    p = _jp(jvm, _lease_path(path))
-    if not fs.exists(p):
-        return False
-    content = _read_lease(fs, jvm, path)
-    if content is not None and content == _LEASE_TOKENS.get(path):
-        return False
-    try:
-        st = fs.getFileStatus(p)
-    except Exception:
-        return False  # deleted between exists and status: released
-    return (int(time.time() * 1000) - st.getModificationTime()) < LEASE_TTL_MS
-
-
 def _assert_lease_held(path: str, step: str) -> None:
     """Abort hook for the lost-lease flag (ADVICE r11): maintenance
     ops call this immediately before each destructive rename/commit

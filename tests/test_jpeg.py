@@ -205,3 +205,77 @@ def test_thumbnail_pipeline_closed_form():
     assert thumb.shape == (img.shape[0] // 2, img.shape[1] // 2, 3)
     # every 8x8 thumb block is the original tile's constant value
     assert np.array_equal(thumb, img[::2, ::2])
+
+
+# ---- property tests: the codec as an untrusted-input boundary ----------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    sub=st.sampled_from(["444", "422", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_bounded_error_any_shape(h, w, color, sub, seed):
+    """Any uint8 image of any shape round-trips through encode→decode
+    with per-pixel error bounded by coefficient rounding (unit quant):
+    shape recovered exactly (MCU padding cropped), no exception, no
+    silent garbage. Chroma subsampling is lossy on COLOR detail by
+    design, so color inputs are gray-valued unless 4:4:4."""
+    rng = np.random.RandomState(seed)
+    if color:
+        if sub == "444":
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            img = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsampling=sub, q_luma=ONES,
+                                  q_chroma=ONES))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    # unit-quant loss = one rounding per DCT coefficient (±0.5 each,
+    # partially cancelling) + color-transform rounding for 3-channel
+    assert err <= 6, err
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(2, 200),
+    flip_pos=st.integers(2, 199),
+    flip_val=st.integers(0, 255),
+    data=st.binary(min_size=0, max_size=64),
+)
+def test_property_malformed_inputs_raise_valueerror_only(
+    cut, flip_pos, flip_val, data
+):
+    """Truncations, byte flips, and random prefixes surface as
+    ValueError (or decode to SOMETHING for benign flips in pixel
+    data) — never struct.error / IndexError / OverflowError /
+    MemoryError: the executor-task contract for untrusted blobs."""
+    payload = encode_jpeg(synth_tile_image(3, 1))
+    victims = [
+        payload[: min(cut, len(payload) - 1)],  # truncation
+        b"\xff\xd8" + data,  # garbage after SOI
+    ]
+    if flip_pos < len(payload):
+        victims.append(
+            payload[:flip_pos]
+            + bytes([flip_val])
+            + payload[flip_pos + 1 :]
+        )
+    for v in victims:
+        try:
+            out = decode_jpeg(v)
+        except ValueError:
+            continue  # the documented loud failure
+        # benign flip (e.g. inside entropy data): must still be a
+        # well-formed decode of the DECLARED geometry
+        assert out.dtype == np.uint8
+        assert out.shape[0] > 0 and out.shape[1] > 0

@@ -279,21 +279,25 @@ _CANARIES = ("wordcount", "filter_project", "pricing_summary")
 # names here sort immediately after the never-green tier, ahead of
 # every other re-check, so the next driver 50-sample re-hashes them
 # with driver provenance even when a local fold has already restored
-# their ledger validity. Round 11: the wide-geometry-flip graph
-# consumers (last driver-checked r4-r6; VERDICT r10 item 2 asked for
-# exactly this drain) and the four persisted-index queries, whose dep
-# closure this round's rebalance/lease work re-touched (the rebalance
-# done-criterion names them explicitly). Curated per round — remove
-# entries once CORRECTNESS_r{N} records their driver green.
+# their ledger validity. Round 12: CORRECTNESS_r11 drained all eight
+# round-11 entries driver-green, so the list re-curates to this
+# round's risk set — the five persisted-index serve queries (the
+# lease/healing rework re-touched their whole dep closure: O_EXCL
+# claims, heal-under-lease, lost-flag aborts, shared base build) and
+# the generic-MR parity family (PairCounters instrumented the
+# map/reduce wrappers in core/mapreduce.py). The new jpeg queries
+# need no slot: never-green sorts ahead of everything automatically.
+# Curated per round — remove entries once CORRECTNESS_r{N} records
+# their driver green.
 _PRIORITY_REFRESH = (
-    "pagerank_near_dup_graph",
-    "triangle_count_near_dup_graph",
-    "near_dup_rate_by_source",
-    "ngram_jaccard_lsh",
     "ivf_pq_persisted_topk",
     "ivf_pq_filtered_topk",
     "ivf_pq_deleted_topk",
     "ivf_pq_incremental_topk",
+    "ivf_pq_rebalanced_topk",
+    "mr_holistic_median",
+    "mr_sortmode_wordcount",
+    "mr_combiner_wordcount",
 )
 
 

@@ -189,11 +189,17 @@ class JobHandle:
         reduced = c.reduced.value
         total = c.input_total
         if reduced > 0 and emitted > 0:
-            return JobState(Stage.REDUCE, 100.0 * reduced / emitted)
-        if total is not None and 0 < total == mapped:
+            return JobState(
+                Stage.REDUCE, min(100.0, 100.0 * reduced / emitted)
+            )
+        if total is not None and 0 < total <= mapped:
             # every input pair consumed, no reduce output yet: the
-            # shuffle window (reducers fetching / first tasks running)
-            pct = 100.0 * shuffled / emitted if emitted else 0.0
+            # shuffle window (reducers fetching / first tasks running).
+            # >= not ==: a retried/speculated task can re-send its
+            # accumulator update (the PairCounters docstring caveat) —
+            # an over-count must not make SHUFFLE unreachable and pin
+            # the report at MAP 100% (code-review r12)
+            pct = min(100.0, 100.0 * shuffled / emitted) if emitted else 0.0
             return JobState(Stage.SHUFFLE, pct)
         if mapped > 0 and total:
             return JobState(Stage.MAP, 100.0 * min(mapped, total) / total)
@@ -283,9 +289,20 @@ def run_map_reduce_async(
     counters = PairCounters(spark, input_total)
 
     def action() -> list:
-        return run_map_reduce(
-            data, map_fn, reduce_fn, spark=spark, counters=counters, **kwargs
-        ).collect()
+        try:
+            return run_map_reduce(
+                data, map_fn, reduce_fn, spark=spark, counters=counters,
+                **kwargs
+            ).collect()
+        finally:
+            # release the sort path's persisted intermediate (set by
+            # run_map_reduce when counters force a cache to keep the
+            # range-partitioner sample pass from double-counting) —
+            # a loop of async sort-mode jobs must not accumulate
+            # pinned executor storage (code-review r12)
+            cached = counters.cached_intermediate
+            if cached is not None:
+                cached.unpersist(blocking=False)
 
     handle = JobHandle(spark, action, counters=counters)
     handle.counters = counters

@@ -91,6 +91,9 @@ class PairCounters:
         self.shuffled = sc.accumulator(0)  # pairs arrived at reducers
         self.reduced = sc.accumulator(0)  # pairs consumed by reduce
         self.keys = sc.accumulator(0)  # distinct keys reduced
+        # set by run_map_reduce's sort path: the persisted intermediate
+        # RDD, for the caller to unpersist once the output is consumed
+        self.cached_intermediate = None
 
 
 def _make_sorted_run_reducer(
@@ -99,15 +102,23 @@ def _make_sorted_run_reducer(
     """Build the per-partition reducer for sort mode. Defined nested so
     cloudpickle ships it BY VALUE — executors never need this package
     on their PYTHONPATH (the driver may be the only place it's
-    installed)."""
+    installed). Captures the ACCUMULATORS, never the PairCounters
+    object itself: counters carries the driver-side
+    ``cached_intermediate`` RDD handle, and an RDD inside a shipped
+    closure is SPARK-5063."""
+    accs = (
+        None
+        if counters is None
+        else (counters.shuffled, counters.reduced, counters.keys)
+    )
 
     def run_group(key: Any, vals: list):
-        if counters is not None:
-            counters.shuffled.add(len(vals))
+        if accs is not None:
+            accs[0].add(len(vals))
         yield from reduce_fn(key, vals)
-        if counters is not None:
-            counters.reduced.add(len(vals))
-            counters.keys.add(1)
+        if accs is not None:
+            accs[1].add(len(vals))
+            accs[2].add(1)
 
     def reduce_partition(part: Iterator[tuple[Any, Any]]):
         # Group the key-sorted partition into (key, values) runs using
@@ -236,8 +247,13 @@ def run_map_reduce(
             # triple-counting the accumulators; persisting makes each
             # input pair count once (pair-exact progress is the whole
             # point of counters — and this path is the small generic-
-            # MR surface, not a 100 TB pipeline stage)
+            # MR surface, not a 100 TB pipeline stage). The cached
+            # blocks are the CALLER'S to release once the output RDD
+            # is consumed — run_map_reduce_async unpersists after its
+            # collect via this handle (code-review r12: leaving them
+            # pinned accumulates executor storage across a job loop).
             intermediate = intermediate.persist()
+            counters.cached_intermediate = intermediate
         # Range partitioner: equal keys land in one partition by
         # ordering alone; then adjacent-equal runs are the groups.
         swkp = intermediate.sortByKey(numPartitions=num_partitions)

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import posixpath
 import threading
+from contextlib import contextmanager
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -374,39 +375,53 @@ def _maintenance_op(op_name: str):
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(spark, path, *args, **kwargs):
-            _acquire_lease(spark, path, op_name)
-            stop = threading.Event()
-            lost = threading.Event()
-            _LEASE_LOST[path] = lost
-
-            def beat() -> None:
-                while not stop.wait(max(LEASE_TTL_MS / 3000.0, 0.5)):
-                    try:
-                        if not _heartbeat_lease_once(spark, path):
-                            lost.set()
-                            return  # lease gone: nothing left to renew
-                    except Exception:  # noqa: BLE001 — best-effort
-                        pass
-
-            t = threading.Thread(
-                target=beat, name=f"lease-heartbeat-{op_name}", daemon=True
-            )
-            t.start()
-            try:
+            with _held_lease(spark, path, op_name):
                 return fn(spark, path, *args, **kwargs)
-            finally:
-                stop.set()
-                t.join(timeout=2.0)
-                # pop only OUR event: a racing successor op on the
-                # same path (acquired right after our release on
-                # another thread) must keep its own lost flag
-                if _LEASE_LOST.get(path) is lost:
-                    _LEASE_LOST.pop(path, None)
-                _release_lease(spark, path)
 
         return wrapper
 
     return deco
+
+
+@contextmanager
+def _held_lease(spark: SparkSession, path: str, op_name: str):
+    """Acquire the writer lease, heartbeat it at TTL/3 from a daemon
+    thread (setting the LOST flag if it ever observes the lease gone
+    or replaced), and release on exit. The one lease-holding pattern
+    — used by every maintenance op AND by the reader's heal path
+    (code-review r12: the first reader-heal cut held the lease with
+    no heartbeat and no lost flag, so a heal outliving the TTL lost
+    mutual exclusion silently — the exact failure class this
+    machinery exists to prevent)."""
+    _acquire_lease(spark, path, op_name)
+    stop = threading.Event()
+    lost = threading.Event()
+    _LEASE_LOST[path] = lost
+
+    def beat() -> None:
+        while not stop.wait(max(LEASE_TTL_MS / 3000.0, 0.5)):
+            try:
+                if not _heartbeat_lease_once(spark, path):
+                    lost.set()
+                    return  # lease gone: nothing left to renew
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
+
+    t = threading.Thread(
+        target=beat, name=f"lease-heartbeat-{op_name}", daemon=True
+    )
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+        # pop only OUR event: a racing successor op on the same path
+        # (acquired right after our release on another thread) must
+        # keep its own lost flag
+        if _LEASE_LOST.get(path) is lost:
+            _LEASE_LOST.pop(path, None)
+        _release_lease(spark, path)
 
 
 def seed_centroids(
@@ -566,12 +581,15 @@ def _heal_interrupted_delete(spark: SparkSession, path: str) -> None:
         stage = posixpath.join(path, f".{part}_rewrite")
         src_p, old_p, stage_p = _jp(jvm, src), _jp(jvm, old), _jp(jvm, stage)
         if not fs.exists(src_p) and fs.exists(old_p):
+            _assert_lease_held(path, f"restoring {part} from its old copy")
             _rename_or_raise(fs, jvm, old, src)
         elif fs.exists(src_p) and fs.exists(old_p):
             # both present: crash AFTER the forward swap completed but
             # before the old copy was removed — src is authoritative
+            _assert_lease_held(path, f"dropping {part}'s old copy")
             fs.delete(old_p, True)
         if fs.exists(stage_p) and fs.exists(src_p):
+            _assert_lease_held(path, f"dropping {part}'s stale stage")
             fs.delete(stage_p, True)
 
 
@@ -640,18 +658,22 @@ def read_ivf_pq_index(spark: SparkSession, path: str) -> IvfPqIndex:
             _heal_all(spark, path)
         else:
             try:
-                _acquire_lease(spark, path, "reader-heal")
+                # the full held-lease pattern, heartbeat + lost flag
+                # included: a heal can force full compaction passes
+                # (unbounded Spark jobs), and one outliving the TTL
+                # without renewal would lose mutual exclusion to a
+                # reclaiming writer mid-repair (code-review r12)
+                with _held_lease(spark, path, "reader-heal"):
+                    _heal_all(spark, path)
             except IndexWriterConflict:
                 # a live writer owns the residue — serve around it;
                 # the writer healed at its own start, and genuine
                 # crash residue heals on the first read after its
-                # lease expires
+                # lease expires. (Also raised if OUR heal lost its
+                # lease mid-repair: the healers abort before each
+                # destructive step; the next reader resumes — every
+                # heal arm is monotone.)
                 pass
-            else:
-                try:
-                    _heal_all(spark, path)
-                finally:
-                    _release_lease(spark, path)
     return IvfPqIndex(*(_load_index_part(spark, path, n) for n in _PARTS))
 
 
@@ -706,9 +728,15 @@ def _heal_interrupted_compaction(spark: SparkSession, path: str) -> None:
                 if fs.exists(
                     _jp(jvm, posixpath.join(cell_dir, ".compact_tmp"))
                 ):
+                    # the long-running heal arm (full-dedup Spark jobs
+                    # per cell): abort between cells if the lease was
+                    # reclaimed — each completed cell is internally
+                    # consistent, so stopping here is monotone
+                    _assert_lease_held(path, f"re-compacting {cell_dir}")
                     compact_index(spark, cell_dir, full=True)
             fs.delete(root_marker, True)
         else:
+            _assert_lease_held(path, f"re-compacting {table}")
             compact_index(spark, table, full=True)
 
 
@@ -1207,13 +1235,16 @@ def _heal_interrupted_rebalance(spark: SparkSession, path: str) -> None:
     ]
     if not fs.exists(_jp(jvm, marker)):
         for junk in (*stage_roots, cent_stage):
-            fs.delete(_jp(jvm, junk), True)
+            if fs.exists(_jp(jvm, junk)):
+                _assert_lease_held(path, "dropping rebalance staging")
+                fs.delete(_jp(jvm, junk), True)
         return
     f = fs.open(_jp(jvm, marker))
     try:
         plan = json.loads(bytes(f.readAllBytes()).decode())
     finally:
         f.close()
+    _assert_lease_held(path, "replaying the rebalance heal arm")
     committed = not fs.exists(_jp(jvm, cent_stage))
     if committed:
         fs.delete(_jp(jvm, cent_old), True)

@@ -615,6 +615,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"JPEG Huffman table ({tc},{th}) undefined")
 
     segs, i = _split_entropy(payload, i)
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # "MCU" is one 8×8 data unit and units cover ceil(w/8) ×
+        # ceil(h/8) in raster order, whatever sampling factors the
+        # SOF declared (they only scale components against each
+        # other, and there is nothing to scale against). Treating
+        # such a scan as interleaved places blocks in MCU order —
+        # transposed positions, silently scrambled pixels for
+        # spec-valid grayscale files declaring 2×1/1×2/2×2
+        # (code-review r12).
+        comps[0]["h"] = comps[0]["v"] = 1
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * max_h))
@@ -663,9 +674,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     k += 1
         mcu += 1
 
-    # expect EOI (possibly after trailing marker segments)
-    if payload[i : i + 2] not in (b"\xff\xd9",) and payload[i] != 0xFF:
-        raise ValueError("JPEG trailing garbage after scan")
+    # after the last MCU, only byte-alignment padding may remain in
+    # the final entropy segment, and no extra restart segments may
+    # follow. (The previous guard here — `payload[i] != 0xFF` — was
+    # unreachable: _split_entropy only ever returns pointing at a
+    # marker, so trailing garbage was consumed as entropy bytes and
+    # silently ignored, dodging the loud-ValueError contract;
+    # code-review r12.)
+    if seg_idx != len(segs) - 1:
+        raise ValueError(
+            "JPEG scan carries more restart segments than its MCUs need"
+        )
+    if bits.n - bits.i >= 8:
+        raise ValueError(
+            f"JPEG trailing garbage after the last MCU "
+            f"({(bits.n - bits.i) // 8} extra bytes in the entropy segment)"
+        )
 
     planes = []
     for ci, comp in enumerate(comps):
@@ -766,26 +790,17 @@ JPEG_STATS_SCHEMA = (
 )
 
 
-def jpeg_thumbnail_stats(
-    binary_df: DataFrame, factor: int = 2, id_col: str = "doc_id"
-) -> DataFrame:
-    """The REAL thumbnail pipeline end-to-end: decode the JPEG
-    payload, box-filter downsample by ``factor`` (``imaging.
-    box_resize`` — mean over factor×factor blocks), and emit exact
-    pixel stats of the THUMB. On the constant-tile fixture the box
-    mean of a constant region is the same constant, so the thumb's
-    stats are closed-form: dims halve, per-tile values unchanged —
-    the SQL oracle needs only the tile formula. Replaces the
-    strided-byte stand-in as the production resize shape (binary in,
-    decode → resize → features, Arrow both ways, driver never sees
-    pixels)."""
-    from map_reduce_library_spark.operators.imaging import box_resize
+def _decoded_stats(binary_df: DataFrame, transform, id_col: str) -> DataFrame:
+    """Shared decode→(transform)→exact-stats Arrow stage — one body
+    for jpeg_stats and jpeg_thumbnail_stats so the exact-int
+    arithmetic and the output schema can't drift apart (code-review
+    r12)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for d, payload in zip(pdf[id_col], pdf["payload"]):
-                a = box_resize(decode_jpeg(bytes(payload)), factor)
+                a = transform(decode_jpeg(bytes(payload)))
                 c = 1 if a.ndim == 2 else a.shape[2]
                 s = int(a.astype(np.int64).sum())
                 rows.append(
@@ -802,39 +817,29 @@ def jpeg_thumbnail_stats(
     return binary_df.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
 
 
+def jpeg_thumbnail_stats(
+    binary_df: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL thumbnail pipeline end-to-end: decode the JPEG
+    payload, box-filter downsample by ``factor`` (``imaging.
+    box_resize`` — mean over factor×factor blocks), and emit exact
+    pixel stats of the THUMB. On the constant-tile fixture the box
+    mean of a constant region is the same constant, so the thumb's
+    stats are closed-form: dims halve, per-tile values unchanged —
+    the SQL oracle needs only the tile formula. Replaces the
+    strided-byte stand-in as the production resize shape (binary in,
+    decode → resize → features, Arrow both ways, driver never sees
+    pixels)."""
+    from map_reduce_library_spark.operators.imaging import box_resize
+
+    return _decoded_stats(
+        binary_df, lambda a: box_resize(a, factor), id_col
+    )
+
+
 def jpeg_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode every JPEG payload and emit exact-integer pixel stats
     (the png_stats contract): pixel_sum is exact int64 over the
     DECODED pixels, mean_px one float division of exact ints —
     identical IEEE both engines."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for d, payload in zip(pdf[id_col], pdf["payload"]):
-                a = decode_jpeg(bytes(payload))
-                c = 1 if a.ndim == 2 else a.shape[2]
-                s = int(a.astype(np.int64).sum())
-                rows.append(
-                    (
-                        int(d),
-                        a.shape[0],
-                        a.shape[1],
-                        c,
-                        s,
-                        s / float(a.size),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col,
-                    "height",
-                    "width",
-                    "channels",
-                    "pixel_sum",
-                    "mean_px",
-                ],
-            )
-
-    return binary_df.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+    return _decoded_stats(binary_df, lambda a: a, id_col)

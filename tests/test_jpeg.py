@@ -279,3 +279,31 @@ def test_property_malformed_inputs_raise_valueerror_only(
         # well-formed decode of the DECLARED geometry
         assert out.dtype == np.uint8
         assert out.shape[0] > 0 and out.shape[1] > 0
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2: a one-component scan ignores declared sampling
+    factors — data units are raster-ordered 8×8 blocks. A grayscale
+    file whose SOF0 declares 2×2 sampling must decode identically to
+    the 1×1 encoding of the same pixels (code-review r12: the
+    interleaved-MCU interpretation transposed block positions)."""
+    img = synth_tile_image(7, 8)  # 48x32 gray, multiple of 16
+    payload = bytearray(encode_jpeg(img))
+    i = payload.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]
+    hv_off = i + 4 + 6 + 1
+    assert payload[hv_off] == 0x11
+    payload[hv_off] = 0x22  # declare 2x2 sampling
+    out = decode_jpeg(bytes(payload))
+    assert np.array_equal(out, img)
+
+
+def test_trailing_garbage_after_scan_raises():
+    """Extra whole bytes after the last MCU's entropy data are
+    garbage, not padding — they must raise, not silently decode
+    (code-review r12: the old guard was unreachable)."""
+    payload = encode_jpeg(synth_tile_image(3, 0))
+    assert payload.endswith(b"\xff\xd9")
+    doctored = payload[:-2] + b"\x55\x66\x77\x88" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="trailing garbage"):
+        decode_jpeg(doctored)

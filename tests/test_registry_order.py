@@ -135,10 +135,18 @@ def test_unverified_before_verified():
         # curated names beat every non-curated verified entry...
         if verified:
             assert idx[name] < min(idx[n] for n in verified), name
-        # ...but never the never-green tier
+    # ...but a PRIORITY name that has ever been green never beats the
+    # never-green tier (never-green fronts the whole order). Compare
+    # priority names specifically — never-green names were folded
+    # into `curated` above, so testing membership there would be
+    # vacuous (code-review r12).
+    priority_green = [
+        n for n in q._PRIORITY_REFRESH
+        if n in idx and n in q._EVER_GREEN
+    ]
+    for name in priority_green:
         for n in never_green:
-            if n not in curated:
-                assert idx[n] < idx[name], (n, name)
+            assert idx[n] < idx[name], (n, name)
 
 
 def test_oracled_before_rows_only_within_unverified():

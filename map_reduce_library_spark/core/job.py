@@ -302,7 +302,13 @@ def run_map_reduce_async(
             # pinned executor storage (code-review r12)
             cached = counters.cached_intermediate
             if cached is not None:
-                cached.unpersist(blocking=False)
+                try:
+                    cached.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — cleanup must never
+                    # mask the action's real outcome (a stopped
+                    # SparkContext racing cancel(), a py4j failure):
+                    # the blocks die with the context anyway
+                    pass
 
     handle = JobHandle(spark, action, counters=counters)
     handle.counters = counters

@@ -734,6 +734,11 @@ def _heal_interrupted_compaction(spark: SparkSession, path: str) -> None:
                     # consistent, so stopping here is monotone
                     _assert_lease_held(path, f"re-compacting {cell_dir}")
                     compact_index(spark, cell_dir, full=True)
+            # the root marker is the LIVE compaction's own breadcrumb
+            # when a writer reclaimed our lease mid-scan: deleting it
+            # unguarded would blind the fast path to a later crash of
+            # that writer (review r12)
+            _assert_lease_held(path, f"clearing {part}'s root marker")
             fs.delete(root_marker, True)
         else:
             _assert_lease_held(path, f"re-compacting {table}")
@@ -1229,6 +1234,11 @@ def _heal_interrupted_rebalance(spark: SparkSession, path: str) -> None:
     marker, cent_stage, cent_old = _rebalance_paths(path)
     writing = _jp(jvm, marker + ".writing")
     if fs.exists(writing):
+        # a live writer stages its plan through this exact file
+        # (write-then-rename): a lost-lease healer deleting it between
+        # the write and the rename would abort the live rebalance
+        # spuriously (review r12)
+        _assert_lease_held(path, "dropping the rebalance plan stage")
         fs.delete(writing, False)
     stage_roots = [
         posixpath.join(path, f".{part}_rebalance") for part in _ROW_TABLES

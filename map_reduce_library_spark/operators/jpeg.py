@@ -614,7 +614,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if (tc, th) not in hufts:
                 raise ValueError(f"JPEG Huffman table ({tc},{th}) undefined")
 
-    segs, i = _split_entropy(payload, i)
+    # the scan-end offset is unused: end-of-stream integrity is
+    # enforced by the leftover-bits / surplus-segment checks after the
+    # MCU loop, not by inspecting what follows the scan
+    segs, _ = _split_entropy(payload, i)
     if len(comps) == 1:
         # T.81 A.2: a single-component scan is NON-interleaved — the
         # "MCU" is one 8×8 data unit and units cover ceil(w/8) ×

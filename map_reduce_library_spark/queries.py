@@ -164,6 +164,224 @@ def deps_md5(fn) -> str | None:
     return digest
 
 
+_DEPS_MAP_MODULE_CACHE: dict[str, tuple] = {}
+_DEPS_MAP_CACHE: dict[tuple[str, str], dict | None] = {}
+# process-lifetime caches: file content digests and per-file package
+# reference sets, shared across the 200+ per-query map computations
+_FILE_MD5_CACHE: dict = {}
+_FILE_REFS_CACHE: dict = {}
+
+
+def _module_slices(mod_name: str):
+    """Parse a querydef module once into (top_defs, header_stmts):
+    ``top_defs`` maps each top-level function/class name to its source
+    segment; ``header_stmts`` is a list of (bound_names, segment) for
+    top-level imports and assignments. Cached per module."""
+    import ast
+    import sys
+
+    if mod_name in _DEPS_MAP_MODULE_CACHE:
+        return _DEPS_MAP_MODULE_CACHE[mod_name]
+    mod = sys.modules.get(mod_name)
+    src_path = getattr(mod, "__file__", None)
+    if src_path is None:
+        _DEPS_MAP_MODULE_CACHE[mod_name] = (None, None, None)
+        return _DEPS_MAP_MODULE_CACHE[mod_name]
+    try:
+        text = open(src_path).read()
+        tree = ast.parse(text)
+    except (OSError, SyntaxError):
+        _DEPS_MAP_MODULE_CACHE[mod_name] = (None, None, None)
+        return _DEPS_MAP_MODULE_CACHE[mod_name]
+    import re
+
+    words = re.compile(r"\w+")
+    lines = text.splitlines(keepends=True)
+
+    def segment(node) -> str:
+        # line-sliced (column-inclusive head/tail) — same result as
+        # ast.get_source_segment for top-level statements without its
+        # per-call O(file) text scan
+        try:
+            s, e = node.lineno - 1, node.end_lineno
+        except AttributeError:
+            return ""
+        seg_lines = list(lines[s:e])
+        if not seg_lines:
+            return ""
+        seg_lines[-1] = seg_lines[-1][: node.end_col_offset]
+        seg_lines[0] = seg_lines[0][node.col_offset:]
+        return "".join(seg_lines)
+
+    # each entry: (trigger_names, segment, segment_word_set) — word
+    # sets make the reachability fixpoint linear instead of rescanning
+    # a growing text blob with per-name regexes
+    top_defs: dict[str, tuple[str, frozenset]] = {}
+    header_stmts: list[tuple[frozenset, str, frozenset]] = []
+    for node in tree.body:
+        seg = segment(node)
+        seg_words = frozenset(words.findall(seg))
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            top_defs[node.name] = (seg, seg_words)
+        elif isinstance(node, ast.Import):
+            names = frozenset(
+                (a.asname or a.name.split(".")[0]) for a in node.names
+            )
+            header_stmts.append((names, seg, seg_words))
+        elif isinstance(node, ast.ImportFrom):
+            names = frozenset((a.asname or a.name) for a in node.names)
+            header_stmts.append((names, seg, seg_words))
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [
+                node.target
+            ]
+            bound: set[str] = set()
+            for t in targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        bound.add(n.id)
+            header_stmts.append((frozenset(bound), seg, seg_words))
+    _DEPS_MAP_MODULE_CACHE[mod_name] = (src_path, top_defs, header_stmts)
+    return _DEPS_MAP_MODULE_CACHE[mod_name]
+
+
+def deps_md5_map(fn) -> dict[str, str] | None:
+    """Per-QUERY dependency digests: {relpath: md5} over exactly the
+    package files ``fn``'s own slice of its querydef module reaches,
+    plus a ``"<local>"`` digest of the same-module helpers it uses.
+
+    Replaces the per-MODULE ``deps_md5`` granularity for staleness
+    checks (VERDICT r12 item 1: a function-local
+    ``from querydefs.similarity import ...`` inside ONE dedup query
+    pulled operators/ann_index.py into the shared module closure, so
+    any ann_index edit demoted all 26 dedup queries — 160 ledger
+    demotions from one end-of-round commit). The slice is: the
+    registered function's source, plus (fixpoint) any top-level
+    same-module helper/class whose name it references, plus any
+    top-level import/assignment whose bound name it references. The
+    package files referenced from that slice expand transitively by
+    whole-file scan (operator-module internals stay coarse on
+    purpose: an operator edit must demote the queries that genuinely
+    call it). Falls back to None (callers then use ``deps_md5``) when
+    the function's source is unavailable."""
+    import hashlib
+    import inspect
+    import re
+    from pathlib import Path
+
+    mod_name = getattr(fn, "__module__", None)
+    qualname = getattr(fn, "__qualname__", repr(fn))
+    key = (mod_name or "", qualname)
+    if key in _DEPS_MAP_CACHE:
+        return _DEPS_MAP_CACHE[key]
+    src_path, top_defs, header_stmts = _module_slices(mod_name)
+    try:
+        fn_src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        fn_src = None
+    if src_path is None or fn_src is None:
+        _DEPS_MAP_CACHE[key] = None
+        return None
+
+    # Fixpoint: pull in same-module helpers and header statements the
+    # accumulated slice references by name. Word-set membership over
+    # source text over-includes (a name inside an oracle SQL string
+    # still counts) — the safe direction for a staleness hash.
+    seen_words: set[str] = set(re.findall(r"\w+", fn_src))
+    included_defs: dict[str, str] = {}
+    included_headers: list[str] = []
+    header_used = [False] * len(header_stmts)
+    parts = [fn_src]
+    changed = True
+    while changed:
+        changed = False
+        for dname, (dseg, dwords) in top_defs.items():
+            if dname in included_defs or dname == getattr(
+                fn, "__name__", None
+            ):
+                continue
+            if dname in seen_words:
+                included_defs[dname] = dseg
+                parts.append(dseg)
+                seen_words |= dwords
+                changed = True
+        for i, (names, seg, seg_words) in enumerate(header_stmts):
+            if header_used[i]:
+                continue
+            if not names.isdisjoint(seen_words):
+                header_used[i] = True
+                included_headers.append(seg)
+                parts.append(seg)
+                seen_words |= seg_words
+                changed = True
+
+    pkg_root = Path(__file__).resolve().parent
+    dep_re = re.compile(
+        r"map_reduce_library_spark\.(operators|streaming|core|sources"
+        r"|querydefs)\.(\w+)"
+    )
+    top_re = re.compile(r"map_reduce_library_spark\.(tables|session)\b")
+    own = Path(src_path).resolve()
+
+    def refs_of(text: str) -> set[Path]:
+        found: set[Path] = set()
+        for m in dep_re.finditer(text):
+            dp = (pkg_root / m.group(1) / (m.group(2) + ".py")).resolve()
+            if dp.exists():
+                found.add(dp)
+        for m in top_re.finditer(text):
+            dp = (pkg_root / (m.group(1) + ".py")).resolve()
+            if dp.exists():
+                found.add(dp)
+        return found
+
+    # Seed scan over the query's slice only; transitive expansion over
+    # whole files (same walk deps_md5 uses), with per-file ref sets
+    # cached across the 200+ queries sharing operator hubs.
+    visited: set[Path] = {own}
+    dep_files: set[Path] = set()
+    stack: list[Path] = [p for p in refs_of("\n".join(parts)) if p != own]
+    dep_files.update(stack)
+    while stack:
+        p = stack.pop()
+        if p not in _FILE_REFS_CACHE:
+            try:
+                _FILE_REFS_CACHE[p] = refs_of(p.read_text())
+            except OSError:
+                _FILE_REFS_CACHE[p] = set()
+        visited.add(p)
+        for dp in _FILE_REFS_CACHE[p]:
+            if dp != own and dp not in visited and dp not in dep_files:
+                dep_files.add(dp)
+                stack.append(dp)
+
+    out: dict[str, str] = {}
+    repo_pkg = pkg_root.resolve()
+    for dp in sorted(dep_files):
+        if dp not in _FILE_MD5_CACHE:
+            try:
+                _FILE_MD5_CACHE[dp] = hashlib.md5(
+                    dp.read_bytes()
+                ).hexdigest()
+            except OSError:
+                _FILE_MD5_CACHE[dp] = None
+        digest = _FILE_MD5_CACHE[dp]
+        if digest is None:
+            continue
+        out[str(dp.relative_to(repo_pkg))] = digest
+    lh = hashlib.md5()
+    for dname in sorted(included_defs):
+        lh.update(dname.encode())
+        lh.update(included_defs[dname].encode())
+    for seg in sorted(included_headers):
+        lh.update(seg.encode())
+    out["<local>"] = lh.hexdigest()
+    _DEPS_MAP_CACHE[key] = out
+    return out
+
+
 def _load_verified() -> dict[str, int]:
     """name -> round of last trustworthy green (hash-validated)."""
     import hashlib
@@ -195,9 +413,16 @@ def _load_verified() -> dict[str, int]:
         if entry.get("fn_md5") != fn_md5:
             _STALE_SELF.add(name)
             continue  # querydef changed since green -> stale
-        # Legacy entries lack deps_md5; only entries that recorded one
-        # are held to it (update_ledger stamps it from this function).
-        if "deps_md5" in entry and entry["deps_md5"] != deps_md5(
+        # Dep staleness, finest evidence wins: entries stamped with the
+        # per-QUERY deps_md5_map are held to it (and only it — the
+        # coarse per-module deps_md5 would re-demote them on sibling
+        # edits, defeating VERDICT r12 item 1); entries with only the
+        # legacy per-module digest keep the old check; entries with
+        # neither (pre-r4) are held to oracle/fn hashes alone.
+        if isinstance(entry.get("deps_md5_map"), dict):
+            if entry["deps_md5_map"] != deps_md5_map(QUERIES[name]):
+                continue  # a file this query actually reaches changed
+        elif "deps_md5" in entry and entry["deps_md5"] != deps_md5(
             QUERIES[name]
         ):
             continue  # an operator the querydef calls changed -> stale

@@ -63,7 +63,7 @@ def test_later_red_evicts_earlier_green(tmp_path, monkeypatch):
         def qx():
             return None
 
-        return {"qx": qx}, {"qx": "SELECT 1"}, None
+        return {"qx": qx}, {"qx": "SELECT 1"}, None, None
 
     monkeypatch.setattr(ul, "_registry", fake_registry)
     ledger = ul.update(1, tmp_path)
@@ -86,7 +86,7 @@ def test_rows_only_green_counts_verified(tmp_path, monkeypatch):
         def qs():
             return None
 
-        return {"qs": qs}, {}, None
+        return {"qs": qs}, {}, None, None
 
     monkeypatch.setattr(ul, "_registry", fake_registry)
     ledger = ul.update(1, tmp_path)
@@ -210,9 +210,13 @@ def test_verified_recheck_oldest_green_first():
     hashed that source version, so a round-8 local green is WEAKER
     evidence than a round-5 driver green. The ascending-rounds
     invariant therefore holds per (oracle-membership x vtier)
-    sub-block."""
+    sub-block. _PRIORITY_REFRESH names are excluded like the canaries:
+    once a round-start fold re-verifies them they jump the queue by
+    design (front tier 1), landing driver-fresh entries ahead of the
+    local-fold sub-block."""
     verified_order = [n for n in q.QUERIES
-                      if n in q._VERIFIED and n not in q._CANARIES]
+                      if n in q._VERIFIED and n not in q._CANARIES
+                      and n not in q._PRIORITY_REFRESH]
 
     def vtier(n):
         if n not in q._EVER_GREEN:
@@ -372,6 +376,13 @@ def test_operator_rewrite_demotes_dependents():
     name = next(n for n in q._VERIFIED if n in q.ORACLES)
     assert "deps_md5" in ledger[name], "entries must record deps hash"
     assert ledger[name]["deps_md5"] == q.deps_md5(q.QUERIES[name])
+    # entries stamped with the per-query map are held to IT (the
+    # coarse digest is ignored then) — corrupt whichever governs
+    if isinstance(ledger[name].get("deps_md5_map"), dict):
+        assert ledger[name]["deps_md5_map"] == q.deps_md5_map(
+            q.QUERIES[name]
+        )
+        ledger[name]["deps_md5_map"]["<local>"] = "0" * 32
     ledger[name]["deps_md5"] = "0" * 32  # simulate an operator rewrite
     try:
         ledger_path.write_text(json.dumps(ledger))
@@ -489,3 +500,97 @@ def test_deps_md5_covers_top_level_tables_module():
 
     assert digest(False) == q.deps_md5(fn)
     assert digest(True) != q.deps_md5(fn)
+
+
+def test_deps_md5_map_is_per_query_not_per_module():
+    """VERDICT r12 item 1, pinned: the per-query map must NOT charge a
+    sibling query for a function-local cross-module import. Concretely:
+    querydefs/dedup.py has one query whose body imports from
+    querydefs.similarity (pulling operators/ann_index.py), yet e.g.
+    exact_dedup_docs (same module) never touches ann_index — under the
+    old per-module closure an ann_index edit demoted all 26 dedup
+    queries; under the map it must demote only genuine dependents."""
+    dedup_queries = [
+        (n, fn) for n, fn in q.QUERIES.items()
+        if fn.__module__ == "map_reduce_library_spark.querydefs.dedup"
+    ]
+    assert len(dedup_queries) > 10
+    with_ann = [
+        n for n, fn in dedup_queries
+        if "operators/ann_index.py" in (q.deps_md5_map(fn) or {})
+    ]
+    without_ann = [
+        n for n, fn in dedup_queries
+        if "operators/ann_index.py" not in (q.deps_md5_map(fn) or {})
+    ]
+    # the module-level closure DOES contain ann_index (that was the
+    # bug) ...
+    assert "exact_dedup_docs" in dict(dedup_queries)
+    # ... but most dedup queries' per-query maps must not
+    assert len(without_ann) > len(with_ann), (
+        f"map granularity regressed: {len(with_ann)} dedup queries "
+        f"charge ann_index.py, only {len(without_ann)} don't"
+    )
+    assert "exact_dedup_docs" in without_ann
+
+
+def test_deps_md5_map_covers_called_operators():
+    """The map keeps the property deps_md5 was built for (ADVICE r4):
+    a query that calls into an operator module records that module's
+    file digest, so rewriting the operator demotes it."""
+    fn = q.QUERIES["ivf_kmeans_topk"]
+    m = q.deps_md5_map(fn)
+    assert m is not None
+    assert "operators/similarity.py" in m
+    assert m["operators/similarity.py"] == hashlib.md5(
+        (Path(q.__file__).parent / "operators" / "similarity.py")
+        .read_bytes()
+    ).hexdigest()
+    # and the wordcount flagship charges its operator + tables
+    wc = q.deps_md5_map(q.QUERIES["wordcount"])
+    assert "operators/wordcount.py" in wc
+
+
+def test_deps_md5_map_local_helper_digest_tracks_helpers():
+    """<local> hashes the same-module helpers the query's slice
+    reaches, so a helper rewrite demotes its users without touching
+    siblings: recompute the map for two queries of one module and
+    assert their <local> digests differ when their helper sets differ
+    (if every pair were identical the slice would be module-level
+    again)."""
+    by_mod: dict[str, list] = {}
+    for n, fn in q.QUERIES.items():
+        by_mod.setdefault(fn.__module__, []).append((n, fn))
+    diverse = 0
+    for mod, entries in by_mod.items():
+        locals_ = {
+            (q.deps_md5_map(fn) or {}).get("<local>") for _, fn in entries
+        }
+        if len(locals_) > 1:
+            diverse += 1
+    assert diverse >= 5, (
+        "per-query <local> digests collapsed to per-module values"
+    )
+
+
+def test_ledger_entries_with_map_ignore_stale_coarse_digest():
+    """An entry carrying deps_md5_map must stay verified even when its
+    legacy per-module deps_md5 is stale — that coarse digest demoting
+    map-stamped entries would resurrect the r12 mass-demotion."""
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    original = ledger_path.read_text()
+    ledger = json.loads(original)
+    name = next(
+        n for n in q._VERIFIED
+        if n in q.ORACLES
+        and isinstance(ledger.get(n, {}).get("deps_md5_map"), dict)
+    )
+    ledger[name]["deps_md5"] = "f" * 32  # stale coarse digest only
+    try:
+        ledger_path.write_text(json.dumps(ledger))
+        assert name in q._load_verified(), (
+            "a fresh deps_md5_map must shield the entry from the "
+            "stale legacy digest"
+        )
+    finally:
+        ledger_path.write_text(original)

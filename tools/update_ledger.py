@@ -81,7 +81,13 @@ def _registry(source: Path):
         assert Path(entry_mod.__file__).resolve().parent == source.resolve()
         queries_mod = sys.modules.get("map_reduce_library_spark.queries")
         deps_fn = getattr(queries_mod, "deps_md5", None)
-        return entry_mod.queries(), entry_mod.oracle_sql(), deps_fn
+        deps_map_fn = getattr(queries_mod, "deps_md5_map", None)
+        return (
+            entry_mod.queries(),
+            entry_mod.oracle_sql(),
+            deps_fn,
+            deps_map_fn,
+        )
     finally:
         # remove by VALUE, not position: the import itself may insert
         # further entries at index 0 (e.g. a resolved script dir), so
@@ -121,6 +127,7 @@ def merge_round(
     round_no: int,
     deps_fn=None,
     tag: str | None = None,
+    deps_map_fn=None,
 ) -> dict:
     """Merge one round's correctness rows into ``ledger`` IN PLACE and
     return it. Pure of filesystem concerns so the green-upsert /
@@ -143,6 +150,10 @@ def merge_round(
             }
             if deps_fn is not None:
                 entry["deps_md5"] = deps_fn(queries[name])
+            if deps_map_fn is not None:
+                dmap = deps_map_fn(queries[name])
+                if dmap is not None:
+                    entry["deps_md5_map"] = dmap
             if tag is not None:
                 entry["source"] = tag
             # A LOCAL fold must never downgrade driver provenance when
@@ -159,9 +170,21 @@ def merge_round(
                 and prev.get("source") == "driver"
                 and all(
                     prev.get(k) == entry.get(k)
-                    for k in ("oracle_md5", "fn_md5", "deps_md5")
+                    for k in (
+                        "oracle_md5", "fn_md5", "deps_md5", "deps_md5_map"
+                    )
+                    # a local fold may stamp a finer hash the driver
+                    # entry predates; identical coarse hashes still
+                    # mean the driver's green covers this source, so
+                    # only compare keys the driver entry recorded
+                    if k in prev
                 )
             ):
+                # the matching coarse hashes prove the driver's green
+                # covers the current source — upgrade the kept entry
+                # with the finer per-query map if it predates one
+                if "deps_md5_map" in entry and "deps_md5_map" not in prev:
+                    prev["deps_md5_map"] = entry["deps_md5_map"]
                 continue
             ledger[name] = entry
         else:
@@ -177,15 +200,58 @@ def update(
 ) -> dict:
     correctness = file or REPO / f"CORRECTNESS_r{round_no:02d}.json"
     rows = json.loads(correctness.read_text())
-    queries, oracles, deps_fn = _registry(source)
+    queries, oracles, deps_fn, deps_map_fn = _registry(source)
 
     ledger_path = REPO / "VERIFIED_LEDGER.json"
     ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
 
-    merge_round(ledger, rows, queries, oracles, round_no, deps_fn, tag)
+    merge_round(
+        ledger, rows, queries, oracles, round_no, deps_fn, tag, deps_map_fn
+    )
 
     ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
     return ledger
+
+
+def migrate_deps_map() -> tuple[int, int]:
+    """One-off upgrade: stamp ``deps_md5_map`` (per-QUERY dep digests)
+    onto every ledger entry that is FRESH under the existing checks —
+    the matching oracle/fn/deps hashes attest the entry's green still
+    covers the current source, so recording the same state at finer
+    granularity preserves provenance honestly (VERDICT r12 item 1: the
+    coarse per-module closure demoted ~160 entries from one commit).
+    Stale entries are left untouched; they must re-verify."""
+    queries, oracles, deps_fn, deps_map_fn = _registry(REPO)
+    if deps_map_fn is None:
+        raise SystemExit("source tree has no deps_md5_map")
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    ledger = json.loads(ledger_path.read_text())
+    stamped = skipped = 0
+    for name, entry in ledger.items():
+        if not isinstance(entry, dict) or name not in queries:
+            skipped += 1
+            continue
+        if "deps_md5_map" in entry:
+            continue
+        fresh = (
+            entry.get("oracle_md5") == _md5(oracles.get(name))
+            and entry.get("fn_md5") == _fn_md5(queries[name])
+            and (
+                "deps_md5" not in entry
+                or entry["deps_md5"] == deps_fn(queries[name])
+            )
+        )
+        if not fresh:
+            skipped += 1
+            continue
+        dmap = deps_map_fn(queries[name])
+        if dmap is None:
+            skipped += 1
+            continue
+        entry["deps_md5_map"] = dmap
+        stamped += 1
+    ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    return stamped, skipped
 
 
 def invalidate(names: list[str]) -> dict:
@@ -211,7 +277,16 @@ def main() -> None:
                     "--json output for a local differential)")
     ap.add_argument("--tag", help="stamp upserted entries with source=TAG "
                     "(use 'local' for drive_entry folds)")
+    ap.add_argument("--migrate-deps-map", action="store_true",
+                    help="stamp per-query deps_md5_map onto every "
+                    "currently-fresh entry (one-off granularity upgrade; "
+                    "preserves round and source)")
     args = ap.parse_args()
+    if args.migrate_deps_map:
+        stamped, skipped = migrate_deps_map()
+        print(f"ledger: stamped deps_md5_map on {stamped} fresh entries "
+              f"({skipped} skipped)")
+        return
     if args.invalidate:
         ledger = invalidate(args.invalidate)
         print(f"ledger: {len(ledger)} entries after invalidating "

@@ -51,12 +51,19 @@ ReduceFn = Callable[[Any, list[Any]], Iterable[tuple[Any, Any]]]
 
 class PairCounters:
     """Accumulator-backed pair/key counters giving JobState the
-    REFERENCE'S denominators (VERDICT r11 item 3): the reference
-    tracks individual pairs through a packed atomic — map %% =
-    processed input pairs / total input pairs, shuffle %% = shuffled
-    pairs / emitted intermediate pairs, reduce %% = consumed
-    intermediate pairs / emitted (MapReduceFramework.cpp:13,104,141,
-    157). Spark's StatusTracker only exposes per-task progress, so
+    reference's denominators where they are knowable (VERDICT r11
+    item 3): the reference tracks progress through a packed atomic —
+    map %% = processed input pairs / total input pairs, shuffle %% =
+    shuffled pairs / emitted intermediate pairs
+    (MapReduceFramework.cpp:13,104,141,157). Its REDUCE denominator
+    is distinct keys, not pairs (MapReduceFramework.cpp:194 packs
+    intermediateMapKeys.size(); reduceWrapper adds 1 per key) — a
+    count no Spark job knows mid-flight without an extra pass, so
+    JobState's reduce %% substitutes consumed/emitted PAIRS: the same
+    monotone 0→100 sweep over the same stage, weighted by pairs
+    instead of keys (ADVICE r12). The ``keys`` accumulator still
+    records the reference's numerator exactly for post-hoc checks.
+    Spark's StatusTracker only exposes per-task progress, so
     these are real Spark accumulators incremented by the map/reduce
     wrappers themselves — numerators and denominators are exact pair
     counts. Granularity note (documented, SURVEY.md §7.3): PySpark
@@ -72,13 +79,19 @@ class PairCounters:
 
     CLUSTER CAVEAT (honest bound, not a bug): Spark guarantees
     exactly-once accumulator delivery only for updates inside
-    actions; updates from re-executed transformations (task retry,
-    speculative execution, stage recomputation) can double-count.
-    These counters live in transformations by necessity, so on a
-    cluster with retries the percentages are monotone and
-    pair-denominated but may transiently overshoot — acceptable for
-    PROGRESS, never for answers (results never flow through
-    accumulators). Sort mode persists its instrumented intermediate,
+    actions; updates from re-executed transformations can
+    double-count. These counters live in transformations by
+    necessity. The bound is narrower than it sounds, and measured: a
+    plain task FAILURE + retry leaves the counts exact, because user
+    accumulators drop updates from failed attempts
+    (countFailedValues=False — pinned by
+    test_pair_counters_exact_under_task_retry, which kills a task
+    mid-partition on local[4,2] and observes exact counters).
+    Overshoot requires re-executing a SUCCESSFUL task: speculative
+    execution or a stage recomputation. In those cases the
+    percentages stay monotone and pair-denominated but may
+    transiently overshoot — acceptable for PROGRESS, never for
+    answers (results never flow through accumulators). Sort mode persists its instrumented intermediate,
     which also removes the range-partitioner sample pass's
     double-count (the one recomputation that occurs by design).
     """

@@ -509,6 +509,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG: no SOS/EOI")
         if payload[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them or the fill is misread as the code
+        while i + 2 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            raise ValueError("truncated JPEG: no SOS/EOI")
         m = payload[i + 1]
         if m == 0xD9:
             raise ValueError("JPEG EOI before any scan")
@@ -645,6 +651,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     preds = [0] * len(comps)
     while mcu < n_mcus:
         if restart and mcu and mcu % restart == 0:
+            # the outgoing segment may only carry byte-alignment
+            # padding; whole extra bytes before its RSTn marker are
+            # garbage the loud-ValueError contract must not swallow
+            # (ADVICE r12: this check used to run only on the final
+            # segment)
+            if bits.n - bits.i >= 8:
+                raise ValueError(
+                    f"JPEG trailing garbage before restart marker "
+                    f"({(bits.n - bits.i) // 8} extra bytes in entropy "
+                    f"segment {seg_idx})"
+                )
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise ValueError("JPEG missing expected restart marker")
@@ -668,6 +685,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         break
                     if rs == 0xF0:  # ZRL
                         k += 16
+                        # k == 64 exactly fills the block (16 zeros to
+                        # coefficient 63 — accepted, as libjpeg does);
+                        # past that the run overflows the block
+                        if k > 64:
+                            raise ValueError(
+                                "JPEG ZRL run past block end"
+                            )
                         continue
                     k += rs >> 4
                     s = rs & 15

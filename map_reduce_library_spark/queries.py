@@ -504,25 +504,30 @@ _CANARIES = ("wordcount", "filter_project", "pricing_summary")
 # names here sort immediately after the never-green tier, ahead of
 # every other re-check, so the next driver 50-sample re-hashes them
 # with driver provenance even when a local fold has already restored
-# their ledger validity. Round 12: CORRECTNESS_r11 drained all eight
-# round-11 entries driver-green, so the list re-curates to this
-# round's risk set — the five persisted-index serve queries (the
-# lease/healing rework re-touched their whole dep closure: O_EXCL
-# claims, heal-under-lease, lost-flag aborts, shared base build) and
-# the generic-MR parity family (PairCounters instrumented the
-# map/reduce wrappers in core/mapreduce.py). The new jpeg queries
-# need no slot: never-green sorts ahead of everything automatically.
-# Curated per round — remove entries once CORRECTNESS_r{N} records
-# their driver green.
+# their ledger validity. Round 13: CORRECTNESS_r12 drained all eight
+# round-12 entries driver-green; the list re-curates to this round's
+# risk set — exactly the 12 queries the round-13 edits demoted (the
+# per-query deps_md5_map kept the blast radius to genuine
+# dependents): the jpeg family (three decoder edge-case fixes: fill
+# bytes, ZRL bounds, per-restart-segment garbage), the generic-MR
+# parity family (PairCounters docstring + the sink= write variant in
+# the same dep closure), and the multimodal family (shares
+# operators/jpeg.py). All 12 re-differentialed local-green the same
+# day (r13_local1 fold). Curated per round — remove entries once
+# CORRECTNESS_r{N} records their driver green.
 _PRIORITY_REFRESH = (
-    "ivf_pq_persisted_topk",
-    "ivf_pq_filtered_topk",
-    "ivf_pq_deleted_topk",
-    "ivf_pq_incremental_topk",
-    "ivf_pq_rebalanced_topk",
-    "mr_holistic_median",
-    "mr_sortmode_wordcount",
+    "jpeg_image_stats",
+    "jpeg_thumbnail_stats",
     "mr_combiner_wordcount",
+    "mr_generic_wordcount",
+    "mr_holistic_median",
+    "mr_multi_emit_extremes",
+    "mr_sortmode_wordcount",
+    "mr_zero_emit_filter",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
 )
 
 

@@ -307,3 +307,87 @@ def test_trailing_garbage_after_scan_raises():
     doctored = payload[:-2] + b"\x55\x66\x77\x88" + b"\xff\xd9"
     with pytest.raises(ValueError, match="trailing garbage"):
         decode_jpeg(doctored)
+
+
+# ---- ADVICE r12: marker-walk and entropy edge cases --------------------------
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; a spec-valid stream padded that way must decode to
+    the same pixels, not be rejected with the fill byte misread as a
+    marker code (ADVICE r12)."""
+    img = synth_tile_image(5, 9)
+    payload = encode_jpeg(img)
+    ref = decode_jpeg(payload)
+    i = payload.find(b"\xff\xdb")  # pad before DQT
+    padded = payload[:i] + b"\xff" * 3 + payload[i:]
+    out = decode_jpeg(padded)
+    assert np.array_equal(out, ref)
+    j = payload.find(b"\xff\xc0")  # and before SOF0
+    padded = payload[:j] + b"\xff" + payload[j:]
+    assert np.array_equal(decode_jpeg(padded), ref)
+
+
+def _minimal_gray_jpeg(entropy: bytes) -> bytes:
+    """Hand-built 8x8 grayscale baseline stream with degenerate
+    1-bit Huffman tables so a test controls the entropy bits exactly:
+    DC table {code 0 -> category 0}; AC table {code 0 -> ZRL 0xF0,
+    code 1 -> EOB 0x00}."""
+    soi = b"\xff\xd8"
+    dqt = b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    sof = (
+        b"\xff\xc0" + (8 + 3).to_bytes(2, "big")
+        + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x01" + b"\x01" + b"\x11" + b"\x00"
+    )
+    dc_bits = bytes([1] + [0] * 15)
+    dht_dc = (
+        b"\xff\xc4" + (3 + 16 + 1).to_bytes(2, "big")
+        + b"\x00" + dc_bits + b"\x00"
+    )
+    ac_bits = bytes([2] + [0] * 15)
+    dht_ac = (
+        b"\xff\xc4" + (3 + 16 + 2).to_bytes(2, "big")
+        + b"\x10" + ac_bits + b"\xf0\x00"
+    )
+    sos = (
+        b"\xff\xda" + (6 + 2).to_bytes(2, "big")
+        + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    )
+    return soi + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+
+
+def test_zrl_run_past_block_end_raises():
+    """A ZRL whose 16-zero run overflows the 63 AC slots must raise,
+    not silently exit the block loop (ADVICE r12). Entropy bits:
+    DC cat 0 ('0'), then four ZRLs ('0'x4) -> k = 1+64 = 65 > 64."""
+    with pytest.raises(ValueError, match="ZRL run past block end"):
+        decode_jpeg(_minimal_gray_jpeg(b"\x07"))  # 00000 + 111 padding
+
+
+def test_zrl_exactly_filling_block_is_accepted():
+    """Three ZRLs then the block ends at k=49+16=65? No: k=1 +16*3=49;
+    a 4th would overflow. Exact fill needs k to land on 64: DC, ZRL x3
+    leaves k=49 — EOB closes it legally. The boundary case k==64
+    (accepted, as libjpeg does) is constructed as 63 zeros via 3 ZRLs
+    + run-15 not expressible with this degenerate table, so assert
+    the legal EOB path still decodes and yields the DC-only block."""
+    # entropy: DC '0', ZRL '0' x3, EOB '1' -> bits 0 0 0 0 1 + 111 pad
+    out = decode_jpeg(_minimal_gray_jpeg(b"\x0f"))
+    assert out.shape == (8, 8)
+    # DC diff 0 with unit quant -> flat 128 block
+    assert np.all(out == 128)
+
+
+def test_extra_bytes_inside_restart_segment_raise():
+    """Garbage bytes appended before a RSTn marker (not just in the
+    final segment) must raise — the per-segment leftover check
+    (ADVICE r12)."""
+    img = synth_tile_image(4, 7)
+    payload = encode_jpeg(img, restart=2)
+    i = payload.find(b"\xff\xd0")  # first restart marker
+    assert i > 0, "fixture must contain a restart marker"
+    doctored = payload[:i] + b"\x55" + payload[i:]
+    with pytest.raises(ValueError, match="before restart marker"):
+        decode_jpeg(doctored)

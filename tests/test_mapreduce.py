@@ -2,8 +2,12 @@
 points of SURVEY.md §2A (MapReduceClient.h:69,77-78,83;
 MapReduceFramework.cpp:72-87,296-303)."""
 
+from pathlib import Path
+
 import pandas as pd
 import pytest
+
+REPO = Path(__file__).resolve().parents[1]
 
 from map_reduce_library_spark.core import (
     JobState,
@@ -533,3 +537,188 @@ def test_pair_counters_sort_mode_and_combiner(spark):
     assert c2.emitted.value <= 40
     assert c2.emitted.value == c2.shuffled.value == c2.reduced.value
     assert c2.keys.value == 10
+
+
+def test_sink_mode_writes_pairs_without_driver_materialization(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 3: run_map_reduce_async(sink=path) is the
+    100-TB escape hatch — output pairs land in parquet executor-side;
+    nothing output-sized crosses the driver. Enforced with a poison:
+    RDD.collect / DataFrame.collect raise for the duration, so ANY
+    driver materialization on the sink path fails the test. Pair-level
+    progress must be unaffected."""
+    from pyspark.rdd import RDD
+    from pyspark.sql import DataFrame as SqlDataFrame
+
+    from map_reduce_library_spark.core.job import (
+        run_map_reduce_async,
+        wait_with_progress,
+    )
+
+    data = [(None, i) for i in range(120)]
+
+    def map_fn(k, v):
+        yield (str(v % 5), 1)
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    def poisoned(self, *a, **kw):
+        raise AssertionError("sink mode must not collect to the driver")
+
+    sink = str(tmp_path / "mr_out")
+    monkeypatch.setattr(RDD, "collect", poisoned)
+    monkeypatch.setattr(SqlDataFrame, "collect", poisoned)
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=4,
+        sink=sink, sink_schema="key string, value bigint",
+    )
+    result, log = wait_with_progress(handle, poll_interval=0.005)
+    monkeypatch.undo()
+    assert result == sink  # the handle's result is the path, not rows
+    out = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert out == {str(i): 24 for i in range(5)}
+    # pair-level counters flowed through the write job
+    c = handle.counters
+    assert c.mapped.value == 120
+    assert c.emitted.value == 120
+    assert c.shuffled.value == 120
+    assert c.reduced.value == 120
+    assert c.keys.value == 5
+    stages = [s.stage for s in log]
+    assert stages == sorted(stages)
+    assert log[-1] == JobState(Stage.REDUCE, 100.0)
+
+
+def test_sink_mode_infers_schema_without_recount(spark, tmp_path):
+    """sink= without sink_schema persists the output once so schema
+    inference does not recompute the instrumented lineage: counters
+    stay exact (a recompute would double-count) and the parquet holds
+    the same pairs."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    data = [(None, f"w{i % 3}") for i in range(60)]
+
+    def map_fn(k, v):
+        yield (v, 1)
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    sink = str(tmp_path / "mr_inferred")
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=3, sink=sink
+    )
+    assert handle.wait_for_job() == sink
+    out = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert out == {"w0": 20, "w1": 20, "w2": 20}
+    c = handle.counters
+    assert c.mapped.value == 60, "schema inference recomputed the lineage"
+    assert c.emitted.value == 60
+    assert c.reduced.value == 60
+    assert c.keys.value == 3
+
+
+def test_sink_mode_error_on_existing_path(spark, tmp_path):
+    """sink_mode defaults to 'error': an existing path must fail the
+    job loudly (surfaced by wait_for_job), never overwrite."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    sink = tmp_path / "occupied"
+    sink.mkdir()
+    (sink / "marker").write_text("precious")
+
+    handle = run_map_reduce_async(
+        spark, [(None, 1)],
+        lambda k, v: [(v, 1)], lambda k, vals: [(k, sum(vals))],
+        sink=str(sink), sink_schema="key bigint, value bigint",
+    )
+    with pytest.raises(Exception, match="already exists|ERROR"):
+        handle.wait_for_job()
+    assert (sink / "marker").read_text() == "precious"
+
+
+def test_pair_counters_exact_under_task_retry(tmp_path):
+    """VERDICT r12 item 5: induce a REAL task failure (first attempt
+    of partition 0 dies mid-way, after some elements already bumped
+    the accumulators) on a master with retries enabled and pin the
+    counter behavior. Measured result: user accumulators drop updates
+    from FAILED attempts (Spark's countFailedValues=False), so a plain
+    retry leaves every counter exact — overshoot requires re-running a
+    SUCCESSFUL task (speculation / stage recompute), which the
+    PairCounters caveat covers. Also: stage sequence stays monotone
+    and the final report is REDUCE/100%. Needs its own JVM —
+    local[4,2] for maxFailures=2 — hence the subprocess."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "retry_probe.py"
+    script.write_text(textwrap.dedent("""
+        import json, sys
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[4,2]")
+            .appName("retry-probe")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        from map_reduce_library_spark.core.job import (
+            run_map_reduce_async, wait_with_progress,
+        )
+        data = [(None, i) for i in range(400)]
+        def map_fn(k, v):
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            if (tc is not None and tc.partitionId() == 0
+                    and tc.attemptNumber() == 0 and v >= 30):
+                raise RuntimeError("deliberate first-attempt failure")
+            yield (v %% 5, 1)
+        def reduce_fn(k, vals):
+            yield (k, sum(vals))
+        handle = run_map_reduce_async(
+            spark, data, map_fn, reduce_fn, num_partitions=4
+        )
+        out, log = wait_with_progress(handle, poll_interval=0.002)
+        c = handle.counters
+        print("RESULT" + json.dumps({
+            "out_sum": sum(v for _, v in out),
+            "mapped": c.mapped.value, "emitted": c.emitted.value,
+            "shuffled": c.shuffled.value, "reduced": c.reduced.value,
+            "keys": c.keys.value,
+            "stages": [int(s.stage) for s in log],
+            "pcts": [s.percentage for s in log],
+        }))
+        spark.stop()
+    """ % str(REPO)))
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT")
+    )
+    r = json.loads(line[len("RESULT"):])
+    assert r["out_sum"] == 400  # answers are exact regardless
+    # failed-attempt accumulator updates are dropped -> exact counts
+    assert r["mapped"] == 400
+    assert r["emitted"] == 400
+    assert r["shuffled"] == 400
+    assert r["reduced"] == 400
+    assert r["keys"] == 5
+    # the retry never wedges or regresses the stage machine
+    assert r["stages"] == sorted(r["stages"])
+    assert r["stages"][-1] == int(Stage.REDUCE)
+    assert r["pcts"][-1] == 100.0
+    assert all(0.0 <= p <= 100.0 for p in r["pcts"])

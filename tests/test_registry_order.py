@@ -594,3 +594,62 @@ def test_ledger_entries_with_map_ignore_stale_coarse_digest():
         )
     finally:
         ledger_path.write_text(original)
+
+
+def test_local_fold_upgrades_driver_entry_with_deps_map():
+    """merge_round's keep-driver branch (round 9) extended for the
+    per-query map (round 13): when a local fold's hashes prove the
+    driver's green covers the current source, the driver entry is
+    KEPT (source and round) and additionally stamped with the finer
+    deps_md5_map it predates — provenance preserved, granularity
+    upgraded. A differing hash still replaces the entry as local."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.update_ledger import merge_round
+    finally:
+        sys.path.pop(0)
+
+    def fake_query(spark, sf_dir):  # pragma: no cover - hashed only
+        return None
+
+    queries = {"q": fake_query}
+    oracles = {"q": "SELECT 1 AS one"}
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+
+    def deps(fn):
+        return "d" * 32
+
+    the_map = {"operators/x.py": "a" * 32, "<local>": "b" * 32}
+
+    # driver entry predating the map
+    ledger: dict = {}
+    merge_round(ledger, {"q": green}, queries, oracles, 10,
+                deps_fn=deps, tag="driver")
+    assert ledger["q"]["source"] == "driver"
+    assert "deps_md5_map" not in ledger["q"]
+
+    # identical-hash local fold: keep driver provenance, gain the map
+    merge_round(ledger, {"q": green}, queries, oracles, 11,
+                deps_fn=deps, tag="local", deps_map_fn=lambda fn: the_map)
+    assert ledger["q"]["source"] == "driver"
+    assert ledger["q"]["round"] == 10
+    assert ledger["q"]["deps_md5_map"] == the_map
+
+    # a later local fold with a CHANGED coarse hash replaces as local
+    merge_round(ledger, {"q": green}, queries, oracles, 12,
+                deps_fn=lambda fn: "e" * 32, tag="local",
+                deps_map_fn=lambda fn: the_map)
+    assert ledger["q"]["source"] == "local"
+    assert ledger["q"]["round"] == 12
+
+
+def test_deps_md5_map_none_falls_back_to_coarse_digest():
+    """A query whose source is unavailable (lambda/partial) must fall
+    back to the legacy behavior chain, not crash or stamp a bogus
+    map."""
+    fn = eval("lambda spark, sf: None")  # no retrievable source slice
+    fn.__module__ = "map_reduce_library_spark.querydefs.wordcount"
+    assert q.deps_md5_map(fn) is None

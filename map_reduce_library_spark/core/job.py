@@ -326,7 +326,14 @@ def run_map_reduce_async(
                 df = spark.createDataFrame(out, schema=sink_schema)
                 df.write.format(sink_format).mode(sink_mode).save(sink)
                 return sink
-            out = out.persist()
+            from pyspark import StorageLevel
+
+            # MEMORY_AND_DISK, not the RDD default MEMORY_ONLY: an
+            # evicted partition would recompute the instrumented
+            # lineage between the schema-inference job and the write,
+            # double-counting the accumulators — the exact failure
+            # this persist exists to prevent (code-review r13)
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 df = spark.createDataFrame(out, schema=["key", "value"])
                 df.write.format(sink_format).mode(sink_mode).save(sink)

@@ -892,7 +892,19 @@ def classify_jpeg_decode(payload: bytes) -> str:
         m = str(e)
         if "not a JPEG payload" in m:
             return "not_jpeg"
-        if "unsupported JPEG frame type" in m or "arithmetic" in m:
+        # every spec-valid-but-out-of-profile refusal the decoder
+        # raises: frame type (progressive SOF2, arithmetic SOF9-11,
+        # hierarchical), 12-bit samples, 16-bit quant tables, CMYK /
+        # multi-plane component counts, exotic sampling factors
+        # (code-review r13: the first cut matched only the frame-type
+        # message, misrouting 12-bit/CMYK to 'malformed')
+        if (
+            "unsupported JPEG frame type" in m
+            or "only 8-bit JPEG" in m
+            or "unsupported JPEG component count" in m
+            or "unsupported sampling" in m
+            or "chroma sampling factors" in m
+        ):
             return "unsupported_mode"
         if "truncated" in m or "no EOI" in m or "ran off the end" in m:
             return "truncated"

@@ -231,6 +231,8 @@ def mr_sink_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back. ``sink_schema`` makes the write a strict single pass.
     Same oracle as mr_generic_wordcount: the transport must not change
     the answer."""
+    import atexit
+    import shutil
     import tempfile
 
     from map_reduce_library_spark.core.job import run_map_reduce_async
@@ -243,7 +245,12 @@ def mr_sink_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield (key, sum(values))
 
     docs = load_table(spark, sf_dir, "documents").select("text")
-    sink = tempfile.mkdtemp(prefix="mr_sink_wordcount_") + "/out"
+    base = tempfile.mkdtemp(prefix="mr_sink_wordcount_")
+    # the returned DataFrame reads these files lazily, so cleanup must
+    # outlive the query call — reclaim at interpreter exit, not here
+    # (code-review r13: repeated runs accumulated /tmp parquet)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    sink = base + "/out"
     handle = run_map_reduce_async(
         spark, docs, tokenize_map, sum_reduce,
         sink=sink, sink_schema="word string, cnt bigint",

@@ -423,3 +423,14 @@ def test_classify_and_doctored_fixture_classes():
     i = p.find(b"\xff\xda")
     p[i + 20] ^= 0x5A  # flip bits mid-entropy
     assert classify_jpeg_decode(bytes(p)) in ("malformed", "truncated")
+    # spec-valid-but-out-of-profile shapes beyond the frame type all
+    # route to unsupported_mode, the transcode-at-ingest bucket
+    # (code-review r13: 12-bit/CMYK were misfiled as 'malformed')
+    p12 = bytearray(encode_jpeg(synth_tile_image(2, 1)))
+    j = p12.find(b"\xff\xc0")
+    p12[j + 4] = 12  # sample precision 12-bit
+    assert classify_jpeg_decode(bytes(p12)) == "unsupported_mode"
+    cmyk = bytearray(encode_jpeg(synth_tile_image(2, 1)))
+    j = cmyk.find(b"\xff\xc0")
+    cmyk[j + 9] = 4  # component count 4 (CMYK-shaped)
+    assert classify_jpeg_decode(bytes(cmyk)) == "unsupported_mode"

@@ -173,11 +173,15 @@ def merge_round(
                     for k in (
                         "oracle_md5", "fn_md5", "deps_md5", "deps_md5_map"
                     )
-                    # a local fold may stamp a finer hash the driver
-                    # entry predates; identical coarse hashes still
-                    # mean the driver's green covers this source, so
-                    # only compare keys the driver entry recorded
-                    if k in prev
+                    # compare only hashes BOTH sides recorded: a local
+                    # fold may stamp a finer hash the driver entry
+                    # predates (upgrade below), and a fold from an
+                    # OLDER source tree may lack one the driver entry
+                    # carries — neither asymmetry disproves that the
+                    # driver's green covers this source (code-review
+                    # r13: 'k in prev' alone let a map-less bootstrap
+                    # fold downgrade migrated driver entries to local)
+                    if k in prev and k in entry
                 )
             ):
                 # the matching coarse hashes prove the driver's green
@@ -213,7 +217,7 @@ def update(
     return ledger
 
 
-def migrate_deps_map() -> tuple[int, int]:
+def migrate_deps_map() -> tuple[int, int, int]:
     """One-off upgrade: stamp ``deps_md5_map`` (per-QUERY dep digests)
     onto every ledger entry that is FRESH under the existing checks —
     the matching oracle/fn/deps hashes attest the entry's green still
@@ -226,12 +230,13 @@ def migrate_deps_map() -> tuple[int, int]:
         raise SystemExit("source tree has no deps_md5_map")
     ledger_path = REPO / "VERIFIED_LEDGER.json"
     ledger = json.loads(ledger_path.read_text())
-    stamped = skipped = 0
+    stamped = skipped = already = 0
     for name, entry in ledger.items():
         if not isinstance(entry, dict) or name not in queries:
             skipped += 1
             continue
         if "deps_md5_map" in entry:
+            already += 1
             continue
         fresh = (
             entry.get("oracle_md5") == _md5(oracles.get(name))
@@ -251,7 +256,7 @@ def migrate_deps_map() -> tuple[int, int]:
         entry["deps_md5_map"] = dmap
         stamped += 1
     ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
-    return stamped, skipped
+    return stamped, skipped, already
 
 
 def invalidate(names: list[str]) -> dict:
@@ -283,9 +288,9 @@ def main() -> None:
                     "preserves round and source)")
     args = ap.parse_args()
     if args.migrate_deps_map:
-        stamped, skipped = migrate_deps_map()
+        stamped, skipped, already = migrate_deps_map()
         print(f"ledger: stamped deps_md5_map on {stamped} fresh entries "
-              f"({skipped} skipped)")
+              f"({already} already stamped, {skipped} skipped)")
         return
     if args.invalidate:
         ledger = invalidate(args.invalidate)

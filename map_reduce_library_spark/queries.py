@@ -243,6 +243,19 @@ def _module_slices(mod_name: str):
                     if isinstance(n, ast.Name):
                         bound.add(n.id)
             header_stmts.append((frozenset(bound), seg, seg_words))
+        elif not (
+            isinstance(node, ast.Expr)
+            and isinstance(node.value, ast.Constant)
+        ):
+            # any OTHER top-level statement (a try/if-guarded import,
+            # a loop building a registry, a side-effecting call) has
+            # no bound-name gate to reason about — mark it
+            # ALWAYS-INCLUDED (names=None) in every query's slice
+            # rather than let a conditional import escape the
+            # staleness hash. None exist in the corpus today; this is
+            # the forward guard. Docstrings/bare constants (Expr of
+            # Constant) stay excluded.
+            header_stmts.append((None, seg, seg_words))
     _DEPS_MAP_MODULE_CACHE[mod_name] = (src_path, top_defs, header_stmts)
     return _DEPS_MAP_MODULE_CACHE[mod_name]
 
@@ -310,7 +323,7 @@ def deps_md5_map(fn) -> dict[str, str] | None:
         for i, (names, seg, seg_words) in enumerate(header_stmts):
             if header_used[i]:
                 continue
-            if not names.isdisjoint(seen_words):
+            if names is None or not names.isdisjoint(seen_words):
                 header_used[i] = True
                 included_headers.append(seg)
                 parts.append(seg)

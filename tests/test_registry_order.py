@@ -653,3 +653,45 @@ def test_deps_md5_map_none_falls_back_to_coarse_digest():
     fn = eval("lambda spark, sf: None")  # no retrievable source slice
     fn.__module__ = "map_reduce_library_spark.querydefs.wordcount"
     assert q.deps_md5_map(fn) is None
+
+
+def test_module_slices_always_include_compound_statements(tmp_path):
+    """Forward guard (round 13): a try/if-guarded top-level import —
+    none exist in the corpus today — must land in EVERY query's slice
+    rather than escape the staleness hash. Pinned by parsing a
+    synthetic module through the real _module_slices and asserting
+    the compound statement arrives with names=None (always-included)
+    while the docstring stays excluded."""
+    import sys
+    import types
+
+    src = tmp_path / "synthmod.py"
+    src.write_text(
+        '"""docstring — excluded"""\n'
+        "import os\n"
+        "try:\n"
+        "    from map_reduce_library_spark.operators import dedup\n"
+        "except ImportError:\n"
+        "    dedup = None\n"
+        "X = 1\n"
+    )
+    mod = types.ModuleType("synthmod_for_slices")
+    mod.__file__ = str(src)
+    sys.modules["synthmod_for_slices"] = mod
+    try:
+        q._DEPS_MAP_MODULE_CACHE.pop("synthmod_for_slices", None)
+        _, top_defs, header_stmts = q._module_slices(
+            "synthmod_for_slices"
+        )
+    finally:
+        sys.modules.pop("synthmod_for_slices", None)
+        q._DEPS_MAP_MODULE_CACHE.pop("synthmod_for_slices", None)
+    kinds = [(names, seg.split("\n")[0]) for names, seg, _ in header_stmts]
+    # the try-import is always-included (names=None)
+    assert any(names is None and first.startswith("try:")
+               for names, first in kinds), kinds
+    # plain import and assignment keep their name gates
+    assert any(names == frozenset({"os"}) for names, _ in kinds)
+    assert any(names == frozenset({"X"}) for names, _ in kinds)
+    # the docstring produced no header statement
+    assert not any("docstring" in first for _, first in kinds)

@@ -722,3 +722,42 @@ def test_pair_counters_exact_under_task_retry(tmp_path):
     assert r["stages"][-1] == int(Stage.REDUCE)
     assert r["pcts"][-1] == 100.0
     assert all(0.0 <= p <= 100.0 for p in r["pcts"])
+
+
+def test_sink_mode_sort_key_mode_interplay(spark, tmp_path):
+    """sink= composes with key_mode='sort': the sort path persists its
+    instrumented intermediate (range-partitioner sample pass dedup)
+    and the sink path writes the output — both caches must be
+    released, counters stay exact, and the parquet holds the grouped
+    answer."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    data = [(None, f"k{i % 4}") for i in range(80)]
+
+    def map_fn(k, v):
+        yield (v, 1)
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    sink = str(tmp_path / "mr_sorted")
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, key_mode="sort",
+        num_partitions=4, sink=sink,
+        sink_schema="key string, value bigint",
+    )
+    assert handle.wait_for_job() == sink
+    out = {
+        r["key"]: r["value"] for r in spark.read.parquet(sink).collect()
+    }
+    assert out == {f"k{i}": 20 for i in range(4)}
+    c = handle.counters
+    assert c.mapped.value == 80
+    assert c.emitted.value == 80
+    assert c.reduced.value == 80
+    assert c.keys.value == 4
+    # the sort path's persisted intermediate was handed to the caller
+    # and released by the action's finally block
+    cached = c.cached_intermediate
+    assert cached is not None
+    assert not cached.is_cached, "sort-mode intermediate left pinned"

@@ -434,3 +434,21 @@ def test_classify_and_doctored_fixture_classes():
     j = cmyk.find(b"\xff\xc0")
     cmyk[j + 9] = 4  # component count 4 (CMYK-shaped)
     assert classify_jpeg_decode(bytes(cmyk)) == "unsupported_mode"
+
+
+def test_fill_bytes_property_any_header_marker_any_count():
+    """Property form of the T.81 B.1.1.2 fix: 1-4 fill bytes inserted
+    before ANY header-segment marker (DQT, DHT, SOF0, DRI, SOS)
+    preserve the decode bit-exactly. Deterministic sweep, not random:
+    every (marker, count) pair is checked."""
+    img = synth_tile_image(6, 2)
+    payload = encode_jpeg(img, restart=2)
+    ref = decode_jpeg(payload)
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0",
+                   b"\xff\xdd", b"\xff\xda"):
+        i = payload.find(marker)
+        assert i > 0, f"fixture lacks {marker!r}"
+        for n_fill in (1, 2, 3, 4):
+            padded = payload[:i] + b"\xff" * n_fill + payload[i:]
+            out = decode_jpeg(padded)
+            assert np.array_equal(out, ref), (marker, n_fill)

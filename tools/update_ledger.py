@@ -19,11 +19,17 @@ working tree still matches the snapshot the driver verified):
 worktree checked out at that round's snapshot commit (the parent of
 the "round N: verdict/..." commit).
 
-Each upserted entry also records ``deps_md5`` (md5 over the operator/
-streaming/core/sources modules the querydef's module transitively
-references, computed by ``queries.deps_md5``) so operator rewrites
-auto-demote dependent queries; ``--invalidate`` remains for manual
-demotions outside that closure.
+Each upserted entry also records two dependency digests so operator
+rewrites auto-demote dependent queries: ``deps_md5`` (legacy, md5
+over the whole module-level transitive closure, ``queries.deps_md5``)
+and — since round 13 — ``deps_md5_map`` ({file: md5} over exactly the
+package files the QUERY's own source slice reaches,
+``queries.deps_md5_map``). The staleness check prefers the map when
+present, so an operator edit demotes only genuine dependents instead
+of every query in the module (VERDICT r12 item 1). ``--invalidate``
+remains for manual demotions outside either closure;
+``--migrate-deps-map`` stamps the map onto currently-fresh entries
+that predate it without disturbing round or provenance.
 
 Semantics per CORRECTNESS_r{N}.json row, merged into the ledger:
   * green (rows+schema match, hash not explicitly false, no err)

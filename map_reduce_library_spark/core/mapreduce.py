@@ -107,6 +107,15 @@ class PairCounters:
         # set by run_map_reduce's sort path: the persisted intermediate
         # RDD, for the caller to unpersist once the output is consumed
         self.cached_intermediate = None
+        # set by run_map_reduce's sort path under exact_reduce_keys:
+        # the persisted SORTED intermediate (reused by both the
+        # run-count job and the reduce), same unpersist contract
+        self.cached_sorted = None
+        # set by run_map_reduce(exact_reduce_keys=True): total distinct
+        # intermediate keys — the reference's exact REDUCE denominator
+        # (MapReduceFramework.cpp:190-195). None → JobState falls back
+        # to the pair-weighted reduce percentage.
+        self.key_total: int | None = None
 
 
 def _make_sorted_run_reducer(
@@ -162,6 +171,7 @@ def run_map_reduce(
     key_mode: str = "hash",
     combiner_fn: Callable[[Any, Any], Any] | None = None,
     counters: PairCounters | None = None,
+    exact_reduce_keys: bool = False,
 ) -> RDD:
     """Run one generic MapReduce job; returns the output-pair RDD.
 
@@ -194,7 +204,22 @@ def run_map_reduce(
     shuffle/reduce counters measure COMBINED pairs (the pairs that
     actually cross the wire — the same thing the reference's own
     per-file combiner makes its counters measure).
+
+    ``exact_reduce_keys`` (requires ``counters``; VERDICT r13 item 5):
+    restore the reference's exact KEY-weighted REDUCE denominator
+    (MapReduceFramework.cpp:190-195 packs the distinct intermediate
+    key count; reduceWrapper advances one per key at :157) by running
+    one distinct-key count job on the persisted intermediate before
+    the reduce starts — the shuffle→reduce flip is then observable at
+    the reference's exact granularity (``counters.key_total`` set;
+    JobState's reduce %% = keys reduced / key_total). Costs one extra
+    job and a persist of the intermediate (hash mode) or of the
+    sorted intermediate (sort mode, counted by ordering-equal runs so
+    keys still only need ``<``); default off — the zero-extra-job
+    pair-weighted sweep.
     """
+    if exact_reduce_keys and counters is None:
+        raise ValueError("exact_reduce_keys requires counters=")
     if isinstance(data, DataFrame):
         rdd = data.rdd.map(lambda row: (None, row))
     elif isinstance(data, RDD):
@@ -236,6 +261,17 @@ def run_map_reduce(
                 return iter(acc.items())
 
             intermediate = intermediate.mapPartitions(_combine_partition)
+        if exact_reduce_keys:
+            # Persist FIRST so the count job computes (and caches) the
+            # instrumented map exactly once — counting an unpersisted
+            # lineage would re-run the map and double the accumulators.
+            # The cached handle is the caller's to release (same
+            # contract as the sort path below).
+            intermediate = intermediate.persist()
+            counters.cached_intermediate = intermediate
+            counters.key_total = (
+                intermediate.keys().distinct(num_partitions).count()
+            )
         grouped = intermediate.groupByKey(numPartitions=num_partitions)
         if counters is None:
             return grouped.flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
@@ -270,6 +306,28 @@ def run_map_reduce(
         # Range partitioner: equal keys land in one partition by
         # ordering alone; then adjacent-equal runs are the groups.
         swkp = intermediate.sortByKey(numPartitions=num_partitions)
+        if exact_reduce_keys:
+            # Keys in sort mode need only ``<`` (the reference's type
+            # contract), so the distinct count is ordering-based: the
+            # range partitioner confines each equivalence class to one
+            # partition, so summing ordering-equal RUNS per sorted
+            # partition counts distinct keys without hashing. Persist
+            # the sorted intermediate so the count and the reduce
+            # share one sort (caller unpersists via cached_sorted).
+            swkp = swkp.persist()
+            counters.cached_sorted = swkp
+
+            def _count_runs(part: Iterator[tuple[Any, Any]]):
+                n = 0
+                cur: Any = None
+                have = False
+                for k, _ in part:
+                    if not have or (cur < k) or (k < cur):
+                        n += 1
+                        cur, have = k, True
+                yield n
+
+            counters.key_total = swkp.mapPartitions(_count_runs).sum()
         return swkp.mapPartitions(
             _make_sorted_run_reducer(reduce_fn, counters)
         )

@@ -761,3 +761,157 @@ def test_sink_mode_sort_key_mode_interplay(spark, tmp_path):
     cached = c.cached_intermediate
     assert cached is not None
     assert not cached.is_cached, "sort-mode intermediate left pinned"
+
+
+def test_pair_progress_handoff_never_consults_tracker(spark):
+    """VERDICT r13 item 1, deterministic (no poll race): once a handle
+    carries PairCounters with a known input_total, the per-task
+    StatusTracker must NEVER be consulted — before the first
+    accumulator update lands the report is MAP/0% (the reference packs
+    MAP/total/0 into its atomic before any thread starts,
+    MapReduceFramework.cpp:216), never a task fraction the first
+    pair-level reading could undershoot. The tracker method is
+    poisoned for the whole window the r13 flake lived in."""
+    import threading
+
+    from map_reduce_library_spark.core.job import JobHandle
+    from map_reduce_library_spark.core.mapreduce import PairCounters
+
+    gate = threading.Event()
+    counters = PairCounters(spark, input_total=300)
+    handle = JobHandle(spark, gate.wait, counters=counters)
+
+    def tracker_poison():
+        raise AssertionError(
+            "tracker consulted while pair counters are attached"
+        )
+
+    handle._tracker_state = tracker_poison
+    # the exact r13 race, now deterministic: poll BEFORE any
+    # accumulator delivery → MAP/0%, not a 12.5% task fraction
+    assert handle.get_job_state() == JobState(Stage.MAP, 0.0)
+    counters.mapped.add(37)  # first (partial) delivery: 37/300 pairs
+    st = handle.get_job_state()
+    assert st == JobState(Stage.MAP, 100.0 * 37 / 300)
+    gate.set()
+    handle.wait_for_job()
+    assert handle.get_job_state() == JobState(Stage.REDUCE, 100.0)
+
+
+def test_progress_high_water_latch_is_monotone(spark):
+    """VERDICT r13 item 1b: the per-stage high-water latch reproduces
+    the packed-atomic monotonicity (MapReduceFramework.cpp:372-380 —
+    the reference's progress word only ever advances): forced raw
+    regressions of stage or same-stage percentage are clamped to the
+    high-water reading; a stage advance legitimately resets the
+    percentage."""
+    import threading
+
+    from map_reduce_library_spark.core.job import JobHandle
+    from map_reduce_library_spark.core.mapreduce import PairCounters
+
+    gate = threading.Event()
+    handle = JobHandle(
+        spark, gate.wait, counters=PairCounters(spark, input_total=100)
+    )
+    feed: list[JobState] = []
+    handle._raw_state = lambda: feed[-1]
+
+    feed.append(JobState(Stage.MAP, 50.0))
+    assert handle.get_job_state() == JobState(Stage.MAP, 50.0)
+    feed.append(JobState(Stage.MAP, 40.0))  # same-stage regression
+    assert handle.get_job_state() == JobState(Stage.MAP, 50.0)
+    feed.append(JobState(Stage.SHUFFLE, 10.0))  # advance resets pct
+    assert handle.get_job_state() == JobState(Stage.SHUFFLE, 10.0)
+    feed.append(JobState(Stage.MAP, 90.0))  # stage regression
+    assert handle.get_job_state() == JobState(Stage.SHUFFLE, 10.0)
+    feed.append(JobState(Stage.REDUCE, 100.0))
+    assert handle.get_job_state() == JobState(Stage.REDUCE, 100.0)
+    # failure bypasses the latch: terminal, not progress
+    feed.append(JobState(Stage.UNDEFINED, 0.0, failed=True))
+    assert handle.get_job_state().failed
+    gate.set()
+    handle.wait_for_job()
+
+
+def test_exact_reduce_keys_hash_mode(spark):
+    """VERDICT r13 item 5: exact_reduce_keys=True restores the
+    reference's exact KEY-weighted REDUCE denominator
+    (MapReduceFramework.cpp:190-195; +1 per key at :157) via one
+    distinct-key count at the shuffle→reduce flip. Staggered reduce
+    groups make mid-reduce states observable; every observed REDUCE
+    percentage must be a whole number of keys over the exact key
+    total — a value the pair-weighted default cannot produce here
+    (group sizes differ, so pair fractions are NOT key multiples)."""
+    import time
+
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    n, n_keys = 144, 8
+    data = [(None, i) for i in range(n)]
+
+    def map_fn(k, v):
+        yield (v % n_keys, 1)
+        if v % n_keys < 4:
+            yield (v % n_keys, 1)  # uneven group sizes: 36 vs 18 pairs
+
+    def reduce_fn(k, vals):
+        time.sleep(0.05 * (k + 1))  # stagger group completions
+        yield (k, sum(vals))
+
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=4,
+        exact_reduce_keys=True,
+    )
+    seen = []
+    while not handle.done:
+        st = handle.get_job_state()
+        if st.stage == Stage.REDUCE and 0.0 < st.percentage < 100.0:
+            seen.append(st.percentage)
+        time.sleep(0.002)
+    out = handle.wait_for_job()
+    assert sorted(out) == [
+        (k, 36 if k < 4 else 18) for k in range(n_keys)
+    ]
+    c = handle.counters
+    assert c.key_total == n_keys  # the reference's exact denominator
+    assert c.keys.value == n_keys
+    assert c.mapped.value == n  # count job + persist: no double count
+    assert c.emitted.value == 216
+    assert seen, "no mid-reduce state observed (stagger too fast)"
+    for pct in seen:
+        frac = pct * n_keys / 100.0
+        assert abs(frac - round(frac)) < 1e-9, pct
+    assert seen == sorted(seen)
+    # the count job's persisted intermediate was released
+    cached = c.cached_intermediate
+    assert cached is not None and not cached.is_cached
+
+
+def test_exact_reduce_keys_sort_mode_ordering_only(spark):
+    """Sort mode counts distinct keys by ORDERING-equal runs on the
+    range-partitioned sorted intermediate — keys need only ``<``
+    (the reference's type contract), no hashing, and the sorted RDD
+    is shared between the count and the reduce then released."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    data = [(None, i) for i in range(90)]
+
+    def map_fn(k, v):
+        yield (OrderOnlyKey(v % 9), 1)
+
+    def reduce_fn(k, vals):
+        yield (k.s, sum(vals))
+
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, key_mode="sort",
+        num_partitions=4, exact_reduce_keys=True,
+    )
+    out = handle.wait_for_job()
+    assert sorted(out) == [(k, 10) for k in range(9)]
+    c = handle.counters
+    assert c.key_total == 9
+    assert c.keys.value == 9
+    assert c.mapped.value == 90  # persist kept the count single-pass
+    for cached in (c.cached_intermediate, c.cached_sorted):
+        assert cached is not None and not cached.is_cached

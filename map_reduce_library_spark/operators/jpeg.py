@@ -505,19 +505,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     i = 2
     n = len(payload)
     while True:
-        if i + 4 > n:
+        if i + 2 > n:
             raise ValueError("truncated JPEG: no SOS/EOI")
         if payload[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at byte {i}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
-        # marker code — skip them or the fill is misread as the code
-        while i + 2 < n and payload[i + 1] == 0xFF:
+        # marker code — skip them or the fill is misread as the code.
+        # Bound is i + 1 < n (ADVICE r13): stopping at i + 2 < n made
+        # a stream ending in fill bytes before EOI (… FF FF D9) exit
+        # early and report 'truncated' instead of the accurate
+        # EOI-before-scan. The marker code itself is read before the
+        # 2-byte-length bound so markers WITHOUT a length field (EOI)
+        # are still classified at end-of-stream.
+        while i + 1 < n and payload[i + 1] == 0xFF:
             i += 1
-        if i + 4 > n:
+        if i + 2 > n:
             raise ValueError("truncated JPEG: no SOS/EOI")
         m = payload[i + 1]
         if m == 0xD9:
             raise ValueError("JPEG EOI before any scan")
+        if i + 4 > n:
+            raise ValueError("truncated JPEG: no SOS/EOI")
         if m in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -908,6 +916,15 @@ def classify_jpeg_decode(payload: bytes) -> str:
             return "unsupported_mode"
         if "truncated" in m or "no EOI" in m or "ran off the end" in m:
             return "truncated"
+        return "malformed"
+    except MemoryError:
+        raise  # resource exhaustion must stay loud, never quarantined
+    except Exception:  # noqa: BLE001
+        # The decoder is ValueError-total by contract (fuzz-pinned in
+        # test_jpeg), but a genuinely wild payload finding an
+        # unforeseen non-ValueError path must be counted-and-routed,
+        # never crash the whole ingest stage (ADVICE r13).
+        # KeyboardInterrupt/SystemExit are BaseException — untouched.
         return "malformed"
 
 

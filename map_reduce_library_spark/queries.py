@@ -206,11 +206,22 @@ def _module_slices(mod_name: str):
             s, e = node.lineno - 1, node.end_lineno
         except AttributeError:
             return ""
+        col = node.col_offset
+        decorators = getattr(node, "decorator_list", None)
+        if decorators:
+            # node.lineno for a decorated def/class is the def line —
+            # decorators live ABOVE it. Excluding them would let a
+            # behavior-bearing decorator on a helper change without
+            # perturbing the <local> digest, surviving a stale green
+            # (ADVICE r13). Start at the first decorator's line, col 0
+            # (the '@' sits one column left of d.col_offset).
+            s = min(d.lineno for d in decorators) - 1
+            col = 0
         seg_lines = list(lines[s:e])
         if not seg_lines:
             return ""
         seg_lines[-1] = seg_lines[-1][: node.end_col_offset]
-        seg_lines[0] = seg_lines[0][node.col_offset:]
+        seg_lines[0] = seg_lines[0][col:]
         return "".join(seg_lines)
 
     # each entry: (trigger_names, segment, segment_word_set) — word
@@ -302,6 +313,13 @@ def deps_md5_map(fn) -> dict[str, str] | None:
     # accumulated slice references by name. Word-set membership over
     # source text over-includes (a name inside an oracle SQL string
     # still counts) — the safe direction for a staleness hash.
+    # CONSTRAINT (ADVICE r13): the name match is literal, so a helper
+    # reached only through a dynamically constructed name
+    # (globals()[f"impl_{mode}"], getattr with a computed string)
+    # would be under-included and its edits would not demote the
+    # query. Querydef modules must not use such references —
+    # enforced by tests/test_registry_order.py::
+    # test_querydefs_have_no_dynamic_same_module_references.
     seen_words: set[str] = set(re.findall(r"\w+", fn_src))
     included_defs: dict[str, str] = {}
     included_headers: list[str] = []

@@ -12,6 +12,7 @@ from map_reduce_library_spark.operators.jpeg import (
     Q_CHROMA,
     Q_LUMA,
     _ZIGZAG,
+    classify_jpeg_decode,
     decode_jpeg,
     encode_jpeg,
     synth_tile_image,
@@ -452,3 +453,48 @@ def test_fill_bytes_property_any_header_marker_any_count():
             padded = payload[:i] + b"\xff" * n_fill + payload[i:]
             out = decode_jpeg(padded)
             assert np.array_equal(out, ref), (marker, n_fill)
+
+
+def test_fill_bytes_before_eoi_classified_eoi_not_truncated():
+    """ADVICE r13: a stream ending in spec-valid fill bytes
+    immediately before EOI (… FF FF D9) with no scan must be reported
+    as 'JPEG EOI before any scan' — the accurate structural error —
+    not 'truncated' (the old skip-loop bound stopped one byte short
+    and never read the EOI code). Both are refusals; the message and
+    triage class must name the real reason."""
+    import pytest
+
+    stream = b"\xff\xd8" + b"\xff" * 2 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="EOI before any scan"):
+        decode_jpeg(stream)
+    assert classify_jpeg_decode(stream) == "malformed"
+    # minimal EOI-before-scan without padding: same class
+    with pytest.raises(ValueError, match="EOI before any scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    # genuinely cut-off stream still reports truncated
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff")
+    assert classify_jpeg_decode(b"\xff\xd8\xff") == "truncated"
+    # fill bytes running into end-of-stream (no marker code follows)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8" + b"\xff" * 5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400), seed=st.integers(0, 2**31 - 1))
+def test_property_classify_is_total_on_arbitrary_bytes(data, seed):
+    """ADVICE r13: the triage boundary is TOTAL — classify_jpeg_decode
+    returns one of the five routing classes on arbitrary bytes, raw
+    fuzz and doctored-valid-stream fuzz alike, and never raises (a
+    wild payload crashing the audit stage would take the whole ingest
+    job down, contrary to the counted-and-routed stance)."""
+    classes = {"ok", "unsupported_mode", "truncated", "not_jpeg", "malformed"}
+    assert classify_jpeg_decode(bytes(data)) in classes
+    # splice fuzz bytes into a valid stream: exercises deep decoder
+    # paths (segment walk, huffman, scan) rather than the magic check
+    rng = np.random.RandomState(seed)
+    img = synth_tile_image(2, 2)
+    payload = bytearray(encode_jpeg(img))
+    pos = int(rng.randint(2, len(payload)))
+    spliced = bytes(payload[:pos]) + bytes(data) + bytes(payload[pos:])
+    assert classify_jpeg_decode(spliced) in classes

@@ -695,3 +695,70 @@ def test_module_slices_always_include_compound_statements(tmp_path):
     assert any(names == frozenset({"X"}) for names, _ in kinds)
     # the docstring produced no header statement
     assert not any("docstring" in first for _, first in kinds)
+
+
+def test_querydefs_have_no_dynamic_same_module_references():
+    """ADVICE r13: deps_md5_map's reachability fixpoint matches helper
+    names as literal words, so a same-module helper reached only via a
+    dynamically constructed name (globals()[f"impl_{x}"], getattr with
+    a computed string) would be under-included — its edits would not
+    demote the query's green. Enforce the documented constraint
+    (queries.py, deps_md5_map): no querydef module may call globals()
+    or use getattr/get on a NON-LITERAL attribute name at all. eval/
+    exec are banned for the same reason."""
+    import ast
+
+    pkg = Path(q.__file__).resolve().parent
+    offenders = []
+    for mod_path in sorted((pkg / "querydefs").glob("*.py")):
+        tree = ast.parse(mod_path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fname = node.func.id if isinstance(node.func, ast.Name) else None
+            if fname in ("globals", "vars", "eval", "exec"):
+                offenders.append(f"{mod_path.name}:{node.lineno} {fname}()")
+            if fname == "getattr" and len(node.args) >= 2:
+                if not isinstance(node.args[1], ast.Constant):
+                    offenders.append(
+                        f"{mod_path.name}:{node.lineno} "
+                        "getattr with computed name"
+                    )
+    assert not offenders, (
+        "dynamic name references defeat the staleness slicer:\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_module_slices_include_decorators_in_digest():
+    """ADVICE r13: node.lineno for a decorated def is the def line —
+    the slicer must start at the decorator so a behavior-bearing
+    decorator change perturbs the <local> digest instead of surviving
+    a stale green."""
+    import sys
+    import textwrap
+    import types
+
+    src = REPO / "tests" / "_synthmod_decorated.py"
+    src.write_text(textwrap.dedent("""
+        def deco(fn):
+            return fn
+
+        @deco
+        def helper():
+            return 1
+    """))
+    mod = types.ModuleType("synthmod_decorated")
+    mod.__file__ = str(src)
+    sys.modules["synthmod_decorated"] = mod
+    try:
+        q._DEPS_MAP_MODULE_CACHE.pop("synthmod_decorated", None)
+        _, top_defs, _ = q._module_slices("synthmod_decorated")
+    finally:
+        sys.modules.pop("synthmod_decorated", None)
+        q._DEPS_MAP_MODULE_CACHE.pop("synthmod_decorated", None)
+        src.unlink(missing_ok=True)
+    seg, words = top_defs["helper"]
+    assert seg.lstrip().startswith("@deco"), seg
+    assert "deco" in words  # the decorator name flows into the
+    # word set, so editing the decorator body demotes dependents

@@ -265,6 +265,110 @@ def migrate_deps_map() -> tuple[int, int, int]:
     return stamped, skipped, already
 
 
+def restamp_deps(ref: str) -> tuple[int, int, int]:
+    """Re-encode dependency digests after a change to the DIGEST
+    MACHINERY itself (the slicer in ``queries.deps_md5_map`` /
+    ``deps_md5``), without disturbing round or provenance — but ONLY
+    where that is provably honest. An entry is restamped iff:
+
+      1. its ``fn_md5`` and ``oracle_md5`` still match the current
+         registry (the query's own source and oracle are unchanged —
+         these hashes are slicer-independent), AND
+      2. every file its dependency closure touches — the querydef
+         module itself (covering ``<local>``) plus the union of file
+         keys from the OLD and NEW maps — is byte-identical between
+         the working tree and ``ref`` (the commit whose tree the
+         recorded verification ran against, e.g. the previous round's
+         artifact commit).
+
+    Under those two gates the verified answer's entire evidence
+    surface is literally unchanged; only the hash encoding moved, so
+    rewriting ``deps_md5``/``deps_md5_map`` in place preserves the
+    green honestly (ADVICE r13: the decorator-aware slicer changes
+    every digest — without this, a full local re-fold would flip all
+    driver-sourced provenance to local). Entries failing either gate
+    are left stale and must re-verify through a differential."""
+    import subprocess
+
+    queries, oracles, deps_fn, deps_map_fn = _registry(REPO)
+    if deps_map_fn is None:
+        raise SystemExit("source tree has no deps_md5_map")
+    ledger_path = REPO / "VERIFIED_LEDGER.json"
+    ledger = json.loads(ledger_path.read_text())
+    pkg = REPO / "map_reduce_library_spark"
+
+    unchanged_cache: dict[str, bool] = {}
+
+    def unchanged_since_ref(rel: str) -> bool:
+        # rel is package-relative (the deps_md5_map key form)
+        if rel in unchanged_cache:
+            return unchanged_cache[rel]
+        cur = pkg / rel
+        try:
+            cur_bytes = cur.read_bytes()
+        except OSError:
+            unchanged_cache[rel] = False
+            return False
+        got = subprocess.run(
+            ["git", "-C", str(REPO), "show",
+             f"{ref}:map_reduce_library_spark/{rel}"],
+            capture_output=True,
+        )
+        ok = got.returncode == 0 and got.stdout == cur_bytes
+        unchanged_cache[rel] = ok
+        return ok
+
+    stamped = fresh_already = skipped = 0
+    for name, entry in ledger.items():
+        if not isinstance(entry, dict) or name not in queries:
+            skipped += 1
+            continue
+        fn = queries[name]
+        if (
+            entry.get("oracle_md5") != _md5(oracles.get(name))
+            or entry.get("fn_md5") != _fn_md5(fn)
+        ):
+            skipped += 1
+            continue
+        new_map = deps_map_fn(fn)
+        new_deps = deps_fn(fn) if deps_fn is not None else None
+        old_map = entry.get("deps_md5_map") or {}
+        if (
+            new_map == old_map
+            and entry.get("deps_md5") == new_deps
+        ):
+            fresh_already += 1
+            continue
+        # gate: every file either closure touches is identical to ref
+        gate_files = {
+            k for k in list(old_map) + list(new_map or {})
+            if k != "<local>"
+        }
+        mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file is None:
+            skipped += 1
+            continue
+        try:
+            gate_files.add(
+                str(Path(mod_file).resolve().relative_to(pkg.resolve()))
+            )
+        except ValueError:
+            skipped += 1
+            continue
+        if new_map is None or not all(
+            unchanged_since_ref(rel) for rel in sorted(gate_files)
+        ):
+            skipped += 1
+            continue
+        entry["deps_md5_map"] = new_map
+        if new_deps is not None:
+            entry["deps_md5"] = new_deps
+        stamped += 1
+    ledger_path.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    return stamped, fresh_already, skipped
+
+
 def invalidate(names: list[str]) -> dict:
     """Drop ledger entries by name. Use when an OPERATOR a querydef
     calls changes behavior: fn_md5 only covers the registered querydef
@@ -292,7 +396,17 @@ def main() -> None:
                     help="stamp per-query deps_md5_map onto every "
                     "currently-fresh entry (one-off granularity upgrade; "
                     "preserves round and source)")
+    ap.add_argument("--restamp-deps", metavar="REF",
+                    help="after a digest-machinery change: re-encode "
+                    "deps digests in place for entries whose fn/oracle "
+                    "match and whose whole dep closure is byte-identical "
+                    "to git REF (preserves round and source)")
     args = ap.parse_args()
+    if args.restamp_deps:
+        stamped, fresh, skipped = restamp_deps(args.restamp_deps)
+        print(f"ledger: restamped deps on {stamped} entries "
+              f"({fresh} already current, {skipped} left for re-verify)")
+        return
     if args.migrate_deps_map:
         stamped, skipped, already = migrate_deps_map()
         print(f"ledger: stamped deps_md5_map on {stamped} fresh entries "

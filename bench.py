@@ -106,6 +106,9 @@ def main() -> None:
     # first-run JIT compilation of each query's generated code).
     times: dict[str, float] = {}
     t_all = time.time()
+    import os as _os
+
+    loadavg_start = list(_os.getloadavg())
     for _pass in range(2):
         for name, fn in QUERIES.items():
             if name in SKIP:
@@ -129,6 +132,13 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     wall = round(time.time() - t_all, 3)
 
+    # Self-documenting artifact (VERDICT r13 item 7): carry the host
+    # window's load and the measured same-source run-to-run swing
+    # INSIDE the JSON, so a reader comparing two BENCH artifacts
+    # cannot misread window noise as a code regression without also
+    # seeing the calibration that says otherwise.
+    import os
+
     (_REPO / "BENCH_LOCAL.json").write_text(
         json.dumps(
             {
@@ -138,6 +148,24 @@ def main() -> None:
                 "wall_2pass": wall,
                 "queries": times,
                 "sf": sf,
+                "host": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_start": loadavg_start,
+                    "loadavg_end": list(os.getloadavg()),
+                },
+                "window_calibration": {
+                    "note": (
+                        "host timing windows swing SAME-SOURCE suite "
+                        "sums by up to ~1.2-1.5x (BASELINE.md "
+                        "'same-source bench range': identical source "
+                        "measured 121.7-145.1 s across windows); "
+                        "judge regressions by per-query medians "
+                        "across runs, not by suite-sum deltas"
+                    ),
+                    "same_source_swing_observed_sec": [121.7, 145.1],
+                    "swing_source": "BASELINE.md round-11 table, "
+                    "re-confirmed round-12/13",
+                },
             },
             indent=1,
         )

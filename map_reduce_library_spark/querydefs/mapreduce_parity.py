@@ -106,6 +106,52 @@ def mr_sortmode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_exact_keys_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def mr_exact_keys_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact KEY-weighted REDUCE progress
+    (MapReduceFramework.cpp:190-195 packs the distinct intermediate
+    key count; reduceWrapper advances one per key at :157), driven
+    end-to-end through the async handle (VERDICT r13 item 5):
+    ``run_map_reduce_async(exact_reduce_keys=True)`` runs one
+    distinct-key count at the shuffle->reduce flip and JobState's
+    reduce %% becomes keys-reduced / key-total. Same oracle as
+    mr_generic_wordcount — the progress instrumentation (persist +
+    count job) must not change the answer — and the handle's
+    key_total must equal the output row count, asserted here so a
+    drifting denominator fails loudly rather than shipping a wrong
+    progress scale."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    def tokenize_map(_k, row):
+        for w in row.text.split(" "):
+            yield (w, 1)
+
+    def sum_reduce(key, values):
+        yield (key, sum(values))
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    n_docs = docs.count()
+    handle = run_map_reduce_async(
+        spark, docs, tokenize_map, sum_reduce,
+        input_total=n_docs, exact_reduce_keys=True,
+    )
+    out = handle.close_job_handle()
+    c = handle.counters
+    if c.key_total != len(out):
+        raise AssertionError(
+            f"exact reduce-key denominator {c.key_total} != distinct "
+            f"output keys {len(out)}"
+        )
+    return spark.createDataFrame(out, schema="word string, cnt bigint")
+
+
+@register(
     "mr_holistic_median",
     oracle="""
     SELECT user_id, round(median(value), 9) AS median_value,

@@ -59,6 +59,23 @@ def main() -> None:
     for k, total in sorted(out)[:5]:
         print(f"key {k}: {total}")
 
+    # Same job with the reference's EXACT key-weighted REDUCE
+    # denominator (MapReduceFramework.cpp:190-195): one distinct-key
+    # count at the shuffle->reduce flip buys reduce %% = keys reduced
+    # / key total instead of the default pair-weighted sweep.
+    handle = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=16,
+        exact_reduce_keys=True,
+    )
+    _out, _log = wait_with_progress(
+        handle,
+        on_change=lambda s: print(
+            f"[exact keys] stage {s.stage.name} {s.percentage:.1f}%"
+        ),
+    )
+    c = handle.counters
+    print(f"exact reduce denominator: {c.key_total} distinct keys")
+
 
 if __name__ == "__main__":
     main()

@@ -1072,3 +1072,36 @@ def test_counters_exact_with_speculation_enabled_real_cluster():
             assert pb >= pa  # per-stage monotone under the latch
     assert all(0.0 <= p <= 100.0 for _, p in log)
     assert log[-1] == [3, 100.0] or tuple(log[-1]) == (3, 100.0)
+
+
+def test_exact_reduce_keys_with_combiner(spark):
+    """exact_reduce_keys composes with the map-side combiner: the
+    distinct-key count runs on the POST-combine intermediate (same key
+    set, fewer pairs), emitted counts combined pairs crossing the
+    shuffle, and the key denominator still equals the true distinct
+    key count."""
+    from map_reduce_library_spark.core.job import run_map_reduce_async
+
+    data = [(None, i) for i in range(120)]
+
+    def map_fn(k, v):
+        yield (v % 6, 1)
+
+    def reduce_fn(k, vals):
+        yield (k, sum(vals))
+
+    h = run_map_reduce_async(
+        spark, data, map_fn, reduce_fn, num_partitions=4,
+        combiner_fn=lambda a, b: a + b, exact_reduce_keys=True,
+    )
+    out = h.wait_for_job()
+    assert sorted(out) == [(k, 20) for k in range(6)]
+    c = h.counters
+    assert c.key_total == 6
+    assert c.keys.value == 6
+    assert c.mapped.value == 120  # single instrumented map pass
+    # 4 partitions x 6 keys max post-combine
+    assert c.emitted.value <= 24
+    assert c.emitted.value == c.shuffled.value == c.reduced.value
+    cached = c.cached_intermediate
+    assert cached is not None and not cached.is_cached

@@ -106,9 +106,7 @@ def main() -> None:
     # first-run JIT compilation of each query's generated code).
     times: dict[str, float] = {}
     t_all = time.time()
-    import os as _os
-
-    loadavg_start = list(_os.getloadavg())
+    loadavg_start = list(os.getloadavg())
     for _pass in range(2):
         for name, fn in QUERIES.items():
             if name in SKIP:
@@ -137,8 +135,6 @@ def main() -> None:
     # INSIDE the JSON, so a reader comparing two BENCH artifacts
     # cannot misread window noise as a code regression without also
     # seeing the calibration that says otherwise.
-    import os
-
     (_REPO / "BENCH_LOCAL.json").write_text(
         json.dumps(
             {

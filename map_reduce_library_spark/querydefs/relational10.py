@@ -58,11 +58,24 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The <=threshold filter is computed with the *banded* O(k.n)
     # levenshtein (threshold arg): it aborts as soon as the running
     # minimum exceeds k, which is 5-10x cheaper than the full DP on the
-    # mostly-dissimilar in-block pairs.  Catalyst pushes this predicate
-    # into the join condition, where it runs interpreted (non-codegen),
-    # so the cheap |len diff| pre-filter matters too.  Result set is
-    # identical to full levenshtein <= k: the banded variant returns
-    # the exact distance when <= k and -1 otherwise.
+    # mostly-dissimilar in-block pairs.  Result set is identical to
+    # full levenshtein <= k: the banded variant returns the exact
+    # distance when <= k and -1 otherwise.
+    #
+    # Conjunct ORDER inside the join condition is the r14 optimization
+    # (guide §1.2 "per-task work"): the old shape computed lev_dist in
+    # a post-join withColumn + where, which Catalyst pushed into the
+    # join condition as the FIRST conjunct — every hash-matched pair
+    # (both orderings plus self-pairs, ~3x the blocked pair count)
+    # paid the full banded DP before the cheap doc_id</|len diff|
+    # tests could short-circuit it (plans/r14/edit_distance_near_dups
+    # _before.txt operator (8)). Writing the banded levenshtein as the
+    # LAST conjunct of an explicit join condition keeps And's
+    # left-to-right short-circuit: self-pairs and reversed pairs die
+    # on doc_id<, length outliers on the |len diff| bound, and only
+    # genuinely comparable ordered pairs reach the DP. The projection
+    # re-evaluates levenshtein only for SURVIVORS (result rows), which
+    # is noise. Measured 4.43 s -> see _after probe.
     return (
         a.join(
             c,
@@ -73,17 +86,20 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.abs(F.length("a.text") - F.length("c.text"))
                 <= _LEV_THRESHOLD
+            )
+            & (
+                F.levenshtein(
+                    F.col("a.text"), F.col("c.text"), _LEV_THRESHOLD
+                )
+                >= 0
             ),
         )
-        .withColumn(
-            "lev_dist",
-            F.levenshtein(F.col("a.text"), F.col("c.text"), _LEV_THRESHOLD),
-        )
-        .where(F.col("lev_dist") >= 0)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("c.doc_id").alias("doc_id_b"),
-            "lev_dist",
+            F.levenshtein(
+                F.col("a.text"), F.col("c.text"), _LEV_THRESHOLD
+            ).alias("lev_dist"),
         )
     )
 

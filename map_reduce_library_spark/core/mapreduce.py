@@ -274,17 +274,30 @@ def run_map_reduce(
 
             intermediate = intermediate.mapPartitions(_combine_partition)
         if exact_reduce_keys:
-            # Persist FIRST so the count job computes (and caches) the
-            # instrumented map exactly once — counting an unpersisted
-            # lineage would re-run the map and double the accumulators.
-            # The cached handle is the caller's to release (same
-            # contract as the sort path below).
-            intermediate = intermediate.persist()
-            counters.cached_intermediate = intermediate
-            counters.key_total = (
-                intermediate.keys().distinct(num_partitions).count()
-            )
-        grouped = intermediate.groupByKey(numPartitions=num_partitions)
+            # r14 (guide §2.4 "remove shuffles outright"): the distinct
+            # intermediate-key count IS the number of groupByKey
+            # groups, so count the GROUPED rdd instead of running a
+            # separate keys().distinct() job — that shape paid a
+            # second full shuffle (map → distinct-shuffle → count,
+            # then cache → groupByKey-shuffle → reduce); this one
+            # shuffles once and the reduce replays cached grouped
+            # blocks. Persist BEFORE counting so the count job
+            # computes (and caches) the instrumented map exactly once
+            # — counting an unpersisted lineage would re-run the map
+            # and double the accumulators; MEMORY_AND_DISK so an
+            # evicted block can't silently recompute (and re-count)
+            # it either (same rationale as the sink path,
+            # code-review r13). The cached handle is the caller's to
+            # release (same contract as the sort path below).
+            from pyspark import StorageLevel
+
+            grouped = intermediate.groupByKey(
+                numPartitions=num_partitions
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            counters.cached_intermediate = grouped
+            counters.key_total = grouped.count()
+        else:
+            grouped = intermediate.groupByKey(numPartitions=num_partitions)
         if counters is None:
             return grouped.flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
         shuffled_acc = counters.shuffled

@@ -408,31 +408,41 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     commitdate/receiptdate in the testdata): count, per supplier,
     their returned lines in orders that involve ANOTHER supplier
     (correlated EXISTS) where NO other supplier's line was returned
-    (correlated NOT EXISTS). Spark-first: both correlated quantifiers
-    decorrelate into one aggregated self-join on l_orderkey — the
-    other-supplier line count and other-supplier returned count are
-    computed in a single groupBy and joined back, so the fact table
-    is scanned twice and shuffled once, never row-correlated."""
+    (correlated NOT EXISTS).
+
+    Spark-first, r14 shape (guide §2.4 "remove shuffles outright"):
+    the round-13 form computed the per-(order,supplier) aggregate,
+    RE-aggregated it per order, and joined both back onto the R
+    lines — Catalyst planned that as THREE lineitem scans with the
+    per_os aggregation duplicated (plans/r14/sole_blame_suppliers_
+    before.txt: two independent Exchange+HashAggregate chains over
+    the same subtree, no exchange reuse). This form needs the fact
+    table ONCE: one groupBy to per-(order,supplier) returned-line
+    counts, then window aggregates over l_orderkey decide both
+    quantifiers (o_supps = suppliers in the order, o_ret = returned
+    lines in the order), and numwait(s) = SUM of n_ret over the
+    qualifying (order, supplier) pairs — identical to counting the
+    joined-back R lines, because each R line of a qualifying pair is
+    one of its n_ret. n_ret > 0 keeps suppliers with zero returned
+    lines out of the output, exactly as the old R-line join did.
+    Exact integer arithmetic throughout — bit-identical results."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    # per (order, supplier): lines from OTHER suppliers in the order,
-    # and returned lines from other suppliers — one aggregate each
-    # side of a self-join on the order key.
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("n_ret"),
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.sum("n_ret").alias("o_ret"),
-        F.count(F.lit(1)).alias("o_supps"),
-    )
+    w = Window.partitionBy("l_orderkey")
     blamed = (
-        li.where(F.col("l_returnflag") == "R")
-        .join(per_os, ["l_orderkey", "l_suppkey"])
-        .join(per_o, "l_orderkey")
-        # another supplier exists in the order...
+        per_os.withColumn("o_ret", F.sum("n_ret").over(w))
+        .withColumn("o_supps", F.count(F.lit(1)).over(w))
+        # I have returned lines...
+        .where(F.col("n_ret") > 0)
+        # ...another supplier exists in the order...
         .where(F.col("o_supps") > 1)
         # ...and every returned line in the order is mine
         .where(F.col("o_ret") == F.col("n_ret"))
@@ -443,7 +453,7 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(s), blamed.l_suppkey == s.s_suppkey
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_ret").alias("numwait"))
     )
 
 

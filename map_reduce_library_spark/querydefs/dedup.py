@@ -1221,11 +1221,17 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Each round references `ranks` exactly once, so the plan grows
         # LINEARLY (vs connected components' double reference), and the
         # lineage cut is a cost knob, not a correctness requirement.
-        # Measured at sf0.1: checkpoint every round 8.9s (action
-        # overhead), never 10.0s (analyzing a 50-join plan); re-measured
-        # round 5 on a VM with ~3x higher per-job overhead: cadence 3
-        # 4.9s, cadence 5 4.3s, cadence 10 4.3s — every 5 keeps the
-        # plan shallow at one fewer materialization job.
+        # r14 re-measurement (guide §1.2 config-last): on the current
+        # host the mid-loop localCheckpoint cadence LOST — cadence 5
+        # 4.10 s, cadence 10 4.45 s, NO checkpoint 3.07 s (min-of-3,
+        # same session, shared pairs cached) — the two eager
+        # materialization jobs cost more than analyzing the full
+        # 10-round plan once. Earlier hosts with ~3x higher per-job
+        # overhead measured the opposite (round-5 note: cadence 5
+        # 4.3 s vs every-round 8.9 s vs never 10.0 s), so this is a
+        # knob to re-measure per deployment; at real scale a lineage
+        # cut every few rounds also bounds recovery cost, which local
+        # noop runs don't price in.
         ranks = deg.join(contribs, "node", "left").select(
             "node",
             "d",
@@ -1234,8 +1240,6 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
-        if it % 5 == 4:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     )

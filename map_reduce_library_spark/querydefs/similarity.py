@@ -972,6 +972,30 @@ PQ_DELETE_PRED_SQL = f"NOT (vec_id >= {N_QUERIES} AND vec_id % 7 = 3)"
 # "persisted" artifact after each read would be a contradiction.
 _PERSISTED_IVFPQ: dict = {}
 
+# (applicationId, path) -> IvfPqIndex of analyzed relations. The serve
+# queries below read a FROZEN per-session artifact (built/mutated to
+# completion inside _persisted_index_path before any read), so the
+# four per-call spark.read.parquet schema inferences — measured
+# ~0.36 s of driver time per serve query — are pure repetition.
+# Plan-metadata memoization only (same contract as tables.load_table):
+# every action still scans the stored parquet. Deliberately NOT in
+# operators/ann_index.py: read_ivf_pq_index there must stay
+# mutation-safe (tests interleave maintenance ops with fresh reads).
+_FROZEN_IVFPQ_READS: dict = {}
+
+
+def _read_frozen_index(spark: SparkSession, path: str):
+    from map_reduce_library_spark.operators.ann_index import (
+        read_ivf_pq_index,
+    )
+
+    key = (spark.sparkContext.applicationId, path)
+    idx = _FROZEN_IVFPQ_READS.get(key)
+    if idx is None:
+        idx = read_ivf_pq_index(spark, path)
+        _FROZEN_IVFPQ_READS[key] = idx
+    return idx
+
 
 def _persisted_index_path(spark: SparkSession, sf_dir: str,
                           variant: str) -> str:
@@ -1074,7 +1098,7 @@ def ivf_pq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
-        read_ivf_pq_index(
+        _read_frozen_index(
             spark, _persisted_index_path(spark, sf_dir, "full")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),
@@ -1106,7 +1130,7 @@ def ivf_pq_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
-        read_ivf_pq_index(
+        _read_frozen_index(
             spark, _persisted_index_path(spark, sf_dir, "full")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),
@@ -1138,7 +1162,7 @@ def ivf_pq_deleted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
-        read_ivf_pq_index(
+        _read_frozen_index(
             spark, _persisted_index_path(spark, sf_dir, "deleted")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),
@@ -1169,7 +1193,7 @@ def ivf_pq_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
-        read_ivf_pq_index(
+        _read_frozen_index(
             spark, _persisted_index_path(spark, sf_dir, "incremental")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),
@@ -1203,7 +1227,7 @@ def ivf_pq_rebalanced_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
-        read_ivf_pq_index(
+        _read_frozen_index(
             spark, _persisted_index_path(spark, sf_dir, "rebalanced")
         ),
         emb.where(F.col("vec_id") < N_QUERIES),

@@ -127,6 +127,25 @@ def get_session(
         # correctness driver's) get the same flag idempotently from
         # tables._ensure_nanos_conf.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's ChecksumCheckpointFileManager writes a checksum
+        # sidecar for every streaming-checkpoint file and BLOCKS each
+        # state-store commit on it (driver thread dumps during the
+        # streaming corpus showed executor tasks parked in
+        # ChecksumCheckpointFileManager.awaitResult; guide §7.3).
+        # Measured on the hourly-window drain at sf0.1: state commit
+        # time 9.2-20.7 s summed across 32 partitions with checksums
+        # vs 3.5-6.0 s without — ~0.7 s wall per streaming query.
+        # This corpus' streaming surface is bounded availableNow
+        # drains into throwaway uuid-named checkpoints, where
+        # cross-restart corruption detection buys nothing, so the
+        # default is off; long-lived production pipelines that want
+        # the 4.1 integrity check back set SPARK_GRAFT_CKPT_CHECKSUM=
+        # true (pre-4.1 Spark never had checkpoint checksums, so off
+        # is also the long-standing production behavior).
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split small files across all cores: minPartitionNum is a

@@ -184,10 +184,16 @@ def minhash_signature(
     ca, cb = minhash_coeffs(k)
     x = md5_prefix60(F.col("shingle")) % MINHASH_P
     shx = shingle_df.select(id_col, x.alias("x"))
+    # r14: each agg is ONE parsed SQL string instead of a Column
+    # expression tree assembled call-by-call — the Column form cost
+    # ~6 py4j driver roundtrips per permutation, which at the
+    # production K=128 made PLAN CONSTRUCTION ~1.4 s per build
+    # (measured warm; half of minhash_lsh_pairs_wide's bench time —
+    # guide §7.3 driver-side work). The parser produces the identical
+    # arithmetic ((x * a + b) % P in BIGINT — every literal fits
+    # signed 64-bit), so signatures are bit-identical.
     aggs = [
-        F.min(
-            (F.col("x") * F.lit(ca[i]) + F.lit(cb[i])) % MINHASH_P
-        ).alias(f"h{i}")
+        F.expr(f"min((x * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS h{i}")
         for i in range(k)
     ]
     return shx.groupBy(id_col).agg(*aggs)

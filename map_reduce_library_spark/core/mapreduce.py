@@ -361,7 +361,7 @@ def run_map_reduce(
 
 def map_reduce_df(
     df: DataFrame,
-    map_batches: Callable,
+    map_batches: Callable | None,
     reduce_group: Callable,
     *,
     intermediate_schema: Any,
@@ -378,6 +378,15 @@ def map_reduce_df(
     as one pandas DataFrame; contract point 3: return any number of
     rows), executed by ``groupBy().applyInPandas``.
 
+    ``map_batches=None`` declares the IDENTITY map phase: the input
+    relation already has the intermediate shape, so the JVM→Python→JVM
+    Arrow round-trip that a ``yield from it`` body would pay is
+    skipped outright — the identity is a no-op on the data, making
+    the skip semantics-preserving by construction (guide §4: the
+    boundary you don't cross is the cheapest). The intermediate
+    relation is then the input itself (columnar scan straight into
+    the shuffle), and only the reduce side crosses into Python.
+
     The groupBy is one hash shuffle with AQE skew handling; at 100 TB
     the per-group pandas frame must fit in executor memory — the same
     holistic-reduce memory contract the reference has (all values for a
@@ -385,7 +394,11 @@ def map_reduce_df(
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    intermediate = df.mapInPandas(map_batches, schema=intermediate_schema)
+    intermediate = (
+        df
+        if map_batches is None
+        else df.mapInPandas(map_batches, schema=intermediate_schema)
+    )
     if not partition_batched:
         return intermediate.groupBy(*key_cols).applyInPandas(
             reduce_group, schema=output_schema

@@ -1185,6 +1185,8 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 9 decimals on both sides. Ranks flow over the PRODUCTION
     K=128 / 16×8 graph (VERDICT r9 item 2) — centrality on the demo
     graph ranks band-collision noise."""
+    import os
+
     pairs = shared_lsh_pairs(spark, sf_dir, wide=True)
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1207,39 +1209,63 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, pagerank double"
         )
+    # The undirected graph makes every node a dst of some edge, so the
+    # per-round groupBy(dst) covers the FULL node set — carrying the
+    # destination's degree ON the edge removes the second join per
+    # round (deg ⋈ contribs) that re-attached (node, d) to every new
+    # rank row. Edges are hash-partitioned by src ONCE (and sorted
+    # within partitions) so the per-round ranks-onto-edges join needs
+    # no exchange and no re-sort on the edge side at scale: the rank
+    # relation leaves each round's groupBy hash-partitioned by dst
+    # (= next round's join key), making the ONE fundamental shuffle
+    # per round — transposing src-grouped contributions to
+    # dst-grouped sums — the only per-round exchange (guide §2.4/§3).
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        und.join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("d").alias("dd")
+            ),
+            "dst",
+        )
+        .repartition(shuffle_p, "src")
+        .sortWithinPartitions("src")
+        .cache()
+    )
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
+    # Lineage-cut cadence: the driver's ground-truth hardware measured
+    # cadence 5 at 2.75 s vs NO mid-loop checkpoint at 4.21 s (r14
+    # PERF regression 0.65x), while this build host measured the
+    # opposite (3.07 s no-ckpt vs 4.10 s cadence 5, r14 notes) — the
+    # knob flips sign with per-job overhead, so the DEFAULT follows
+    # the driver ground truth and deployments tune it via
+    # SPARK_GRAFT_PR_CKPT_CADENCE (0 disables the mid-loop cut). At
+    # real scale a periodic cut also bounds recovery cost.
+    try:
+        cadence = int(os.environ.get("SPARK_GRAFT_PR_CKPT_CADENCE", "5"))
+    except ValueError:
+        cadence = 5
     for it in range(_PR_ITERS):
-        contribs = (
-            und.join(ranks, und.src == ranks.node)
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
             .select(
-                F.col("dst").alias("node"),
+                "dst",
+                "dd",
                 (F.col("rank") / F.col("d")).alias("c"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"), F.max("dd").alias("d2"))
+            .select(
+                F.col("dst").alias("node"),
+                F.col("d2").alias("d"),
+                (
+                    F.lit((1 - _PR_DAMPING) / n)
+                    + _PR_DAMPING * F.col("inflow")
+                ).alias("rank"),
+            )
         )
-        # Each round references `ranks` exactly once, so the plan grows
-        # LINEARLY (vs connected components' double reference), and the
-        # lineage cut is a cost knob, not a correctness requirement.
-        # r14 re-measurement (guide §1.2 config-last): on the current
-        # host the mid-loop localCheckpoint cadence LOST — cadence 5
-        # 4.10 s, cadence 10 4.45 s, NO checkpoint 3.07 s (min-of-3,
-        # same session, shared pairs cached) — the two eager
-        # materialization jobs cost more than analyzing the full
-        # 10-round plan once. Earlier hosts with ~3x higher per-job
-        # overhead measured the opposite (round-5 note: cadence 5
-        # 4.3 s vs every-round 8.9 s vs never 10.0 s), so this is a
-        # knob to re-measure per deployment; at real scale a lineage
-        # cut every few rounds also bounds recovery cost, which local
-        # noop runs don't price in.
-        ranks = deg.join(contribs, "node", "left").select(
-            "node",
-            "d",
-            (
-                F.lit((1 - _PR_DAMPING) / n)
-                + _PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
-            ).alias("rank"),
-        )
+        if cadence > 0 and it % cadence == cadence - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("pagerank")
     )

@@ -163,11 +163,12 @@ def mr_holistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holistic (non-associative) reduce — the capability that makes
     the reference's reduce strictly more general than pairwise
     combiners (MapReduceClient.h:77,83): per-user MEDIAN via the
-    vectorized applyInPandas path."""
+    vectorized applyInPandas path. The map phase is the declared
+    IDENTITY (``map_batches=None``), so the input's Arrow round-trip
+    through a ``yield from`` body is skipped — the scan feeds the
+    key shuffle directly and only the holistic reduce crosses into
+    Python (r14 residual #5; guide §4)."""
     import pandas as pd  # noqa: F401 (worker-side)
-
-    def ident_batches(it):
-        yield from it
 
     def median_group(pdf):
         import decimal
@@ -194,7 +195,7 @@ def mr_holistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     return map_reduce_df(
         ev,
-        ident_batches,
+        None,
         median_group,
         intermediate_schema="user_id bigint, value double",
         output_schema="user_id bigint, median_value double, n bigint",

@@ -86,9 +86,17 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    from map_reduce_library_spark.streaming.events import run_to_memory
+    from map_reduce_library_spark.streaming.events import (
+        drain_shuffle_partitions,
+        run_to_memory,
+    )
 
-    return run_to_memory(agg, "sliding", "complete")
+    return run_to_memory(
+        agg,
+        "sliding",
+        "complete",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -140,9 +148,17 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    from map_reduce_library_spark.streaming.events import run_to_memory
+    from map_reduce_library_spark.streaming.events import (
+        drain_shuffle_partitions,
+        run_to_memory,
+    )
 
-    return run_to_memory(agg, "streamstatic", "complete")
+    return run_to_memory(
+        agg,
+        "streamstatic",
+        "complete",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @register(

@@ -32,7 +32,60 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+# State-partition sizing for bounded drains: the streaming engine pins
+# its state-store count to spark.sql.shuffle.partitions AT QUERY START
+# (it bypasses AQE coalescing — state layout must be stable across
+# restarts), and every state partition pays a fixed provider-init +
+# commit cost per micro-batch (~120-190 ms each measured at r14 even
+# with checkpoint checksums off, contention-amplified: 32 partitions
+# committed in 3.5-6 s summed vs 1.0-1.6 s for 8). So the partition
+# count must follow STATE VOLUME, not core count. The knob was swept
+# at sf0.1 (2 MB events source; session/dedup/hourly/static drains,
+# min-of-3 each): 1 partition serializes the state WORK (session
+# 2.28 s, dedup 3.48 s), 32 partitions pay 32 provider-init/commit
+# fixed costs (session 2.53 s, dedup 2.73 s), and the knee is flat
+# across 4-8 (session 1.35-1.37 s, dedup 1.88-1.89 s, hourly
+# 0.88-0.92 s, static 0.76-0.79 s). One state partition per 512 KB
+# of compressed source input lands on that knee and keeps scaling
+# with volume: at 100 TB the rule asks for ~200 M partitions and the
+# cap — the session's configured shuffle parallelism, which a
+# cluster deployment sizes explicitly — binds instead, reproducing
+# today's behavior; locally it stops a 200 k-row drain from paying
+# 32 provider inits without strangling the per-key state work.
+_DRAIN_BYTES_PER_STATE_PARTITION = 512 * 1024
+
+
+def drain_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Volume-derived shuffle/state-partition count for a bounded
+    availableNow drain of the events source. SPARK_GRAFT_STREAM_SHUFFLE
+    overrides for deployments that size state partitions explicitly."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        try:
+            n = int(env)
+            if n > 0:
+                return n
+        except ValueError:
+            pass
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from map_reduce_library_spark.tables import table_path
+
+    try:
+        nbytes = os.path.getsize(table_path(sf_dir, "events"))
+    except OSError:
+        return cur
+    return max(1, min(cur, math.ceil(nbytes / _DRAIN_BYTES_PER_STATE_PARTITION)))
+
+
+def run_to_memory(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drain a bounded stream (availableNow) through a uuid-named
     in-memory sink and return the MATERIALIZED result. ONE definition
     of the sink/trigger/await/read-back block that was copy-pasted
@@ -40,17 +93,34 @@ def run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     the result is eagerly localCheckpoint'ed so the sink's temp view
     can be DROPPED: without the drop, every invocation (driver round,
     bench pass) left a uuid-named view holding its full result on the
-    driver heap for the session lifetime."""
+    driver heap for the session lifetime.
+
+    ``shuffle_partitions`` scopes spark.sql.shuffle.partitions to the
+    stream's execution (set before start, restored after the drain):
+    it is the ONLY way to size the engine's state-store count, which
+    is pinned at query start and exempt from AQE coalescing. Callers
+    pass ``drain_shuffle_partitions(...)`` — a volume-derived policy,
+    not a core-count constant."""
     spark = df.sparkSession
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    conf_key = "spark.sql.shuffle.partitions"
+    old_partitions = (
+        spark.conf.get(conf_key) if shuffle_partitions is not None else None
     )
-    q.awaitTermination()
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_partitions is not None:
+            spark.conf.set(conf_key, old_partitions)
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
@@ -106,7 +176,12 @@ def streaming_hourly_stats(
             "value_sum",
         )
     )
-    return run_to_memory(agg, "hourly_stats", "complete")
+    return run_to_memory(
+        agg,
+        "hourly_stats",
+        "complete",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +201,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return run_to_memory(deduped, "dedup", "append")
+    return run_to_memory(
+        deduped,
+        "dedup",
+        "append",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
 
 
 def stream_events_to_parquet(
@@ -213,7 +293,12 @@ def running_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
-    drained = run_to_memory(out, "tws", "update")
+    drained = run_to_memory(
+        out,
+        "tws",
+        "update",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )
     # Last update per user wins across micro-batches. n_events is
     # monotone per user (each update only appends rows), so max of the
     # (n_events, value_micros) STRUCT selects the true latest update —
@@ -264,7 +349,12 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Last update per user wins (a single availableNow pass may split
     # into several micro-batches).
     return (
-        run_to_memory(counted, "sessionize", "update")
+        run_to_memory(
+            counted,
+            "sessionize",
+            "update",
+            shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+        )
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
@@ -304,4 +394,9 @@ def streaming_session_windows(
             "total_value",
         )
     )
-    return run_to_memory(agg, "sessions", "complete")
+    return run_to_memory(
+        agg,
+        "sessions",
+        "complete",
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir),
+    )

@@ -329,6 +329,17 @@ def test_partition_batched_reduce_matches_grouped(spark):
         for r in map_reduce_df(df, ident, med, partition_batched=True, **kw).collect()
     }
     assert fast == slow and len(fast) == 997
+    # map_batches=None declares the identity map WITHOUT the Arrow
+    # round-trip (r15: the skip must be observationally identical to
+    # an explicit `yield from` body, on both reduce paths).
+    for pb in (False, True):
+        fused = {
+            (r.k, r.med, r.n)
+            for r in map_reduce_df(
+                df, None, med, partition_batched=pb, **kw
+            ).collect()
+        }
+        assert fused == slow
 
 
 def test_partition_batched_null_key_group_single_reduce(spark):

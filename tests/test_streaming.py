@@ -88,3 +88,45 @@ def test_streaming_session_window_rocksdb_state_store(spark):
         else:
             spark.conf.set(key, prev)
     assert got == want
+
+
+def test_drain_shuffle_partitions_policy_and_restore(spark):
+    """r15: bounded drains size their state-store count from source
+    VOLUME (one partition per 512 KB of compressed input, capped at
+    the session's shuffle parallelism), and run_to_memory must
+    restore the session's shuffle.partitions afterwards — the scoped
+    conf is the only way to size streaming state partitions, so a
+    leak would silently re-plan every later batch query."""
+    import math
+    import os
+
+    from map_reduce_library_spark.streaming.events import (
+        _DRAIN_BYTES_PER_STATE_PARTITION,
+        drain_shuffle_partitions,
+        streaming_hourly_stats,
+    )
+    from map_reduce_library_spark.tables import table_path
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    n = drain_shuffle_partitions(spark, SF_CORRECTNESS)
+    expected = max(
+        1,
+        min(
+            int(before),
+            math.ceil(
+                os.path.getsize(table_path(SF_CORRECTNESS, "events"))
+                / _DRAIN_BYTES_PER_STATE_PARTITION
+            ),
+        ),
+    )
+    assert n == expected
+    # env override wins (production deployments size explicitly)
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE"] = "7"
+    try:
+        assert drain_shuffle_partitions(spark, SF_CORRECTNESS) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]
+    # the scoped conf must not leak out of the drain
+    streaming_hourly_stats(spark, SF_CORRECTNESS)
+    assert spark.conf.get(key) == before

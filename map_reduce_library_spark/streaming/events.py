@@ -126,7 +126,18 @@ def run_to_memory(
     return out
 
 
+# (applicationId, abs sf_dir) -> raw events footer schema. The same
+# metadata-memoization contract as tables._TABLE_CACHE (guide §6
+# listing / §7.3 driver planning cost): the batch-read schema probe
+# measured 77 ms of driver time per call warm, and every streaming
+# query invocation pays it once — schema only, never data; keyed by
+# applicationId so a restarted session re-probes.
+_STREAM_SCHEMA_CACHE: dict = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from map_reduce_library_spark.tables import (
         _ensure_nanos_conf,
         normalize_event_ts,
@@ -139,7 +150,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 under nanosAsLong) and as plain TIMESTAMP(MICROS), so probe
     # the actual footer with a batch read (one metadata-only read at
     # stream-construction time) instead of hardcoding either layout.
-    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    batch_schema = _STREAM_SCHEMA_CACHE.get(key)
+    if batch_schema is None:
+        batch_schema = spark.read.parquet(
+            table_path(sf_dir, "events")
+        ).schema
+        _STREAM_SCHEMA_CACHE[key] = batch_schema
     # The file source wants a directory; select just events.parquet
     # out of the sf_dir with a glob filter. ts normalization is the
     # SAME helper the batch loader uses — batch/stream parity by

@@ -1188,11 +1188,19 @@ def pagerank_near_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     pairs = shared_lsh_pairs(spark, sf_dir, wide=True)
+    # No distinct on the union: the candidate relation is DISTINCT
+    # with doc_a < doc_b by the lsh_candidate_pairs contract (and by
+    # the oracle's SELECT DISTINCT), so the two orientations are
+    # disjoint and their union is already a set — the old .distinct()
+    # was a full extra exchange re-proving it (guide §2.4: a distinct
+    # on data that is already unique). Degree counts depend on edge
+    # multiplicity, so this rests on that contract, which the shared
+    # checkpoint materializes.
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).distinct().cache()
+    ).cache()
     # Every edge endpoint is a node, so the degree table IS the node
     # set; carrying (node, d) inside the ranks relation computes
     # rank/deg in-row and removes one join per round.
